@@ -1,0 +1,97 @@
+"""Tokenization and k-gram word shingling (vectorized per batch).
+
+Role of the reference's content-defined chunker (rolling Adler-32
+window cutter, reference: src/chunk.c:31-127): split each document into
+overlapping content units whose hashes feed the dedup index.  For the
+web-text target the unit is the 5-gram word shingle (north_rule).
+
+Output representation is a *flat* uint64 array of per-doc sorted-unique
+shingle hashes plus an int64 offsets array (CSR layout) so the MinHash /
+SimHash kernels can reduce per-document with ``np.minimum.reduceat`` —
+no Python loop in the signature math.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from dedup_restore_ray.functions.hashing import U64, WordHasher, combine64
+
+# \w+ over lowercased text: deterministic, locale-independent.
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+# polynomial base for combining word hashes into a shingle hash
+_POLY = np.uint64(0x100000001B3)  # FNV-ish 64-bit prime
+
+
+def tokenize(text: str | None) -> list[str]:
+    """Lowercase word tokens. None/empty -> []."""
+    if not text:
+        return []
+    return _TOKEN_RE.findall(text.lower())
+
+
+def normalize_text(text: str | None) -> str:
+    """Canonical normalized form: lowercased tokens joined by single
+    spaces.  Used by the substring pass and quality metrics so that
+    whitespace / case variations don't defeat exact matching.  The
+    per-url byte-identity invariant (input_hint) is checked over this
+    form's SHA-1."""
+    return " ".join(tokenize(text))
+
+
+def shingle_hashes_for_tokens(word_hashes: np.ndarray, k: int) -> np.ndarray:
+    """uint64 hashes of the k-gram windows of ``word_hashes``
+    (vectorized rolling polynomial combine, the spiritual successor of
+    the reference's rolling checksum src/adler32.c:27-45).
+
+    Docs with 0 < n < k tokens produce one shingle over all n tokens;
+    n == 0 produces an empty array.  Returns sorted-unique hashes.
+    """
+    n = len(word_hashes)
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    if n < k:
+        k = n
+    with np.errstate(over="ignore"):
+        acc = word_hashes[: n - k + 1].astype(U64, copy=True)
+        for j in range(1, k):
+            acc = acc * _POLY + word_hashes[j : n - k + 1 + j]
+    return np.unique(acc)  # sorted unique
+
+
+class ShingleEncoder:
+    """Batch encoder: list of texts -> CSR (flat shingle hashes, offsets).
+
+    Holds the word-hash cache; build once per actor (SURVEY §7.2: the
+    'loaded once per worker' pattern)."""
+
+    def __init__(self, k: int = 5, seed: int = 0):
+        self.k = k
+        self.hasher = WordHasher(seed=seed)
+
+    def encode(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (flat: uint64 [S_total], offsets: int64 [n+1]) where
+        flat[offsets[i]:offsets[i+1]] are doc i's sorted-unique shingle
+        hashes."""
+        per_doc = []
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = tokenize(t)
+            if toks:
+                wh = self.hasher.hash_words(toks)
+                sh = shingle_hashes_for_tokens(wh, self.k)
+            else:
+                sh = np.empty(0, dtype=U64)
+            per_doc.append(sh)
+            offsets[i + 1] = offsets[i] + len(sh)
+        flat = (np.concatenate(per_doc) if per_doc else np.empty(0, dtype=U64))
+        return flat.astype(U64, copy=False), offsets
+
+
+def token_counts(texts) -> np.ndarray:
+    """Whitespace-word counts per text (matches DuckDB oracle:
+    number of \\w+ matches in lowercased text)."""
+    return np.array([len(tokenize(t)) for t in texts], dtype=np.int64)

