@@ -1,0 +1,66 @@
+"""Union-find vs min-label propagation equivalence + stage tests."""
+
+import numpy as np
+import pytest
+
+from dedup_restore_ray.functions.unionfind import (UnionFind,
+                                                   connected_component_labels,
+                                                   min_label_round)
+
+
+class TestUnionFind:
+    def test_basic(self):
+        labels = connected_component_labels([(1, 2), (2, 3), (5, 6)])
+        assert labels[1] == labels[2] == labels[3] == 1
+        assert labels[5] == labels[6] == 5
+
+    def test_min_label_wins(self):
+        labels = connected_component_labels([(9, 5), (5, 2), (7, 9)])
+        assert all(v == 2 for v in labels.values())
+
+    def test_string_keys(self):
+        labels = connected_component_labels([("b", "a"), ("c", "b")])
+        assert all(v == "a" for v in labels.values())
+
+
+class TestLabelPropagationEquivalence:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_graph_fixpoint_matches_union_find(self, seed):
+        rng = np.random.default_rng(seed)
+        n = 60
+        edges = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+                 for _ in range(80)]
+        edges = [(u, v) for u, v in edges if u != v]
+        uf_labels = connected_component_labels(edges)
+        # iterate min-label rounds to fixpoint
+        nodes = {x for e in edges for x in e}
+        labels = {x: x for x in nodes}
+        us = [u for u, v in edges]
+        vs = [v for u, v in edges]
+        for _ in range(n):
+            labels, changed = min_label_round(labels, us, vs)
+            if changed == 0:
+                break
+        assert labels == uf_labels
+
+    def test_chain_converges(self):
+        edges = [(i, i + 1) for i in range(20)]
+        labels = {x: x for x in range(21)}
+        for _ in range(25):
+            labels, changed = min_label_round(labels, *zip(*edges))
+            if changed == 0:
+                break
+        assert all(v == 0 for v in labels.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedCluster:
+    def test_label_prop_matches_union_find(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.cluster import (cluster_label_propagation,
+                                                      cluster_union_find)
+        edges = [(3, 9), (9, 12), (1, 2), (2, 3), (50, 60)]
+        ds = rd.from_items([{"u": u, "v": v} for u, v in edges])
+        lp = cluster_label_propagation(ds)
+        uf = cluster_union_find(edges)
+        assert lp == uf

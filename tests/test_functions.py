@@ -1,0 +1,201 @@
+"""Unit tests for the pure signature kernels (no Ray)."""
+
+import numpy as np
+import pytest
+
+from dedup_restore_ray.functions.fingerprint import kgram_hashes, winnow, winnowed_fingerprints
+from dedup_restore_ray.functions.hashing import WordHasher, combine64, mix64
+from dedup_restore_ray.functions.jaccard import jaccard_sorted, ngram_jaccard
+from dedup_restore_ray.functions.lsh import band_keys
+from dedup_restore_ray.functions.minhash import (EMPTY_SIG, estimate_jaccard,
+                                                 make_permutations,
+                                                 minhash_signatures)
+from dedup_restore_ray.functions.shingle import (ShingleEncoder,
+                                                 shingle_hashes_for_tokens,
+                                                 tokenize, normalize_text)
+from dedup_restore_ray.functions.simhash import (hamming_distance,
+                                                 simhash_signatures,
+                                                 simhash_band_keys)
+from dedup_restore_ray.functions.suffix import substring_pairs, suffix_array
+
+T1 = "the quick brown fox jumps over the lazy dog again and again for testing purposes"
+T2 = "the quick brown fox jumps over the lazy cat again and again for testing purposes"
+T3 = "completely different text with unrelated words banana apple orange grape melon"
+
+
+def encode(*texts):
+    enc = ShingleEncoder(k=5, seed=0)
+    return enc.encode(list(texts))
+
+
+class TestTokenize:
+    def test_basic(self):
+        assert tokenize("Hello, World!") == ["hello", "world"]
+
+    def test_none_empty(self):
+        assert tokenize(None) == []
+        assert tokenize("") == []
+        assert tokenize("   ") == []
+
+    def test_normalize(self):
+        assert normalize_text("  Hello,\n WORLD ") == "hello world"
+
+
+class TestShingles:
+    def test_deterministic(self):
+        f1, o1 = encode(T1)
+        f2, o2 = encode(T1)
+        assert np.array_equal(f1, f2)
+        assert np.array_equal(o1, o2)
+
+    def test_sorted_unique(self):
+        f, o = encode(T1)
+        d = f[o[0]:o[1]]
+        assert np.array_equal(d, np.unique(d))
+
+    def test_count(self):
+        # n tokens -> n-k+1 windows (before dedup)
+        toks = tokenize(T1)
+        wh = WordHasher().hash_words(toks)
+        sh = shingle_hashes_for_tokens(wh, 5)
+        assert len(sh) <= len(toks) - 4
+
+    def test_short_doc_single_shingle(self):
+        f, o = encode("only three words")
+        assert o[1] - o[0] == 1
+
+    def test_empty(self):
+        f, o = encode("")
+        assert o[1] == 0
+
+
+class TestJaccard:
+    def test_identical(self):
+        f, o = encode(T1, T1)
+        assert jaccard_sorted(f[o[0]:o[1]], f[o[1]:o[2]]) == 1.0
+
+    def test_disjoint(self):
+        f, o = encode(T1, T3)
+        assert jaccard_sorted(f[o[0]:o[1]], f[o[1]:o[2]]) == 0.0
+
+    def test_empty_conventions(self):
+        e = np.empty(0, dtype=np.uint64)
+        x = np.array([1], dtype=np.uint64)
+        assert jaccard_sorted(e, e) == 1.0
+        assert jaccard_sorted(e, x) == 0.0
+
+    def test_known_value(self):
+        # hand-computable: sets {1,2,3} and {2,3,4} -> 2/4
+        a = np.array([1, 2, 3], dtype=np.uint64)
+        b = np.array([2, 3, 4], dtype=np.uint64)
+        assert jaccard_sorted(a, b) == 0.5
+
+
+class TestMinHash:
+    def test_estimate_tracks_exact(self):
+        f, o = encode(T1, T2)
+        exact = jaccard_sorted(f[o[0]:o[1]], f[o[1]:o[2]])
+        a, b = make_permutations(128, 42)
+        sig = minhash_signatures(f, o, a, b)
+        est = estimate_jaccard(sig[0], sig[1])
+        assert abs(est - exact) < 0.15
+
+    def test_identical_sets_identical_sigs(self):
+        f, o = encode(T1, T1)
+        a, b = make_permutations(128, 42)
+        sig = minhash_signatures(f, o, a, b)
+        assert np.array_equal(sig[0], sig[1])
+
+    def test_empty_doc_sentinel(self):
+        f, o = encode("", T1, "")
+        a, b = make_permutations(128, 42)
+        sig = minhash_signatures(f, o, a, b)
+        assert (sig[0] == EMPTY_SIG).all()
+        assert (sig[2] == EMPTY_SIG).all()
+        assert not (sig[1] == EMPTY_SIG).all()
+
+    def test_seed_changes_sigs(self):
+        f, o = encode(T1)
+        a1, b1 = make_permutations(128, 1)
+        a2, b2 = make_permutations(128, 2)
+        assert not np.array_equal(minhash_signatures(f, o, a1, b1),
+                                  minhash_signatures(f, o, a2, b2))
+
+
+class TestSimHash:
+    def test_similar_docs_close(self):
+        f, o = encode(T1, T2, T3)
+        sh = simhash_signatures(f, o)
+        d12 = hamming_distance(sh[0:1], sh[1:2])[0]
+        d13 = hamming_distance(sh[0:1], sh[2:3])[0]
+        assert d12 < d13
+
+    def test_identical(self):
+        f, o = encode(T1, T1)
+        sh = simhash_signatures(f, o)
+        assert sh[0] == sh[1]
+
+    def test_band_pigeonhole(self):
+        # hamming distance <= 3 guarantees a shared band among 4
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 1 << 63, dtype=np.uint64)
+        flipped = base ^ np.uint64((1 << 3) | (1 << 20) | (1 << 45))
+        keys = simhash_band_keys(np.array([base, flipped], dtype=np.uint64), 4)
+        assert (keys[0] == keys[1]).any()
+
+
+class TestLSHBands:
+    def test_identical_docs_share_all_bands(self):
+        f, o = encode(T1, T1)
+        a, b = make_permutations(128, 42)
+        sig = minhash_signatures(f, o, a, b)
+        bk = band_keys(sig, 16, 8)
+        assert (bk[0] == bk[1]).all()
+
+    def test_empty_docs_never_collide(self):
+        f, o = encode("", "")
+        a, b = make_permutations(128, 42)
+        sig = minhash_signatures(f, o, a, b)
+        bk = band_keys(sig, 16, 8)
+        assert not (bk[0] == bk[1]).any()
+
+
+class TestWinnowing:
+    def test_shared_substring_detected(self):
+        shared = "the common run that appears in both documents verbatim and is long enough to survive winnowing by a wide margin"
+        a = normalize_text("prefix alpha " + shared + " suffix beta gamma")
+        b = normalize_text("other start " + shared + " different ending")
+        fa = winnowed_fingerprints(a, 50, 51)
+        fb = winnowed_fingerprints(b, 50, 51)
+        assert len(np.intersect1d(fa, fb)) > 0
+
+    def test_disjoint_texts_disjoint_fps(self):
+        fa = winnowed_fingerprints(normalize_text(T1 * 5), 50, 51)
+        fb = winnowed_fingerprints(normalize_text(T3 * 5), 50, 51)
+        assert len(np.intersect1d(fa, fb)) == 0
+
+    def test_density(self):
+        # winnowing keeps ~2/(w+1) of positions
+        text = normalize_text(" ".join(f"w{i}" for i in range(2000)))
+        h = kgram_hashes(text, 50)
+        pos, fp = winnow(h, 51)
+        assert len(pos) < len(h) / 10
+
+
+class TestSuffixArray:
+    def test_banana(self):
+        codes = np.frombuffer("banana".encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        assert suffix_array(codes).tolist() == [5, 3, 1, 0, 4, 2]
+
+    def test_substring_pairs(self):
+        shared = "z" * 10 + "qwertyuiopasdfghjklzxcvbnm" * 5
+        pairs = substring_pairs(
+            ["aaa " + shared + " bbb", "ccc " + shared + " ddd", "unrelated"], 100)
+        assert pairs == {(0, 1)}
+
+    def test_no_false_pairs(self):
+        assert substring_pairs([T1, T3], 20) == set()
+
+    def test_repeat_within_one_doc_not_a_pair(self):
+        s = "x" * 200
+        assert substring_pairs([s + " middle " + s], 100) == set()

@@ -1,0 +1,110 @@
+"""End-to-end pipeline tests on the synthetic page corpus + testdata."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dedup_restore_ray.config import PipelineConfig
+from dedup_restore_ray.functions.jaccard import jaccard_sorted
+from dedup_restore_ray.functions.shingle import ShingleEncoder
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFlagship:
+    @pytest.fixture(scope="class")
+    def result(self, pages_corpus):
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+        pages, truth = pages_corpus
+        res = dedup_pipeline(rd.from_arrow(pages), PipelineConfig(),
+                             id_col="url", text_col="text", html_col="html")
+        return pages, truth, res, res.assignments.to_pandas()
+
+    def test_every_row_assigned_exactly_once(self, result):
+        pages, truth, res, out = result
+        # reference invariant: dup + unique == total (src/optsmr.c:316-332)
+        assert len(out) == pages.num_rows
+        assert out["doc_id"].is_unique
+        assert out["cluster_id"].notna().all()
+
+    def test_dup_plus_unique_is_total(self, result):
+        pages, truth, res, out = result
+        from dedup_restore_ray.pipelines.dedup import dedup_stats
+        stats = dedup_stats(res.assignments)
+        assert stats["dup"] + stats["unique"] == stats["total"] == pages.num_rows
+
+    def test_exact_dups_share_cluster(self, result):
+        pages, truth, res, out = result
+        texts = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+        cl = dict(zip(out.doc_id, out.cluster_id))
+        by_text = {}
+        for u, t in texts.items():
+            if t:
+                by_text.setdefault(t, []).append(u)
+        for t, urls in by_text.items():
+            if len(urls) > 1:
+                assert len({cl[u] for u in urls}) == 1
+
+    def test_recall_vs_exact_jaccard_oracle(self, result):
+        """The BASELINE gate: dup-pair recall >= 0.99 vs brute-force
+        exact-Jaccard oracle at the same shingle/signature config."""
+        pages, truth, res, out = result
+        from dedup_restore_ray.pipelines.dedup import ExtractText
+        cfg = PipelineConfig()
+        ex = ExtractText()
+        urls = pages["url"].to_pylist()
+        texts = [t if t is not None else ex.extract_one(h)
+                 for t, h in zip(pages["text"].to_pylist(),
+                                 pages["html"].to_pylist())]
+        enc = ShingleEncoder(k=cfg.shingle_k, seed=cfg.minhash_seed)
+        flat, off = enc.encode(texts)
+        sets = [flat[off[i]:off[i + 1]] for i in range(len(urls))]
+        cl = dict(zip(out.doc_id, out.cluster_id))
+        n = len(urls)
+        oracle = hits = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if jaccard_sorted(sets[i], sets[j]) >= cfg.jaccard_threshold:
+                    oracle += 1
+                    hits += cl[urls[i]] == cl[urls[j]]
+        assert oracle > 100
+        assert hits / oracle >= 0.99
+
+    def test_cluster_ids_are_member_ids(self, result):
+        pages, truth, res, out = result
+        # cluster id = min doc_id of the component -> must be a real doc id
+        ids = set(out.doc_id)
+        assert set(out.cluster_id) <= ids
+
+    def test_verified_pairs_meet_threshold(self, result):
+        pages, truth, res, out = result
+        vp = res.verified_pairs.to_pandas()
+        assert (vp["jaccard"] >= PipelineConfig().jaccard_threshold).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocumentsTable:
+    def test_runs_on_int64_ids(self, sf_dir):
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+        res = dedup_pipeline(ds, PipelineConfig(), id_col="doc_id",
+                             text_col="text")
+        out = res.assignments.to_pandas()
+        assert len(out) == 500
+        assert out["doc_id"].is_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactDedupStage:
+    def test_first_wins_semantics(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.exact import exact_dedup
+        rows = [{"content_hash": b"A" * 20, "doc_id": i} for i in (5, 3, 9)]
+        rows += [{"content_hash": b"B" * 20, "doc_id": 7}]
+        out = exact_dedup(rd.from_items(rows)).to_pandas()
+        canon = dict(zip(out.doc_id, out.canonical_id))
+        assert canon[5] == canon[3] == canon[9] == 3   # min id wins
+        assert canon[7] == 7
+        assert out.set_index("doc_id")["is_dup"].to_dict() == {
+            3: False, 5: True, 9: True, 7: False}
