@@ -1,0 +1,620 @@
+"""Driver-contract queries: one callable per implemented operator
+(SURVEY §2 inventory), each with a DuckDB oracle where the semantics
+are SQL-expressible.
+
+Every callable takes ``sf_dir`` and returns a Dataset / DataFrame /
+Table.  Column names here MUST match the oracle SQL aliases — the
+driver hash-compares values after sorting columns by name.
+
+Ray is initialised by the caller; nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from dedup_restore_ray.config import PipelineConfig
+from dedup_restore_ray.functions.hashing import content_hashes
+from dedup_restore_ray.functions.shingle import ShingleEncoder, token_counts, tokenize
+from dedup_restore_ray.functions.similarity import (cosine_topk_block,
+                                                    ivf_assign, kmeans_fit,
+                                                    l2_normalize, merge_topk)
+from dedup_restore_ray.functions.textstats import (_STOPWORDS_EN,
+                                                   detect_language,
+                                                   quality_features)
+from dedup_restore_ray.stages.exact import exact_dedup
+from dedup_restore_ray.stages.signatures import SignatureStage
+
+CFG = PipelineConfig()
+
+
+def round_half_up(x, digits: int = 4):
+    """DuckDB-compatible rounding (half away from zero for the
+    non-negative values used here); numpy's np.round is half-to-even
+    and disagrees on exact halves like 1/32."""
+    scale = 10.0 ** digits
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) / scale
+
+_STOP_SQL = ",".join(f"'{w}'" for w in sorted(_STOPWORDS_EN))
+
+
+def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ----------------------------------------------------------------------
+# Exact dedup family (reference: src/dedup.c:105-175 semantics)
+# ----------------------------------------------------------------------
+
+def q_exact_dedup_docs(sf_dir: str):
+    """First-wins exact dedup by text content hash (D2)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = content_hashes(batch.column("text").to_pylist())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "content_hash": pa.array(h, pa.binary(20))})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return exact_dedup(hashed)
+
+
+def q_dedup_stats_docs(sf_dir: str):
+    """Counter report (A1, reference: src/optsmr.c:316-332)."""
+    out = q_exact_dedup_docs(sf_dir).to_pandas()
+    total = len(out)
+    dup = int(out["is_dup"].sum())
+    return pd.DataFrame({"total": [total], "dup": [dup],
+                         "uniq": [total - dup]})
+
+
+# ----------------------------------------------------------------------
+# Text analysis operators
+# ----------------------------------------------------------------------
+
+def q_token_counts_docs(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(
+                             token_counts(batch.column("text").to_pylist()),
+                             pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_shingle_counts_docs(sf_dir: str):
+    """Distinct 5-gram shingle count per doc (M1 analogue)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        enc = ShingleEncoder(k=CFG.shingle_k, seed=CFG.minhash_seed)
+        _, off = enc.encode(batch.column("text").to_pylist())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_shingles": pa.array(np.diff(off), pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_lang_stats_docs(sf_dir: str):
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    out = (ds.groupby("lang")
+             .aggregate(rd.aggregate.Count(alias_name="n_docs"),
+                        rd.aggregate.Mean("n_chars", alias_name="avg_chars"))
+             .to_pandas())
+    out["avg_chars"] = out["avg_chars"].round(2)
+    return out
+
+
+def q_quality_docs(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        feats = quality_features(batch.column("text").to_pylist())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(feats["n_chars"], pa.int64()),
+            "n_tokens": pa.array(feats["n_tokens"], pa.int64()),
+            "mean_token_len": pa.array(round_half_up(feats["mean_token_len"])),
+            "stopword_ratio": pa.array(round_half_up(feats["stopword_ratio"])),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_langid_docs(sf_dir: str):
+    """Heuristic language id (rows-only check; no SQL equivalent)."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        pred = [detect_language(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "pred_lang": pa.array(pred, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# Generic relational operators over TPC-H-ish tables (SURVEY §2.7:
+# groupby/filter/sort/join coverage the reference lacks natively)
+# ----------------------------------------------------------------------
+
+def q_q1_lineitem(sf_dir: str):
+    """Grouped aggregate with filter (Q1-style)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(pd.Timestamp("1998-09-01"), pa.timestamp("us"))
+        t = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        disc = pc.multiply(t.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "l_linestatus": t.column("l_linestatus"),
+                         "l_quantity": t.column("l_quantity"),
+                         "disc_price": disc})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(rd.aggregate.Sum("l_quantity", alias_name="sum_qty"),
+                        rd.aggregate.Sum("disc_price", alias_name="sum_disc_price"),
+                        rd.aggregate.Count(alias_name="count_order"))
+             .to_pandas())
+    agg["sum_qty"] = agg["sum_qty"].round(2)
+    agg["sum_disc_price"] = agg["sum_disc_price"].round(2)
+    return agg
+
+
+def q_top_customers(sf_dir: str):
+    """Hash join + grouped aggregate + top-k (broadcast small side)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_mktsegment"])
+    cust_ref = ray.put(cust)
+
+    spend = (orders.groupby("o_custkey")
+             .aggregate(rd.aggregate.Sum("o_totalprice", alias_name="total_spend"),
+                        rd.aggregate.Count(alias_name="n_orders"))
+             .to_pandas())
+    c = ray.get(cust_ref)
+    out = spend.merge(c, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["total_spend", "c_custkey"],
+                          ascending=[False, True]).head(10)
+    out = out[["c_custkey", "c_name", "c_mktsegment", "n_orders", "total_spend"]]
+    out["total_spend"] = out["total_spend"].round(2)
+    return out.reset_index(drop=True)
+
+
+def q_grouped_restore(sf_dir: str):
+    """The restore gather (R1-R3, reference: src/look_ahead.c:710-840):
+    recipe = lineitem rows (ordered chunk refs), container = part table;
+    group refs by container key so each container is fetched once, then
+    reattach bytes.  Realized as broadcast lookup (part is the small
+    side) — the groupby(container) shuffle form is dedup_pipeline's
+    exact-dedup stage."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_partkey",
+                                  "l_quantity"])
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name", "p_retailprice"])
+    part_ref = ray.put(part.set_index("p_partkey"))
+
+    def gather(batch: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(part_ref)
+        out = batch.join(p, on="l_partkey")
+        out = out.rename(columns={"p_name": "chunk_name"})
+        out["restored_bytes"] = (out["p_retailprice"] * out["l_quantity"]).round(2)
+        return out[["l_orderkey", "l_linenumber", "chunk_name", "restored_bytes"]]
+
+    return li.map_batches(gather, batch_format="pandas")
+
+
+def q_sort_topk_orders(sf_dir: str):
+    """Global sort + limit."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    top = orders.sort(["o_totalprice", "o_orderkey"],
+                      descending=[True, False]).limit(20).to_pandas()
+    top["o_totalprice"] = top["o_totalprice"].round(2)
+    return top
+
+
+def q_events_by_type(sf_dir: str):
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    out = (ev.groupby("event_type")
+           .aggregate(rd.aggregate.Count(alias_name="n_events"),
+                      rd.aggregate.Sum("value", alias_name="total_value"),
+                      rd.aggregate.Mean("value", alias_name="avg_value"))
+           .to_pandas())
+    out["total_value"] = out["total_value"].round(2)
+    out["avg_value"] = out["avg_value"].round(4)
+    return out
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event stream (streaming-shaped
+    workload expressed as groupby over floored event time)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["hour_epoch"] = (batch["ts"].dt.floor("h")
+                               .astype("datetime64[s]").astype("int64"))
+        return batch[["event_type", "hour_epoch", "value"]]
+
+    out = (ev.map_batches(bucket, batch_format="pandas")
+           .groupby(["event_type", "hour_epoch"])
+           .aggregate(rd.aggregate.Count(alias_name="n_events"),
+                      rd.aggregate.Sum("value", alias_name="total_value"))
+           .to_pandas())
+    out["total_value"] = out["total_value"].round(2)
+    return out
+
+
+def q_distinct_users(sf_dir: str):
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n_users": [g["user_id"].nunique()]})
+
+    return ev.groupby("event_type").map_groups(nunique, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# Similarity search over embeddings
+# ----------------------------------------------------------------------
+
+def _load_queries(sf_dir: str, n: int = 5):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb[emb.vec_id < n].sort_values("vec_id")
+    qm = np.stack(q["embedding"].to_numpy())
+    return q["vec_id"].to_numpy(), l2_normalize(qm.astype(np.float64))
+
+
+def q_similarity_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch
+    matmul partials, driver merge (results are k rows/query)."""
+    qids, qn = _load_queries(sf_dir, n_queries)
+    qref = ray.put(qn)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        vecs = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        ids = np.asarray(batch.column("vec_id"))
+        top_ids, top_scores = cosine_topk_block(qm, vecs, ids, k)
+        nq, kk = top_ids.shape
+        return pa.table({
+            "qrow": pa.array(np.repeat(np.arange(nq), kk), pa.int64()),
+            "vec_id": pa.array(top_ids.reshape(-1), pa.int64()),
+            "score": pa.array(top_scores.reshape(-1), pa.float64()),
+        })
+
+    rows = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # merge per-block partials into global top-k per query
+    out_rows = []
+    for qrow in range(len(qids)):
+        g = rows[rows.qrow == qrow]
+        ids, scores = merge_topk([g["vec_id"].to_numpy()[None, :]],
+                                 [g["score"].to_numpy()[None, :]], k)
+        for i in range(ids.shape[1]):
+            out_rows.append((int(qids[qrow]), int(ids[0, i]),
+                             float(round_half_up(scores[0, i]))))
+    return pd.DataFrame(out_rows, columns=["qid", "vec_id", "score"])
+
+
+def q_embedding_cosine_pairs(sf_dir: str, threshold: float = 0.3):
+    """Embedding-cosine near-dup pairs (u < v, cosine >= threshold) —
+    all-pairs via per-batch matmul against the broadcast corpus (the
+    corpus fits the broadcast at test scale; the production path is the
+    IVF-bucketed variant q_ann_ivf)."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    all_ids = emb["vec_id"].to_numpy()
+    all_vecs = l2_normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put((all_ids, all_vecs))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, vec_all = ray.get(ref)
+        ids = np.asarray(batch.column("vec_id"))
+        vecs = l2_normalize(np.stack(batch.column("embedding").to_pylist())
+                            .astype(np.float64))
+        s = vecs @ vec_all.T
+        bi, bj = np.nonzero(s >= threshold)
+        u = ids[bi]
+        v = ids_all[bj]
+        keep = u < v
+        return pa.table({"u": pa.array(u[keep], pa.int64()),
+                         "v": pa.array(v[keep], pa.int64()),
+                         "cosine": pa.array(round_half_up(s[bi, bj][keep]))})
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """IVF approximate NN: k-means centroids fit on a sample, vectors
+    bucketed by nearest centroid (shuffle key), queries probe the
+    nearest num_probe buckets (rows-only check — approximate)."""
+    cfg = CFG
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    sample = np.stack(emb["embedding"].head(2000).to_numpy()).astype(np.float64)
+    cent = kmeans_fit(sample, cfg.ivf_num_centroids, seed=42)
+    qids, qn = _load_queries(sf_dir, n_queries)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :cfg.ivf_num_probe]
+    cent_ref = ray.put((cent, qn, probe))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def bucketed_partial(batch: pa.Table) -> pa.Table:
+        c, qm, pr = ray.get(cent_ref)
+        vecs = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        ids = np.asarray(batch.column("vec_id"))
+        lists = ivf_assign(vecs, c)
+        out_q, out_id, out_s = [], [], []
+        for qrow in range(qm.shape[0]):
+            mask = np.isin(lists, pr[qrow])
+            if not mask.any():
+                continue
+            tid, ts = cosine_topk_block(qm[qrow:qrow + 1], vecs[mask],
+                                        ids[mask], k)
+            out_q.extend([qrow] * tid.shape[1])
+            out_id.extend(tid[0])
+            out_s.extend(ts[0])
+        return pa.table({"qrow": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(np.array(out_id, dtype=np.int64)),
+                         "score": pa.array(np.array(out_s, dtype=np.float64))})
+
+    rows = ds.map_batches(bucketed_partial, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qrow in range(len(qids)):
+        g = rows[rows.qrow == qrow].sort_values(
+            ["score", "vec_id"], ascending=[False, True]).head(k)
+        for _, r in g.iterrows():
+            out_rows.append((int(qids[qrow]), int(r.vec_id),
+                             float(round_half_up(r.score))))
+    return pd.DataFrame(out_rows, columns=["qid", "vec_id", "score"])
+
+
+# ----------------------------------------------------------------------
+# Near-dup pipeline entries (rows-only where hash-dependent)
+# ----------------------------------------------------------------------
+
+def q_minhash_signatures_docs(sf_dir: str):
+    """Per-doc signature stats (rows-only: hash values are
+    config-dependent, not SQL-expressible)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sig = ds.map_batches(SignatureStage(CFG), batch_format="pyarrow",
+                         batch_size=CFG.batch_size)
+    return sig.select_columns(["doc_id", "n_tokens", "n_shingles", "simhash"])
+
+
+def q_near_dup_pairs_docs(sf_dir: str):
+    """Verified near-dup pairs (u < v, exact Jaccard >= 0.8) via the
+    full LSH+simhash+substring candidate union.  SQL oracle: brute-force
+    exact 5-gram Jaccard cross join — candidates are approximate but the
+    union of sources achieves full recall on this corpus (asserted in
+    tests)."""
+    from dedup_restore_ray.stages.pairs import candidate_pairs
+    from dedup_restore_ray.stages.substring import fingerprint_pairs
+    from dedup_restore_ray.stages.verify import verify_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(SignatureStage(CFG), batch_format="pyarrow",
+                          batch_size=CFG.batch_size).materialize()
+    cands = candidate_pairs(sigs, CFG, use_simhash=True).union(
+        fingerprint_pairs(sigs, CFG))
+    cands = cands.groupby(["u", "v"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    verified = verify_pairs(cands, sigs, CFG).to_pandas()
+    verified["jaccard"] = round_half_up(verified["jaccard"])
+    return verified.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def q_dedup_clusters_docs(sf_dir: str):
+    """Flagship cluster assignment over documents (rows-only)."""
+    from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    res = dedup_pipeline(ds, CFG)
+    return res.assignments
+
+
+def q_substring_pairs_docs(sf_dir: str):
+    """Suffix-array substring pass over documents (rows-only; exact
+    per-partition formulation)."""
+    from dedup_restore_ray.stages.substring import suffix_array_pairs
+    from dedup_restore_ray.functions.shingle import normalize_text
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        nt = [normalize_text(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "norm_text": pa.array(nt, pa.string())})
+
+    docs = ds.map_batches(norm, batch_format="pyarrow").repartition(1)
+    return suffix_array_pairs(docs, CFG)
+
+
+QUERIES = {
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "dedup_stats_docs": q_dedup_stats_docs,
+    "token_counts_docs": q_token_counts_docs,
+    "shingle_counts_docs": q_shingle_counts_docs,
+    "lang_stats_docs": q_lang_stats_docs,
+    "quality_docs": q_quality_docs,
+    "langid_docs": q_langid_docs,
+    "q1_lineitem": q_q1_lineitem,
+    "top_customers": q_top_customers,
+    "grouped_restore": q_grouped_restore,
+    "sort_topk_orders": q_sort_topk_orders,
+    "events_by_type": q_events_by_type,
+    "events_hourly": q_events_hourly,
+    "distinct_users": q_distinct_users,
+    "similarity_topk": q_similarity_topk,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "ann_ivf": q_ann_ivf,
+    "minhash_signatures_docs": q_minhash_signatures_docs,
+    "near_dup_pairs_docs": q_near_dup_pairs_docs,
+    "dedup_clusters_docs": q_dedup_clusters_docs,
+    "substring_pairs_docs": q_substring_pairs_docs,
+}
+
+
+ORACLE_SQL = {
+    "exact_dedup_docs": """
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+        FROM documents
+    """,
+    "dedup_stats_docs": """
+        SELECT count(*) AS total,
+               count(*) - count(DISTINCT text) AS dup,
+               count(DISTINCT text) AS uniq
+        FROM documents
+    """,
+    "token_counts_docs": r"""
+        SELECT doc_id,
+               length(regexp_extract_all(lower(text), '\w+'))::BIGINT AS n_tokens
+        FROM documents
+    """,
+    "shingle_counts_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents)
+        SELECT doc_id,
+               (CASE WHEN length(t) = 0 THEN 0
+                     ELSE length(list_distinct(list_transform(
+                          range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> array_to_string(t[i:i+4], ' ')))) END)::BIGINT
+                 AS n_shingles
+        FROM toks
+    """,
+    "lang_stats_docs": """
+        SELECT lang, count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "quality_docs": rf"""
+        WITH toks AS (
+          SELECT doc_id, text,
+                 regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents)
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars,
+               length(t)::BIGINT AS n_tokens,
+               CASE WHEN length(t) = 0 THEN 0.0 ELSE
+                 round(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+                       * 1.0 / length(t), 4) END AS mean_token_len,
+               CASE WHEN length(t) = 0 THEN 0.0 ELSE
+                 round(length(list_filter(t,
+                       x -> list_contains([{_STOP_SQL}], x)))
+                       * 1.0 / length(t), 4) END AS stopword_ratio
+        FROM toks
+    """,
+    "q1_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        SELECT c_custkey, c_name, c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name, c_mktsegment
+        ORDER BY sum(o_totalprice) DESC, c_custkey
+        LIMIT 10
+    """,
+    "grouped_restore": """
+        SELECT l_orderkey, l_linenumber,
+               p_name AS chunk_name,
+               round(p_retailprice * l_quantity, 2) AS restored_bytes
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "sort_topk_orders": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    "events_by_type": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS total_value,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+    "events_hourly": """
+        SELECT event_type,
+               epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "similarity_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (SELECT qid, vec_id,
+                          list_cosine_similarity(qe, embedding::DOUBLE[]) AS score
+                   FROM q, embeddings)
+        SELECT qid, vec_id, round(score, 4) AS score FROM scored
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, vec_id) <= 10
+    """,
+    "embedding_cosine_pairs": """
+        SELECT a.vec_id AS u, b.vec_id AS v,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4)
+                 AS cosine
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.3
+    """,
+    "near_dup_pairs_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN []
+                      ELSE list_distinct(list_transform(
+                           range(1, greatest(length(t) - 4, 1) + 1),
+                           i -> array_to_string(t[i:i+4], ' '))) END AS s
+          FROM toks)
+        SELECT a.doc_id AS u, b.doc_id AS v,
+               round(length(list_intersect(a.s, b.s)) * 1.0 /
+                     (length(a.s) + length(b.s)
+                      - length(list_intersect(a.s, b.s))), 4) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND length(a.s) > 0 AND length(b.s) > 0
+          AND length(list_intersect(a.s, b.s)) * 1.0 /
+              (length(a.s) + length(b.s)
+               - length(list_intersect(a.s, b.s))) >= 0.8
+    """,
+}

@@ -1,0 +1,124 @@
+"""Local stand-in for the driver's correctness harness.
+
+Runs every ``queries()`` entry at sf0.01, converts to pandas, and for
+entries with an ``oracle_sql()`` compares row count, column names and
+an order-insensitive value hash against DuckDB — the same contract the
+round driver applies.
+
+Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(obj):
+    import pyarrow as pa
+    import ray.data
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: ints/bools -> int64 strings, floats -> repr
+    rows = []
+    for row in df.itertuples(index=False):
+        rows.append("|".join(_norm(v) for v in row))
+    rows.sort()
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def _norm(v) -> str:
+    import numpy as np
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return f"{float(v):.6g}"
+    return str(v)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = to_pandas(fn(sf_dir))
+        except Exception as e:
+            print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(mine)} rows ({dt:.1f}s) [rows-only]")
+            n_rows_only += 1
+            continue
+        try:
+            oracle = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL raised {e}")
+            n_fail += 1
+            continue
+        ok_rows = len(mine) == len(oracle)
+        ok_cols = sorted(mine.columns) == sorted(oracle.columns)
+        ok_hash = ok_rows and ok_cols and value_hash(mine) == value_hash(oracle)
+        if ok_hash:
+            print(f"PASS  {name}: {len(mine)} rows ({dt:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: rows {len(mine)} vs {len(oracle)}, "
+                  f"cols {sorted(mine.columns)} vs {sorted(oracle.columns)}, "
+                  f"hash_match={ok_hash}")
+            if ok_rows and ok_cols:
+                m = mine.reindex(sorted(mine.columns), axis=1)
+                o = oracle.reindex(sorted(oracle.columns), axis=1)
+                key = sorted(mine.columns)[0]
+                m = m.sort_values(list(m.columns)).reset_index(drop=True)
+                o = o.sort_values(list(o.columns)).reset_index(drop=True)
+                diff = (m.astype(str) != o.astype(str)).any(axis=1)
+                print("  first diffs:\n", m[diff].head(3), "\n  vs\n", o[diff].head(3))
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
