@@ -63,3 +63,38 @@ def winnowed_fingerprints(text: str, k: int, window: int) -> np.ndarray:
     h = kgram_hashes(text, k)
     _, fp = winnow(h, window)
     return np.unique(fp)
+
+
+def batch_winnowed_fingerprints(texts: list[str], k: int, window: int
+                                ) -> list[np.ndarray]:
+    """Winnowed fingerprints for a whole batch with ONE global rolling
+    hash: the k shifted-add passes run over the concatenation of all
+    texts (k numpy ops total instead of k per doc); windows straddling
+    document boundaries are discarded by position masking.  Per doc only
+    the winnow step (2 numpy calls) remains."""
+    enc = [t.encode("utf-8", "surrogatepass") for t in texts]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+    if lens.sum() == 0:
+        return [np.empty(0, dtype=U64) for _ in texts]
+    data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    n = len(data)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    if n < k:
+        return [winnowed_fingerprints(t, k, window) for t in texts]
+    m = n - k + 1
+    with np.errstate(over="ignore"):
+        acc = np.zeros(m, dtype=U64)
+        for j in range(k):
+            acc = acc * _BASE + data[j : j + m]
+    acc = mix64(acc)
+    out = []
+    for i in range(len(texts)):
+        li = int(lens[i])
+        if li < k:
+            out.append(np.empty(0, dtype=U64))
+            continue
+        s = int(starts[i])
+        h = acc[s : s + li - k + 1]
+        _, fp = winnow(h, window)
+        out.append(np.unique(fp))
+    return out

@@ -90,10 +90,24 @@ def dedup_pipeline(docs: "ray.data.Dataset",
                    use_simhash: bool = True,
                    use_substring: bool = True,
                    verify_strategy: str = "broadcast",
-                   cluster_strategy: str = "auto") -> DedupResult:
-    """Run the flagship near-dup pipeline over a docs Dataset."""
+                   cluster_strategy: str = "auto",
+                   num_blocks: int | None = None) -> DedupResult:
+    """Run the flagship near-dup pipeline over a docs Dataset.
+
+    num_blocks: input repartition width.  A single Parquet file reads
+    as one block, serializing every stage; default 2 blocks per CPU so
+    the signature stage saturates the pool.  (At production scale the
+    read produces many blocks naturally and this is a no-op.)
+    """
     cfg = cfg or PipelineConfig()
     metrics: dict = {"config_hash": cfg.config_hash()}
+
+    if num_blocks is None:
+        try:
+            num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            num_blocks = 16
+    docs = docs.repartition(num_blocks)
 
     if html_col is not None:
         docs = docs.map_batches(
@@ -125,9 +139,13 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     # ---- candidate generation (LSH [+ simhash] ∪ substring) ------------
     cands = candidate_pairs(canon_sigs, cfg, use_simhash=use_simhash)
     if use_substring:
-        cands = cands.union(fingerprint_pairs(canon_sigs, cfg))
-        cands = cands.groupby(["u", "v"]).map_groups(
-            lambda g: g.head(1), batch_format="pandas")
+        from dedup_restore_ray.stages.groups import distinct_rows
+        cands = distinct_rows(
+            cands.union(fingerprint_pairs(canon_sigs, cfg)), ["u", "v"])
+    # verify consumes the pair set twice (member gather + check):
+    # materialize so candidate generation doesn't re-execute
+    cands = cands.materialize()
+    metrics["candidate_pairs"] = cands.count()
 
     # ---- verification --------------------------------------------------
     verified = verify_pairs(cands, canon_sigs, cfg,
@@ -139,7 +157,8 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     # merged without verification (covers whitespace/case variants and
     # the degenerate zero-shingle group LSH sentinels keep apart).
     norm_edges = keyed_dup_edges(canon_sigs, "norm_hash")
-    near_edges = verified.select_columns(["u", "v"]).union(norm_edges)
+    near_edges = (verified.select_columns(["u", "v"])
+                  .union(norm_edges).materialize())
     n_edges = near_edges.count()
     metrics["cluster_edges"] = n_edges
     if cluster_strategy == "auto":

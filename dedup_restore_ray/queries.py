@@ -418,10 +418,10 @@ def q_near_dup_pairs_docs(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(SignatureStage(CFG), batch_format="pyarrow",
                           batch_size=CFG.batch_size).materialize()
-    cands = candidate_pairs(sigs, CFG, use_simhash=True).union(
-        fingerprint_pairs(sigs, CFG))
-    cands = cands.groupby(["u", "v"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    from dedup_restore_ray.stages.groups import distinct_rows
+    cands = distinct_rows(
+        candidate_pairs(sigs, CFG, use_simhash=True).union(
+            fingerprint_pairs(sigs, CFG)), ["u", "v"])
     verified = verify_pairs(cands, sigs, CFG).to_pandas()
     verified["jaccard"] = round_half_up(verified["jaccard"])
     return verified.sort_values(["u", "v"]).reset_index(drop=True)

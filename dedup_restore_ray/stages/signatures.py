@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 
 from dedup_restore_ray.config import PipelineConfig
-from dedup_restore_ray.functions.fingerprint import winnowed_fingerprints
+from dedup_restore_ray.functions.fingerprint import batch_winnowed_fingerprints
 from dedup_restore_ray.functions.hashing import content_hashes
 from dedup_restore_ray.functions.minhash import make_permutations, minhash_signatures
 from dedup_restore_ray.functions.shingle import ShingleEncoder, normalize_text, token_counts
@@ -62,7 +62,7 @@ class SignatureStage:
         nhashes = content_hashes(norm)
         ntok = token_counts(texts)
         nshingles = np.diff(offsets)
-        fps = [winnowed_fingerprints(nt, cfg.winnow_kgram, self.window) for nt in norm]
+        fps = batch_winnowed_fingerprints(norm, cfg.winnow_kgram, self.window)
 
         shingle_list = pa.ListArray.from_arrays(
             pa.array(offsets.astype(np.int32)), pa.array(flat, pa.uint64()))

@@ -28,7 +28,7 @@ import ray.data
 
 from dedup_restore_ray.config import PipelineConfig
 from dedup_restore_ray.functions.suffix import substring_pairs
-from dedup_restore_ray.stages.pairs import PairGen
+from dedup_restore_ray.stages.groups import bucket_pairs, distinct_rows
 
 
 def fingerprint_pairs(signatures: "ray.data.Dataset",
@@ -49,24 +49,7 @@ def fingerprint_pairs(signatures: "ray.data.Dataset",
         })
 
     rows = signatures.map_batches(expand, batch_format="pyarrow")
-    pg = PairGen(cfg)
-
-    def pair_gen(group: pd.DataFrame) -> pd.DataFrame:
-        return pg(group)
-
-    pairs = rows.groupby("bucket_key").map_groups(
-        pair_gen, batch_format="pandas")
-
-    def norm(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return batch
-        u, v = batch["u"].to_numpy(), batch["v"].to_numpy()
-        out = pd.DataFrame({"u": np.minimum(u, v), "v": np.maximum(u, v)})
-        return out.drop_duplicates()
-
-    pairs = pairs.map_batches(norm, batch_format="pandas")
-    return pairs.groupby(["u", "v"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return bucket_pairs(rows, cfg.max_bucket_pairs, cfg.num_salts)
 
 
 class SuffixArrayPairs:
@@ -125,5 +108,4 @@ def suffix_array_pairs(docs: "ray.data.Dataset",
     pairs = docs.map_batches(
         SuffixArrayPairs(cfg, id_col=id_col, text_col=text_col),
         batch_format="pyarrow", batch_size=8192, num_cpus=1)
-    return pairs.groupby(["u", "v"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return distinct_rows(pairs, ["u", "v"])

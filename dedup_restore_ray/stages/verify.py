@@ -64,19 +64,19 @@ class _VerifyWithRef:
         self.threshold = threshold
         self._map = None
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         if self._map is None:
             self._map = ray.get(self.ref)
         m = self._map
         empty = np.empty(0, dtype=np.uint64)
-        jac = np.empty(len(batch), dtype=np.float64)
-        us = batch["u"].to_numpy()
-        vs = batch["v"].to_numpy()
-        for i in range(len(batch)):
+        n = batch.num_rows
+        jac = np.empty(n, dtype=np.float64)
+        us = batch.column("u").to_pylist()
+        vs = batch.column("v").to_pylist()
+        for i in range(n):
             jac[i] = jaccard_sorted(m.get(us[i], empty), m.get(vs[i], empty))
-        out = batch.copy()
-        out["jaccard"] = jac
-        return out[out["jaccard"] >= self.threshold]
+        out = batch.append_column("jaccard", pa.array(jac))
+        return out.filter(pa.array(jac >= self.threshold))
 
 
 def verify_pairs(pairs: "ray.data.Dataset", signatures: "ray.data.Dataset",
@@ -88,7 +88,8 @@ def verify_pairs(pairs: "ray.data.Dataset", signatures: "ray.data.Dataset",
         shingle_map = _member_shingle_map(pairs, signatures)
         ref = ray.put(shingle_map)
         return pairs.map_batches(
-            _VerifyWithRef(ref, cfg.jaccard_threshold), batch_format="pandas")
+            _VerifyWithRef(ref, cfg.jaccard_threshold),
+            batch_format="pyarrow")
     if strategy == "join":
         sigs = signatures.select_columns(["doc_id", "shingles"])
         left = pairs.join(
