@@ -34,44 +34,55 @@ def minhash_signatures(
     offsets: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
-    perm_chunk: int = 32,
+    perm_chunk: int = 16,
+    seg_shingles: int = 16384,
 ) -> np.ndarray:
     """[n_docs, num_perm] uint64 signature matrix from CSR shingles.
 
     Docs with zero shingles get EMPTY_SIG in every slot (they are never
     considered near-duplicates of anything by LSH; exact dedup handles
     empty docs via the content hash path).
+
+    Cache-blocked: work proceeds over doc-aligned segments of ~
+    ``seg_shingles`` shingles x ``perm_chunk`` permutations so the
+    [S, P] temporary stays ~2 MiB (LLC-resident).  Large temporaries
+    make the kernel memory-bandwidth-bound and destroy multi-worker
+    scaling on shared hosts.
     """
     n_docs = len(offsets) - 1
     num_perm = len(a)
     sig = np.full((n_docs, num_perm), EMPTY_SIG, dtype=U64)
     if len(flat) == 0:
         return sig
-    starts = offsets[:-1]
     lengths = np.diff(offsets)
     nonempty = lengths > 0
-    # reduceat segments must be non-empty; compact to non-empty docs.
-    ne_starts_in_compact = None
-    if not nonempty.all():
-        keep_rows = np.repeat(nonempty, lengths)
-        # flat already contains only rows of non-empty docs by construction,
-        # but offsets of empty docs repeat — build compacted offsets:
-        ne_lengths = lengths[nonempty]
-        ne_starts_in_compact = np.concatenate(([0], np.cumsum(ne_lengths)[:-1]))
-        flat_c = flat
-        del keep_rows
-    else:
-        ne_lengths = lengths
-        ne_starts_in_compact = starts
-        flat_c = flat
-    x = flat_c
-    out_rows = np.flatnonzero(nonempty)
-    for p0 in range(0, num_perm, perm_chunk):
-        p1 = min(p0 + perm_chunk, num_perm)
-        with np.errstate(over="ignore"):
-            y = x[:, None] * a[None, p0:p1] + b[None, p0:p1]  # [S, pc]
-        mins = np.minimum.reduceat(y, ne_starts_in_compact, axis=0)  # [n_ne, pc]
-        sig[out_rows, p0:p1] = mins
+    ne_rows = np.flatnonzero(nonempty)
+    if len(ne_rows) == 0:
+        return sig
+    ne_lengths = lengths[ne_rows]
+    ne_starts = np.concatenate(([0], np.cumsum(ne_lengths)[:-1]))
+    # doc-aligned segment boundaries (in compacted doc index space)
+    seg_doc_bounds = [0]
+    acc = 0
+    for i, l in enumerate(ne_lengths):
+        acc += int(l)
+        if acc >= seg_shingles:
+            seg_doc_bounds.append(i + 1)
+            acc = 0
+    if seg_doc_bounds[-1] != len(ne_rows):
+        seg_doc_bounds.append(len(ne_rows))
+    with np.errstate(over="ignore"):
+        for d0, d1 in zip(seg_doc_bounds[:-1], seg_doc_bounds[1:]):
+            s0 = int(ne_starts[d0])
+            s1 = int(ne_starts[d1 - 1] + ne_lengths[d1 - 1])
+            x = flat[s0:s1]
+            local_starts = (ne_starts[d0:d1] - s0).astype(np.int64)
+            rows = ne_rows[d0:d1]
+            for p0 in range(0, num_perm, perm_chunk):
+                p1 = min(p0 + perm_chunk, num_perm)
+                y = x[:, None] * a[None, p0:p1] + b[None, p0:p1]
+                mins = np.minimum.reduceat(y, local_starts, axis=0)
+                sig[rows, p0:p1] = mins
     return sig
 
 

@@ -17,25 +17,48 @@ from dedup_restore_ray.functions.hashing import U64, mix64
 _BITS = np.arange(64, dtype=np.uint64)
 
 
-def simhash_signatures(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """[n_docs] uint64 SimHash values.  Empty docs -> 0."""
+def simhash_signatures(flat: np.ndarray, offsets: np.ndarray,
+                       seg_shingles: int = 16384) -> np.ndarray:
+    """[n_docs] uint64 SimHash values.  Empty docs -> 0.
+
+    Cache-blocked like minhash_signatures: the [S, 64] uint8 bit matrix
+    is built per doc-aligned segment (~1 MiB) via np.unpackbits, and
+    per-doc vote sums come from one add.reduceat.  (unpackbits emits
+    MSB-first within each byte — a fixed permutation of bit positions,
+    which preserves Hamming distances and determinism.)"""
     n_docs = len(offsets) - 1
     out = np.zeros(n_docs, dtype=U64)
     if len(flat) == 0:
         return out
     lengths = np.diff(offsets)
-    nonempty = lengths > 0
-    ne_lengths = lengths[nonempty]
+    ne_rows = np.flatnonzero(lengths > 0)
+    if len(ne_rows) == 0:
+        return out
+    ne_lengths = lengths[ne_rows]
     ne_starts = np.concatenate(([0], np.cumsum(ne_lengths)[:-1]))
     # remix so simhash bits are independent of the minhash input bits
     x = mix64(flat)
-    bits = ((x[:, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int32)  # [S,64]
-    sums = np.add.reduceat(bits, ne_starts, axis=0)          # [n_ne, 64] ones-count
-    totals = ne_lengths[:, None]
-    # bit set where ones outnumber zeros (sum*2 > total)
-    set_bits = (sums * 2 > totals)
-    vals = (set_bits.astype(np.uint64) << _BITS[None, :]).sum(axis=1, dtype=np.uint64)
-    out[np.flatnonzero(nonempty)] = vals
+    seg_doc_bounds = [0]
+    acc = 0
+    for i, l in enumerate(ne_lengths):
+        acc += int(l)
+        if acc >= seg_shingles:
+            seg_doc_bounds.append(i + 1)
+            acc = 0
+    if seg_doc_bounds[-1] != len(ne_rows):
+        seg_doc_bounds.append(len(ne_rows))
+    for d0, d1 in zip(seg_doc_bounds[:-1], seg_doc_bounds[1:]):
+        s0 = int(ne_starts[d0])
+        s1 = int(ne_starts[d1 - 1] + ne_lengths[d1 - 1])
+        seg = x[s0:s1]
+        bits = np.unpackbits(seg.view(np.uint8).reshape(-1, 8), axis=1)  # [S,64] u8
+        local_starts = (ne_starts[d0:d1] - s0).astype(np.int64)
+        sums = np.add.reduceat(bits, local_starts, axis=0, dtype=np.int64)
+        totals = ne_lengths[d0:d1, None]
+        set_bits = (sums * 2 > totals)
+        vals = (set_bits.astype(np.uint64) << _BITS[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        out[ne_rows[d0:d1]] = vals
     return out
 
 

@@ -35,10 +35,8 @@ from dedup_restore_ray.stages.cluster import (attach_cluster_ids,
                                               cluster_label_propagation,
                                               cluster_union_find,
                                               edges_to_driver)
-from dedup_restore_ray.stages.exact import exact_dedup_mark, keyed_dup_edges
 from dedup_restore_ray.stages.pairs import candidate_pairs
 from dedup_restore_ray.stages.signatures import SignatureStage
-from dedup_restore_ray.stages.substring import fingerprint_pairs
 from dedup_restore_ray.stages.verify import verify_pairs
 
 _TAG_RE = re.compile(rb"<[^>]+>")
@@ -99,8 +97,18 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     the signature stage saturates the pool.  (At production scale the
     read produces many blocks naturally and this is a no-op.)
     """
+    import time as _time
     cfg = cfg or PipelineConfig()
     metrics: dict = {"config_hash": cfg.config_hash()}
+    stage_t: dict = {}
+    metrics["stage_sec"] = stage_t
+    _t0 = _time.time()
+
+    def _lap(name: str):
+        nonlocal _t0
+        now = _time.time()
+        stage_t[name] = round(now - _t0, 2)
+        _t0 = now
 
     if num_blocks is None:
         try:
@@ -117,50 +125,80 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     sig_kwargs = dict(batch_format="pyarrow", batch_size=cfg.batch_size)
     if cfg.signature_concurrency:
         sig_kwargs["concurrency"] = cfg.signature_concurrency
+    # stage checkpoint (SURVEY §4): the signature table feeds several
+    # consumers (exact dedup, LSH, verify) and must not recompute per
+    # consumer.  At 100 TB this boundary is a partitioned-Parquet
+    # checkpoint (state/manifest.py); in-object-store materialization
+    # is the single-job form, spilling as needed.
     signatures = docs.map_batches(
-        SignatureStage(cfg, id_col=id_col, text_col=text_col), **sig_kwargs)
+        SignatureStage(cfg, id_col=id_col, text_col=text_col),
+        **sig_kwargs).materialize()
+    _lap("signatures")
 
     # ---- exact dedup (first-wins by min doc_id) ------------------------
-    # ONE shuffle produces both the assignment table and the canonical
-    # set.  The materialize() is the stage checkpoint (SURVEY §4): the
-    # marked table feeds three consumers (assignments, LSH, verify) and
-    # must not re-execute the signature stage per consumer.  At 100 TB
-    # this boundary is a partitioned-Parquet checkpoint instead
-    # (state/manifest.py); in-object-store materialization is the
-    # single-job form, spilling as needed.
-    marked = exact_dedup_mark(signatures).materialize()
-    assignments = marked.select_columns(["doc_id", "canonical_id", "is_dup"])
+    # Sort ONLY the 28-byte (content_hash, doc_id) projection — the
+    # heavy signature payload (shingles, minhash, fingerprints) never
+    # moves.  Canonical representatives are then selected with a
+    # broadcast membership filter (packed uint64 id-hash array,
+    # zero-copy from the object store).  When the canonical set
+    # outgrows one machine (~10^9+), exact_dedup_mark provides the
+    # full-shuffle formulation instead.
+    from dedup_restore_ray.stages.groups import mark_canonical
+    assignments = mark_canonical(
+        signatures.select_columns(["content_hash", "doc_id"]),
+        "content_hash").select_columns(
+        ["doc_id", "canonical_id", "is_dup"]).materialize()
+    _lap("exact_mark")
+
+    from dedup_restore_ray.stages.verify import _id_hashes
+    canon_parts = []
+    for b in assignments.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"):
+        keep = pc.invert(b.column("is_dup").combine_chunks())
+        ids = b.filter(keep).column("doc_id").to_pylist()
+        canon_parts.append(_id_hashes(ids))
+    canon_hashes = np.sort(np.concatenate(canon_parts)) if canon_parts \
+        else np.empty(0, np.uint64)
+    canon_ref = ray.put(canon_hashes)
 
     def only_canonical(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.invert(batch.column("is_dup").combine_chunks()))
+        ch = ray.get(canon_ref)
+        ih = _id_hashes(batch.column("doc_id").to_pylist())
+        pos = np.searchsorted(ch, ih)
+        pos[pos == len(ch)] = max(len(ch) - 1, 0)
+        mask = (ch[pos] == ih) if len(ch) else np.zeros(len(ih), bool)
+        return batch.filter(pa.array(mask))
 
-    canon_sigs = marked.map_batches(only_canonical, batch_format="pyarrow")
+    canon_sigs = signatures.map_batches(only_canonical,
+                                        batch_format="pyarrow")
+    _lap("canonical_filter")
 
     # ---- candidate generation (LSH [+ simhash] ∪ substring) ------------
-    cands = candidate_pairs(canon_sigs, cfg, use_simhash=use_simhash)
-    if use_substring:
-        from dedup_restore_ray.stages.groups import distinct_rows
-        cands = distinct_rows(
-            cands.union(fingerprint_pairs(canon_sigs, cfg)), ["u", "v"])
+    # all candidate sources (LSH bands, simhash bands, substring
+    # fingerprints, norm-hash rail) ride ONE bucket-row stream -> one
+    # sort + pair + distinct chain
+    cands = candidate_pairs(canon_sigs, cfg, use_simhash=use_simhash,
+                            use_fingerprints=use_substring, use_norm=True)
     # verify consumes the pair set twice (member gather + check):
     # materialize so candidate generation doesn't re-execute
     cands = cands.materialize()
     metrics["candidate_pairs"] = cands.count()
+    _lap("candidate_pairs")
 
     # ---- verification --------------------------------------------------
     verified = verify_pairs(cands, canon_sigs, cfg,
                             strategy=verify_strategy).materialize()
     metrics["verified_pairs"] = verified.count()
+    _lap("verify")
 
     # ---- clustering ----------------------------------------------------
-    # norm-hash rail: identical normalized token streams => Jaccard 1,
-    # merged without verification (covers whitespace/case variants and
-    # the degenerate zero-shingle group LSH sentinels keep apart).
-    norm_edges = keyed_dup_edges(canon_sigs, "norm_hash")
-    near_edges = (verified.select_columns(["u", "v"])
-                  .union(norm_edges).materialize())
+    # (norm-hash pairs arrive through the bucket stream and verify at
+    # Jaccard exactly 1 — incl. the zero-shingle group, since
+    # jaccard(∅, ∅) = 1 — so no separate edge rail is needed.)
+    near_edges = verified.select_columns(["u", "v"]).materialize()
     n_edges = near_edges.count()
     metrics["cluster_edges"] = n_edges
+    _lap("edges")
     if cluster_strategy == "auto":
         cluster_strategy = ("union_find"
                             if n_edges <= cfg.broadcast_limit else "label_prop")
@@ -169,9 +207,10 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     else:
         labels = cluster_label_propagation(near_edges, cfg)
     metrics["cluster_strategy"] = cluster_strategy
+    _lap("cluster")
 
     final = attach_cluster_ids(assignments, labels)
-    return DedupResult(assignments=final, signatures=marked,
+    return DedupResult(assignments=final, signatures=signatures,
                        verified_pairs=verified, metrics=metrics)
 
 

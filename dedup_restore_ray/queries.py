@@ -413,15 +413,12 @@ def q_near_dup_pairs_docs(sf_dir: str):
     union of sources achieves full recall on this corpus (asserted in
     tests)."""
     from dedup_restore_ray.stages.pairs import candidate_pairs
-    from dedup_restore_ray.stages.substring import fingerprint_pairs
     from dedup_restore_ray.stages.verify import verify_pairs
     ds = _docs(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(SignatureStage(CFG), batch_format="pyarrow",
                           batch_size=CFG.batch_size).materialize()
-    from dedup_restore_ray.stages.groups import distinct_rows
-    cands = distinct_rows(
-        candidate_pairs(sigs, CFG, use_simhash=True).union(
-            fingerprint_pairs(sigs, CFG)), ["u", "v"])
+    cands = candidate_pairs(sigs, CFG, use_simhash=True,
+                            use_fingerprints=True, use_norm=True)
     verified = verify_pairs(cands, sigs, CFG).to_pandas()
     verified["jaccard"] = round_half_up(verified["jaccard"])
     return verified.sort_values(["u", "v"]).reset_index(drop=True)

@@ -135,12 +135,27 @@ def _batch_bucket_pairs(b: pa.Table, key_col: str, id_col: str,
         b = b.filter(pa.array(np.concatenate(([True], ~dup))))
         n = b.num_rows
     starts, ends = group_bounds(b, [key_col])
+    sizes = ends - starts
     us, vs = [], []
-    for s, e in zip(starts, ends):
-        iu, iv = group_pair_indices(int(s), int(e), max_all, num_salts)
-        if len(iu):
-            us.append(iu)
-            vs.append(iv)
+    # vectorize by size class: all groups of size s emit the same triu
+    # index pattern, broadcast over that class's start offsets — the
+    # Python loop runs once per DISTINCT size (<= max_all), not per
+    # group.
+    for s in np.unique(sizes):
+        s = int(s)
+        if s < 2:
+            continue
+        class_starts = starts[sizes == s]
+        if s <= max_all:
+            iu, iv = np.triu_indices(s, k=1)
+            us.append((class_starts[:, None] + iu[None, :]).reshape(-1))
+            vs.append((class_starts[:, None] + iv[None, :]).reshape(-1))
+        else:
+            for st in class_starts:   # hot buckets are rare
+                iu, iv = group_pair_indices(int(st), int(st) + s,
+                                            max_all, num_salts)
+                us.append(iu)
+                vs.append(iv)
     if not us:
         return empty
     docs = b.column(id_col)

@@ -37,16 +37,30 @@ from dedup_restore_ray.functions.simhash import simhash_band_keys
 
 
 class BandExpand:
-    """signatures batch -> (bucket_key:uint64, doc_id) band rows.
+    """signatures batch -> (bucket_key:uint64, doc_id) bucket rows.
 
-    Emits minhash-LSH rows (16 per doc) and, when ``use_simhash``,
-    SimHash band rows (hamming<=num_simhash_bands-1 guarantee) — the
-    union of candidate sources raises recall of the verify stage.
+    The union of candidate *sources* in one row stream (so ONE sort +
+    pair chain serves them all):
+      - minhash LSH bands (16 per doc) — near-dup candidates;
+      - SimHash bands (hamming <= t pigeonhole guarantee), when
+        ``use_simhash``;
+      - winnowed substring fingerprints, when ``use_fingerprints``
+        (the suffix-array pass's shuffle formulation);
+      - the norm-hash rail, when ``use_norm`` — docs with identical
+        normalized token streams share a bucket; their pairs verify at
+        Jaccard exactly 1 (incl. the zero-shingle group), so the rail
+        needs no separate edge stage.
+    Each source's keys are mixed with a distinct tag so keyspaces never
+    collide across sources.
     """
 
-    def __init__(self, cfg: PipelineConfig | None = None, use_simhash: bool = True):
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 use_simhash: bool = True, use_fingerprints: bool = True,
+                 use_norm: bool = True):
         self.cfg = cfg or PipelineConfig()
         self.use_simhash = use_simhash
+        self.use_fingerprints = use_fingerprints
+        self.use_norm = use_norm
         self.n_simhash_bands = self.cfg.simhash_hamming_threshold + 1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -76,6 +90,18 @@ class BandExpand:
                     np.uint64(7))
             keys.append(sbm.reshape(-1))
             ids.append(np.repeat(np.arange(n), self.n_simhash_bands))
+        if self.use_fingerprints:
+            fps = batch.column("fingerprints").combine_chunks()
+            fp_flat = np.asarray(fps.flatten(), dtype=U64)
+            counts = np.diff(np.asarray(fps.offsets))
+            keys.append(combine64(fp_flat, np.uint64(0xF1)))
+            ids.append(np.repeat(np.arange(n), counts))
+        if self.use_norm:
+            nh = batch.column("norm_hash").combine_chunks()
+            nh64 = np.frombuffer(b"".join(
+                buf[:8] for buf in nh.to_pylist()), dtype=U64)
+            keys.append(combine64(nh64, np.uint64(0xA7)))
+            ids.append(np.arange(n))
         key_arr = np.concatenate(keys)
         id_idx = np.concatenate(ids)
         doc_ids = batch.column("doc_id").take(pa.array(id_idx))
@@ -85,7 +111,9 @@ class BandExpand:
 
 def candidate_pairs(signatures: "ray.data.Dataset",
                     cfg: PipelineConfig | None = None,
-                    use_simhash: bool = True) -> "ray.data.Dataset":
+                    use_simhash: bool = True,
+                    use_fingerprints: bool = False,
+                    use_norm: bool = False) -> "ray.data.Dataset":
     """signatures -> distinct candidate (u, v) pairs, u < v.
 
     Band expansion (map_batches) feeds the sort-based vectorized bucket
@@ -95,5 +123,7 @@ def candidate_pairs(signatures: "ray.data.Dataset",
     cfg = cfg or PipelineConfig()
     from dedup_restore_ray.stages.groups import bucket_pairs
     bands = signatures.map_batches(
-        BandExpand(cfg, use_simhash=use_simhash), batch_format="pyarrow")
+        BandExpand(cfg, use_simhash=use_simhash,
+                   use_fingerprints=use_fingerprints, use_norm=use_norm),
+        batch_format="pyarrow")
     return bucket_pairs(bands, cfg.max_bucket_pairs, cfg.num_salts)
