@@ -81,36 +81,82 @@ def run_benchmarks() -> dict:
     }
 
 
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "300000"))
+SCALING_LOW = int(os.environ.get("GRAFT_SCALING_LOW", "2"))
+SCALING_HIGH = int(os.environ.get("GRAFT_SCALING_HIGH", "8"))
+
+
+def _scaling_corpus() -> str:
+    path = f"/tmp/pages_scaling_{SCALING_DOCS}"
+    if not os.path.exists(os.path.join(path, "pages.parquet")):
+        from dedup_restore_ray.sources.pages import write_pages
+        write_pages(path, n_docs=SCALING_DOCS, seed=42)
+    return os.path.join(path, "pages.parquet")
+
+
+def run_scaling_child() -> dict:
+    """One flagship run over the deterministic synthetic page corpus
+    (north_rule input shape) at RAY_GRAFT_CPUS."""
+    import ray.data as rd
+    from dedup_restore_ray.config import PipelineConfig
+    from dedup_restore_ray.pipelines.dedup import dedup_pipeline, dedup_stats
+    path = _scaling_corpus()
+    _init_ray()
+    t0 = time.time()
+    ds = rd.read_parquet(path, columns=["url", "text", "html"])
+    res = dedup_pipeline(ds, PipelineConfig(), id_col="url",
+                         text_col="text", html_col="html")
+    stats = dedup_stats(res.assignments)
+    dt = time.time() - t0
+    return {"value": round(dt, 2), "n_docs": stats["total"],
+            "docs_per_sec": round(stats["total"] / dt, 1),
+            "num_cpus": NUM_CPUS}
+
+
 def run_scaling() -> dict:
-    """Same job, two parallelism levels, fresh processes (BASELINE.md
-    two-cluster-size criterion stand-in)."""
+    """Same job at two parallelism levels in fresh processes — the
+    sandbox stand-in for the north_rule's N vs 4N cluster-size
+    criterion.  Interleaved best-of-2 per level because the shared
+    host's throughput varies ±2-3x between runs (see BASELINE.md).
+    N=2 vs 4N=8: the host delivers ~8 effective cores for this
+    memory-bound workload, so higher counts only measure contention."""
+    _scaling_corpus()  # generate once, outside the timed runs
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    lo, hi = SCALING_LOW, SCALING_HIGH
+    runs = {lo: [], hi: []}
+    for _ in range(2):                     # interleaved A/B, best-of-2
+        runs[lo].append(run(lo)["value"])
+        runs[hi].append(run(hi)["value"])
+    t_lo, t_hi = min(runs[lo]), min(runs[hi])
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "cpus_low": lo, "cpus_high": hi,
         "sec_low": t_lo, "sec_high": t_hi,
-        "docs_per_sec_low": r_lo.get("docs_per_sec"),
-        "docs_per_sec_high": r_hi.get("docs_per_sec"),
+        "runs_low": runs[lo], "runs_high": runs[hi],
+        "n_docs": SCALING_DOCS,
+        "docs_per_sec_low": round(SCALING_DOCS / t_lo, 1),
+        "docs_per_sec_high": round(SCALING_DOCS / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
-        "sf": SF_DIR,
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--scaling-child" in sys.argv:
+        result = run_scaling_child()
+        print(json.dumps(result))
+        import ray
+        ray.shutdown()
     else:
         result = run_benchmarks()
         print(json.dumps(result))

@@ -87,7 +87,7 @@ def dedup_pipeline(docs: "ray.data.Dataset",
                    html_col: str | None = None,
                    use_simhash: bool = True,
                    use_substring: bool = True,
-                   verify_strategy: str = "broadcast",
+                   verify_strategy: str = "scatter",
                    cluster_strategy: str = "auto",
                    num_blocks: int | None = None) -> DedupResult:
     """Run the flagship near-dup pipeline over a docs Dataset.
@@ -212,6 +212,49 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     final = attach_cluster_ids(assignments, labels)
     return DedupResult(assignments=final, signatures=signatures,
                        verified_pairs=verified, metrics=metrics)
+
+
+def write_assignments(result: DedupResult, out_dir: str,
+                      cfg: PipelineConfig | None = None,
+                      num_partitions: int = 16) -> dict:
+    """Resumable partitioned output: assignments hashed into
+    ``num_partitions`` directories, each written atomically with a
+    lineage manifest (config hash, row count, per-partition metrics).
+    A rerun skips partitions whose manifest is complete — the
+    'resume from last completed checkpoint' contract (north_rule;
+    reference analogue: append-only recipes, SURVEY §4)."""
+    from dedup_restore_ray.state.manifest import (completed_partitions,
+                                                  write_partition)
+    from dedup_restore_ray.stages.verify import _id_hashes
+    cfg = cfg or PipelineConfig()
+    chash = cfg.config_hash()
+    done = completed_partitions(out_dir)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ih = _id_hashes(batch.column("doc_id").to_pylist())
+        part = (ih % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    def write_group(g: pa.Table) -> pa.Table:
+        # one writer per deterministic hash partition (same membership
+        # on every rerun -> resume-skip is sound)
+        p = g.column("part")[0].as_py()
+        written = 0
+        if str(p) not in done:
+            sub = g.drop_columns(["part"])
+            write_partition(out_dir, str(p), sub, chash,
+                            metrics={"dup": int(pa.compute.sum(
+                                pa.compute.cast(sub.column("is_dup"),
+                                                pa.int64())).as_py() or 0)})
+            written = g.num_rows
+        return pa.table({"written": pa.array([written], pa.int64())})
+
+    parts = result.assignments.map_batches(add_part, batch_format="pyarrow")
+    total = sum(r["written"] for r in
+                parts.groupby("part").map_groups(
+                    write_group, batch_format="pyarrow").take_all())
+    from dedup_restore_ray.state.manifest import aggregate_metrics
+    return aggregate_metrics(out_dir) | {"written_rows": total}
 
 
 def dedup_stats(assignments: "ray.data.Dataset") -> dict:

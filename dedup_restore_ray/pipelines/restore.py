@@ -1,0 +1,139 @@
+"""Restore / reconstruction: duplicate-aware storage -> full corpus.
+
+The reference's restore engine reads a recipe (ordered chunk refs),
+groups refs by container so each container is read once, and scatters
+bytes into ordered assembly buffers (reference: src/look_ahead.c:710-840,
+R1-R3 in SURVEY §2.5).  The Ray formulation:
+
+  recipe   = assignments (doc_id -> canonical_id)      [one row per doc]
+  container= canonical text store (canonical_id -> text)
+  restore  = join recipe x store on canonical_id, reorder by doc_id
+
+The join IS the 'group by container, read once' optimization: hash
+partitioning brings every reference to a canonical together with its
+single stored copy, so each stored row is fetched once per partition —
+the exact analogue of the look-ahead window's container grouping.
+
+Strategies:
+  - broadcast: canonical store shipped once via ray.put (small store);
+  - sort: the sort-scatter machinery of stages/groups.py (store rows
+    and reference rows co-sorted on canonical_id) — fully distributed.
+
+Invariant (the reference's restored-bytes check,
+src/look_ahead.c:204-215): restored text is byte-identical to the
+original for every doc (verified in tests via content hashes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from dedup_restore_ray.stages.groups import group_bounds, sorted_split
+
+
+def canonical_store(docs: "ray.data.Dataset", assignments: "ray.data.Dataset",
+                    id_col: str = "doc_id", text_col: str = "text"
+                    ) -> "ray.data.Dataset":
+    """The deduplicated store: text of canonical docs only (the
+    'containers' — unique content, stored once)."""
+    canon_ids = set()
+    for b in assignments.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"):
+        import pyarrow.compute as pc
+        keep = pc.invert(b.column("is_dup").combine_chunks())
+        canon_ids.update(b.filter(keep).column("doc_id").to_pylist())
+    ref = ray.put(canon_ids)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        mask = pa.array([d in cs for d in batch.column(id_col).to_pylist()])
+        out = batch.filter(mask).select([id_col, text_col])
+        return out.rename_columns(["canonical_id", "stored_text"])
+
+    return docs.map_batches(filt, batch_format="pyarrow")
+
+
+def restore_corpus(assignments: "ray.data.Dataset",
+                   store: "ray.data.Dataset",
+                   strategy: str = "sort") -> "ray.data.Dataset":
+    """(doc_id, canonical_id) x (canonical_id, stored_text) ->
+    (doc_id, restored_text)."""
+    if strategy == "broadcast":
+        texts = {}
+        for b in store.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            for k, t in zip(b.column("canonical_id").to_pylist(),
+                            b.column("stored_text").to_pylist()):
+                texts[k] = t
+        ref = ray.put(texts)
+
+        def gather(batch: pa.Table) -> pa.Table:
+            tmap = ray.get(ref)
+            restored = [tmap.get(c) for c in
+                        batch.column("canonical_id").to_pylist()]
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "restored_text": pa.array(restored, pa.string())})
+
+        return assignments.map_batches(gather, batch_format="pyarrow")
+
+    if strategy == "sort":
+        # sort-scatter: store rows (slot -1) lead each canonical group,
+        # reference rows follow; one vectorized take replicates text.
+        def store_rows(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "canonical_id": b.column("canonical_id"),
+                "slot": pa.array(np.full(n, -1, np.int8)),
+                "doc_id": b.column("canonical_id"),
+                "text": b.column("stored_text"),
+            })
+
+        def ref_rows(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "canonical_id": b.column("canonical_id"),
+                "slot": pa.array(np.zeros(n, np.int8)),
+                "doc_id": b.column("doc_id"),
+                "text": pa.array([None] * n, pa.string()),
+            })
+
+        rows = (store.map_batches(store_rows, batch_format="pyarrow")
+                .union(assignments.select_columns(["doc_id", "canonical_id"])
+                       .map_batches(ref_rows, batch_format="pyarrow")))
+
+        def scatter(b: pa.Table) -> pa.Table:
+            out_schema = pa.schema([
+                ("doc_id", b.schema.field("doc_id").type),
+                ("restored_text", pa.string())])
+            n = b.num_rows
+            if n == 0:
+                return out_schema.empty_table()
+            starts, ends = group_bounds(b, ["canonical_id"])
+            sizes = ends - starts
+            slot = np.asarray(b.column("slot"))
+            has_store = slot[starts] == -1
+            store_idx = np.repeat(starts, sizes)
+            ref_mask = (slot >= 0) & np.repeat(has_store, sizes)
+            rr = np.flatnonzero(ref_mask)
+            if len(rr) == 0:
+                return out_schema.empty_table()
+            return pa.table({
+                "doc_id": b.column("doc_id").take(pa.array(rr)),
+                "restored_text": b.column("text").take(
+                    pa.array(store_idx[rr])),
+            })
+
+        interior, edge = sorted_split(rows, ["canonical_id", "slot"],
+                                      ["canonical_id"])
+        return (interior.map_batches(scatter, batch_format="pyarrow",
+                                     batch_size=None)
+                .union(edge.groupby("canonical_id").map_groups(
+                    lambda g: scatter(g.sort_by(
+                        [("canonical_id", "ascending"),
+                         ("slot", "ascending")])),
+                    batch_format="pyarrow")))
+
+    raise ValueError(f"unknown strategy {strategy!r}")

@@ -448,6 +448,109 @@ def q_substring_pairs_docs(sf_dir: str):
     return suffix_array_pairs(docs, CFG)
 
 
+# ----------------------------------------------------------------------
+# Restore / trace-shaped dedup / sessionization / multimodal
+# ----------------------------------------------------------------------
+
+def q_restore_docs(sf_dir: str):
+    """Dedup->restore roundtrip (reference R1-R3: grouped gather).
+    Every doc is reconstructed from its canonical's stored text; the
+    oracle checks byte-identity via md5 of the restored text."""
+    from dedup_restore_ray.pipelines.restore import canonical_store, restore_corpus
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    marked = q_exact_dedup_docs(sf_dir).materialize()
+    store = canonical_store(docs, marked)
+    restored = restore_corpus(marked.select_columns(["doc_id", "canonical_id"]),
+                              store, strategy="sort")
+
+    def digest(batch: pa.Table) -> pa.Table:
+        import hashlib
+        h = [hashlib.md5((t or "").encode()).hexdigest()
+             for t in batch.column("restored_text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "restored_md5": pa.array(h, pa.string())})
+
+    return restored.map_batches(digest, batch_format="pyarrow")
+
+
+def q_trace_dedup(sf_dir: str):
+    """Trace-shaped exact dedup (FIXTURES.md F2): lineitem rows as
+    ordered chunk refs (file=l_orderkey, seq=l_linenumber), fingerprint
+    = l_partkey.  First occurrence (min (file, seq)) wins — the
+    reference's recipe semantics (src/metadata.c:91-95,
+    src/dedup.c:135-173)."""
+    from dedup_restore_ray.stages.groups import mark_canonical
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ref = (pc.multiply(pc.cast(batch.column("l_orderkey"), pa.int64()),
+                           pa.scalar(1_000_000, pa.int64())))
+        ref = pc.add(ref, pc.cast(batch.column("l_linenumber"), pa.int64()))
+        return pa.table({"fingerprint": batch.column("l_partkey"),
+                         "chunk_ref": ref})
+
+    marked = mark_canonical(li.map_batches(prep, batch_format="pyarrow"),
+                            "fingerprint", id_col="chunk_ref")
+    return marked.select_columns(
+        ["chunk_ref", "fingerprint", "canonical_id", "is_dup"]).rename_columns(
+        {"canonical_id": "canonical_ref"})
+
+
+def q_trace_dedup_stats(sf_dir: str):
+    """Counter report over the trace-shaped dedup: dup/unique/stored
+    bytes at the reference's fixed 4096-byte chunk size
+    (src/trace_work.c:83)."""
+    out = q_trace_dedup(sf_dir).to_pandas()
+    dup = int(out["is_dup"].sum())
+    total = len(out)
+    return pd.DataFrame({
+        "total": [total], "dup": [dup], "uniq": [total - dup],
+        "logical_bytes": [total * 4096], "stored_bytes": [(total - dup) * 4096],
+    })
+
+
+def q_sessionize_events(sf_dir: str):
+    """Sessionization: per-user event stream split at >30-min gaps
+    (streaming-shaped workload as sorted map_groups; ordering
+    assumption: events sorted by ts within each user group)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(0)
+        n_sessions = int((gaps > 1800).sum()) + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_events": [len(g)],
+                             "n_sessions": [n_sessions]})
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing (rows-only): deterministic fake payloads ->
+    actor-pool decode stub -> fixed-dim feature vectors."""
+    from dedup_restore_ray.stages.multimodal import DecodeMedia, synth_media_table
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    media = docs.map_batches(
+        lambda b: synth_media_table(b), batch_format="pyarrow")
+    feats = media.map_batches(DecodeMedia(fake=True), batch_format="pyarrow",
+                              batch_size=64)
+    out = feats.select_columns(["doc_id", "payload_bytes"])
+    return out
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing (rows-only): every-10th-frame refs
+    from fake durations."""
+    from dedup_restore_ray.stages.multimodal import FrameSample, synth_media_table
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    media = docs.map_batches(lambda b: synth_media_table(b),
+                             batch_format="pyarrow")
+    return media.map_batches(FrameSample(every_k=10), batch_format="pyarrow")
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_stats_docs": q_dedup_stats_docs,
@@ -470,6 +573,12 @@ QUERIES = {
     "near_dup_pairs_docs": q_near_dup_pairs_docs,
     "dedup_clusters_docs": q_dedup_clusters_docs,
     "substring_pairs_docs": q_substring_pairs_docs,
+    "restore_docs": q_restore_docs,
+    "trace_dedup": q_trace_dedup,
+    "trace_dedup_stats": q_trace_dedup_stats,
+    "sessionize_events": q_sessionize_events,
+    "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
 }
 
 
@@ -591,6 +700,40 @@ ORACLE_SQL = {
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(a.embedding::DOUBLE[],
                                      b.embedding::DOUBLE[]) >= 0.3
+    """,
+    "restore_docs": """
+        SELECT doc_id, md5(text) AS restored_md5 FROM documents
+    """,
+    "trace_dedup": """
+        WITH t AS (
+          SELECT l_orderkey * 1000000 + l_linenumber AS chunk_ref,
+                 l_partkey AS fingerprint
+          FROM lineitem)
+        SELECT chunk_ref, fingerprint,
+               min(chunk_ref) OVER (PARTITION BY fingerprint) AS canonical_ref,
+               chunk_ref <> min(chunk_ref) OVER (PARTITION BY fingerprint)
+                 AS is_dup
+        FROM t
+    """,
+    "trace_dedup_stats": """
+        WITH t AS (SELECT l_partkey FROM lineitem)
+        SELECT count(*) AS total,
+               count(*) - count(DISTINCT l_partkey) AS dup,
+               count(DISTINCT l_partkey) AS uniq,
+               count(*) * 4096 AS logical_bytes,
+               count(DISTINCT l_partkey) * 4096 AS stored_bytes
+        FROM t
+    """,
+    "sessionize_events": """
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch(ts - lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts)) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+               sum(new_session) + 1 AS n_sessions
+        FROM g GROUP BY user_id
     """,
     "near_dup_pairs_docs": r"""
         WITH toks AS (

@@ -115,11 +115,166 @@ class _VerifyPacked:
         return out.filter(pa.array(jac >= self.threshold))
 
 
+def verify_pairs_scatter(pairs: "ray.data.Dataset",
+                         signatures: "ray.data.Dataset",
+                         cfg: PipelineConfig) -> "ray.data.Dataset":
+    """Fully distributed verification — no driver-side shingle gather.
+
+    Two sort-scatter phases on the stages/groups.py machinery:
+      1. sort (doc_hash, slot): each doc group leads with its signature
+         row (slot -1) followed by its pair-reference rows; a vectorized
+         take replicates the doc's shingle list onto each reference.
+      2. sort (pair_id, slot): each pair group now holds both members'
+         shingles side by side; exact Jaccard per group.
+    The only driver state is the sorted member-hash array (8 B per pair
+    member — vs. the full shingle sets for the broadcast strategy).
+    Data moved ~ shingles x (1 + pair participations) — all through
+    the object store, scaling with workers.
+    """
+    from dedup_restore_ray.stages.groups import (group_bounds, sorted_split)
+
+    # member hash set (tiny: u64 per member)
+    mh: list[np.ndarray] = []
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        mh.append(_id_hashes(b.column("u").to_pylist()))
+        mh.append(_id_hashes(b.column("v").to_pylist()))
+    members = (np.unique(np.concatenate(mh)) if mh
+               else np.empty(0, np.uint64))
+    member_ref = ray.put(members)
+
+    shingle_type = pa.list_(pa.uint64())
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        mem = ray.get(member_ref)
+        ih = _id_hashes(batch.column("doc_id").to_pylist())
+        pos = np.searchsorted(mem, ih)
+        pos[pos == len(mem)] = max(len(mem) - 1, 0)
+        mask = (mem[pos] == ih) if len(mem) else np.zeros(len(ih), bool)
+        sel = batch.filter(pa.array(mask))
+        n = sel.num_rows
+        return pa.table({
+            "doc_hash": pa.array(ih[mask], pa.uint64()),
+            "slot": pa.array(np.full(n, -1, np.int8)),
+            "pair_id": pa.array(np.zeros(n, np.uint64)),
+            "doc_id": sel.column("doc_id"),
+            "shingles": sel.column("shingles").cast(shingle_type),
+        })
+
+    id_type = None
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        uh = _id_hashes(batch.column("u").to_pylist())
+        vh = _id_hashes(batch.column("v").to_pylist())
+        from dedup_restore_ray.functions.hashing import combine64
+        pid = combine64(uh, vh)
+        n = batch.num_rows
+        doc_hash = np.concatenate([uh, vh])
+        slot = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+        pair_id = np.concatenate([pid, pid])
+        doc_id = pa.concat_arrays([
+            batch.column("u").combine_chunks(),
+            batch.column("v").combine_chunks()])
+        empty_shingles = pa.ListArray.from_arrays(
+            pa.array(np.zeros(2 * n + 1, np.int32)),
+            pa.array([], pa.uint64()))
+        return pa.table({
+            "doc_hash": pa.array(doc_hash, pa.uint64()),
+            "slot": pa.array(slot),
+            "pair_id": pa.array(pair_id, pa.uint64()),
+            "doc_id": doc_id,
+            "shingles": empty_shingles,
+        })
+
+    rows = (signatures.map_batches(sig_rows, batch_format="pyarrow")
+            .union(pairs.map_batches(pair_rows, batch_format="pyarrow")))
+
+    def scatter_block(b: pa.Table) -> pa.Table:
+        """sorted by (doc_hash, slot): replicate each doc's shingle list
+        (slot -1 leads the group) onto its reference rows."""
+        n = b.num_rows
+        out_schema = pa.schema([
+            ("pair_id", pa.uint64()), ("slot", pa.int8()),
+            ("doc_id", b.schema.field("doc_id").type),
+            ("shingles", shingle_type)])
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, ["doc_hash"])
+        sizes = ends - starts
+        slot = np.asarray(b.column("slot"))
+        # group's first row must be its signature row; groups without
+        # one (doc absent from signatures) produce nothing
+        has_sig = slot[starts] == -1
+        sig_idx = np.repeat(starts, sizes)
+        ref_mask = (slot >= 0) & np.repeat(has_sig, sizes)
+        if not ref_mask.any():
+            return out_schema.empty_table()
+        ref_rows = np.flatnonzero(ref_mask)
+        sig_of_ref = sig_idx[ref_rows]
+        sh = b.column("shingles").combine_chunks()
+        return pa.table({
+            "pair_id": b.column("pair_id").take(pa.array(ref_rows)),
+            "slot": b.column("slot").take(pa.array(ref_rows)),
+            "doc_id": b.column("doc_id").take(pa.array(ref_rows)),
+            "shingles": sh.take(pa.array(sig_of_ref)),
+        })
+
+    interior, edge = sorted_split(rows, ["doc_hash", "slot"], ["doc_hash"])
+    scat = (interior.map_batches(scatter_block, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby("doc_hash").map_groups(
+                lambda g: scatter_block(
+                    g.sort_by([("doc_hash", "ascending"),
+                               ("slot", "ascending")])),
+                batch_format="pyarrow")))
+
+    threshold = cfg.jaccard_threshold
+
+    def check_block(b: pa.Table) -> pa.Table:
+        """sorted by (pair_id, slot): groups of 2 rows -> jaccard."""
+        id_t = b.schema.field("doc_id").type
+        out_schema = pa.schema([("u", id_t), ("v", id_t),
+                                ("jaccard", pa.float64())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, ["pair_id"])
+        sizes = ends - starts
+        ok = sizes == 2
+        g0 = starts[ok]
+        if len(g0) == 0:
+            return out_schema.empty_table()
+        sh = b.column("shingles").combine_chunks()
+        offs = np.asarray(sh.offsets)
+        flat = np.asarray(sh.flatten(), dtype=np.uint64)
+        jac = np.empty(len(g0), dtype=np.float64)
+        for i, s in enumerate(g0):
+            a = flat[offs[s]:offs[s + 1]]
+            c = flat[offs[s + 1]:offs[s + 2]]
+            jac[i] = jaccard_sorted(a, c)
+        keep = jac >= threshold
+        ku = pa.array(g0[keep])
+        kv = pa.array(g0[keep] + 1)
+        return pa.table({"u": b.column("doc_id").take(ku),
+                         "v": b.column("doc_id").take(kv),
+                         "jaccard": pa.array(jac[keep])})
+
+    interior2, edge2 = sorted_split(scat, ["pair_id", "slot"], ["pair_id"])
+    return (interior2.map_batches(check_block, batch_format="pyarrow",
+                                  batch_size=None)
+            .union(edge2.groupby("pair_id").map_groups(
+                lambda g: check_block(
+                    g.sort_by([("pair_id", "ascending"),
+                               ("slot", "ascending")])),
+                batch_format="pyarrow")))
+
+
 def verify_pairs(pairs: "ray.data.Dataset", signatures: "ray.data.Dataset",
                  cfg: PipelineConfig | None = None,
                  strategy: str = "broadcast") -> "ray.data.Dataset":
     """candidate (u,v) -> verified (u, v, jaccard >= threshold)."""
     cfg = cfg or PipelineConfig()
+    if strategy == "scatter":
+        return verify_pairs_scatter(pairs, signatures, cfg)
     if strategy == "broadcast":
         pack = _member_shingle_pack(pairs, signatures)
         ref = ray.put(pack)
