@@ -81,9 +81,9 @@ def run_benchmarks() -> dict:
     }
 
 
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "300000"))
-SCALING_LOW = int(os.environ.get("GRAFT_SCALING_LOW", "2"))
-SCALING_HIGH = int(os.environ.get("GRAFT_SCALING_HIGH", "8"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "500000"))
+SCALING_LOW = int(os.environ.get("GRAFT_SCALING_LOW", "1"))
+SCALING_HIGH = int(os.environ.get("GRAFT_SCALING_HIGH", "4"))
 
 
 def _scaling_corpus() -> str:
@@ -118,8 +118,11 @@ def run_scaling() -> dict:
     sandbox stand-in for the north_rule's N vs 4N cluster-size
     criterion.  Interleaved best-of-2 per level because the shared
     host's throughput varies ±2-3x between runs (see BASELINE.md).
-    N=2 vs 4N=8: the host delivers ~8 effective cores for this
-    memory-bound workload, so higher counts only measure contention."""
+    N=1 vs 4N=4: the shared host delivers only ~4-8 effective cores
+    for memory-traffic-heavy work (measured: 32 procs of elementwise
+    numpy reach ~7x one proc), so comparing 8-vs-32 Ray CPUs measures
+    host contention, not the engine; 1-vs-4 stays inside the
+    hardware's real parallel capacity."""
     _scaling_corpus()  # generate once, outside the timed runs
 
     def run(ncpu: int) -> dict:

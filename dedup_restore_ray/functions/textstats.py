@@ -84,7 +84,7 @@ def quality_features(texts) -> dict[str, np.ndarray]:
         + np.clip(stop * 4.0, 0, 1) * 0.2
         + np.clip(1.0 - punct * 4.0, 0, 1) * 0.15
         + np.clip(1.0 - upper * 4.0, 0, 1) * 0.1
-    )
+    ) * (n_tokens > 0)            # token-less docs score 0
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,

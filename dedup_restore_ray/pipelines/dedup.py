@@ -87,7 +87,7 @@ def dedup_pipeline(docs: "ray.data.Dataset",
                    html_col: str | None = None,
                    use_simhash: bool = True,
                    use_substring: bool = True,
-                   verify_strategy: str = "scatter",
+                   verify_strategy: str = "broadcast",
                    cluster_strategy: str = "auto",
                    num_blocks: int | None = None) -> DedupResult:
     """Run the flagship near-dup pipeline over a docs Dataset.
@@ -131,7 +131,11 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     # checkpoint (state/manifest.py); in-object-store materialization
     # is the single-job form, spilling as needed.
     signatures = docs.map_batches(
-        SignatureStage(cfg, id_col=id_col, text_col=text_col),
+        SignatureStage(cfg, id_col=id_col, text_col=text_col,
+                       emit_minhash=False, emit_bucket_keys=True,
+                       bucket_simhash=use_simhash,
+                       bucket_fingerprints=use_substring,
+                       bucket_norm=True),
         **sig_kwargs).materialize()
     _lap("signatures")
 
@@ -179,15 +183,36 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     # sort + pair + distinct chain
     cands = candidate_pairs(canon_sigs, cfg, use_simhash=use_simhash,
                             use_fingerprints=use_substring, use_norm=True)
-    # verify consumes the pair set twice (member gather + check):
-    # materialize so candidate generation doesn't re-execute
+
+    # For the broadcast verify, the shingle pack over all canonicals is
+    # independent of the pair set — build it in a driver thread WHILE
+    # the candidate sort executes, hiding the gather behind the shuffle.
+    pack_ref_box: dict = {}
+    pack_thread = None
+    if verify_strategy == "broadcast":
+        import threading
+        from dedup_restore_ray.stages.verify import build_shingle_pack
+
+        def _build():
+            pack_ref_box["ref"] = ray.put(build_shingle_pack(
+                canon_sigs.select_columns(["doc_id", "shingles"])))
+
+        pack_thread = threading.Thread(target=_build, daemon=True)
+        pack_thread.start()
+
     cands = cands.materialize()
     metrics["candidate_pairs"] = cands.count()
     _lap("candidate_pairs")
 
     # ---- verification --------------------------------------------------
-    verified = verify_pairs(cands, canon_sigs, cfg,
-                            strategy=verify_strategy).materialize()
+    if pack_thread is not None:
+        pack_thread.join()
+        from dedup_restore_ray.stages.verify import verify_pairs_with_pack
+        verified = verify_pairs_with_pack(
+            cands, pack_ref_box["ref"], cfg).materialize()
+    else:
+        verified = verify_pairs(cands, canon_sigs, cfg,
+                                strategy=verify_strategy).materialize()
     metrics["verified_pairs"] = verified.count()
     _lap("verify")
 

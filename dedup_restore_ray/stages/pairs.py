@@ -69,6 +69,16 @@ class BandExpand:
         if n == 0:
             return pa.table({"bucket_key": pa.array([], pa.uint64()),
                              "doc_id": batch.column("doc_id")})
+        if "bucket_keys" in batch.schema.names:
+            # keys precomputed by SignatureStage(emit_bucket_keys=True)
+            bk = batch.column("bucket_keys").combine_chunks()
+            counts = np.diff(np.asarray(bk.offsets))
+            idx = np.repeat(np.arange(n), counts)
+            return pa.table({
+                "bucket_key": pa.array(np.asarray(bk.flatten(),
+                                                  dtype=U64), pa.uint64()),
+                "doc_id": batch.column("doc_id").take(pa.array(idx)),
+            })
         mh = np.asarray(batch.column("minhash").combine_chunks().flatten(),
                         dtype=U64).reshape(n, cfg.num_perm)
         bk = band_keys(mh, cfg.num_bands, cfg.rows_per_band)  # [n, B]

@@ -41,11 +41,21 @@ class SignatureStage:
 
     def __init__(self, cfg: PipelineConfig | None = None,
                  id_col: str = "doc_id", text_col: str = "text",
-                 keep_cols: tuple = ()):
+                 keep_cols: tuple = (),
+                 emit_minhash: bool = True,
+                 emit_bucket_keys: bool = False,
+                 bucket_simhash: bool = True,
+                 bucket_fingerprints: bool = True,
+                 bucket_norm: bool = True):
         self.cfg = cfg or PipelineConfig()
         self.id_col = id_col
         self.text_col = text_col
         self.keep_cols = keep_cols
+        self.emit_minhash = emit_minhash
+        self.emit_bucket_keys = emit_bucket_keys
+        self.bucket_simhash = bucket_simhash
+        self.bucket_fingerprints = bucket_fingerprints
+        self.bucket_norm = bucket_norm
         self.encoder = ShingleEncoder(k=self.cfg.shingle_k, seed=self.cfg.minhash_seed)
         self.perm_a, self.perm_b = make_permutations(
             self.cfg.num_perm, self.cfg.minhash_seed)
@@ -82,10 +92,28 @@ class SignatureStage:
             "n_tokens": pa.array(ntok, pa.int64()),
             "n_shingles": pa.array(nshingles, pa.int64()),
             "shingles": shingle_list,
-            "minhash": minhash_list,
             "simhash": pa.array(sh, pa.uint64()),
-            "fingerprints": fp_list,
         }
+        if self.emit_minhash:
+            cols["minhash"] = minhash_list
+        if self.bucket_fingerprints or not self.emit_bucket_keys:
+            cols["fingerprints"] = fp_list
+        if self.emit_bucket_keys:
+            # fold every candidate-source key into one compact list so
+            # the heavyweight minhash matrix need not be materialized
+            from dedup_restore_ray.functions.lsh import compute_bucket_keys
+            norm64 = np.frombuffer(
+                b"".join(h[:8] for h in nhashes), dtype=np.uint64)
+            kflat, koffs = compute_bucket_keys(
+                cfg, sig,
+                sh if self.bucket_simhash else None,
+                fp_flat if self.bucket_fingerprints else None,
+                np.diff(fp_offsets).astype(np.int64)
+                if self.bucket_fingerprints else None,
+                norm64 if self.bucket_norm else None)
+            cols["bucket_keys"] = pa.ListArray.from_arrays(
+                pa.array(koffs.astype(np.int32), pa.int32()),
+                pa.array(kflat, pa.uint64()))
         for c in self.keep_cols:
             cols[c] = batch.column(c)
         return pa.table(cols)

@@ -268,6 +268,43 @@ def verify_pairs_scatter(pairs: "ray.data.Dataset",
                 batch_format="pyarrow")))
 
 
+def build_shingle_pack(signatures: "ray.data.Dataset"):
+    """Pack EVERY doc of ``signatures`` (sorted id-hashes, CSR offsets,
+    flat shingles) — no member restriction, so it can be built
+    concurrently with candidate generation (pipelines/dedup.py runs it
+    in a driver thread while the pair sort executes)."""
+    ids_parts, shingle_parts, count_parts = [], [], []
+    for b in signatures.iter_batches(batch_size=8192,
+                                     batch_format="pyarrow"):
+        ids_parts.append(_id_hashes(b.column("doc_id").to_pylist()))
+        sh = b.column("shingles").combine_chunks()
+        shingle_parts.append(np.asarray(sh.flatten(), dtype=np.uint64))
+        count_parts.append(np.diff(np.asarray(sh.offsets)))
+    if not ids_parts:
+        return (np.empty(0, np.uint64), np.zeros(1, np.int64),
+                np.empty(0, np.uint64))
+    ids = np.concatenate(ids_parts)
+    counts = np.concatenate(count_parts).astype(np.int64)
+    flat = np.concatenate(shingle_parts)
+    order = np.argsort(ids, kind="stable")
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    new_counts = counts[order]
+    offsets = np.concatenate(([0], np.cumsum(new_counts)))
+    total = int(offsets[-1])
+    elem_idx = (np.repeat(starts[order] - offsets[:-1], new_counts)
+                + np.arange(total, dtype=np.int64))
+    return ids[order], offsets, flat[elem_idx]
+
+
+def verify_pairs_with_pack(pairs: "ray.data.Dataset", pack_ref,
+                           cfg: PipelineConfig) -> "ray.data.Dataset":
+    """Verification against a prebuilt (possibly concurrently built)
+    shingle pack ref."""
+    return pairs.map_batches(
+        _VerifyPacked(pack_ref, cfg.jaccard_threshold),
+        batch_format="pyarrow")
+
+
 def verify_pairs(pairs: "ray.data.Dataset", signatures: "ray.data.Dataset",
                  cfg: PipelineConfig | None = None,
                  strategy: str = "broadcast") -> "ray.data.Dataset":

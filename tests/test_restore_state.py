@@ -1,0 +1,124 @@
+"""Restore roundtrip, resumable output manifests, multimodal plumbing."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dedup_restore_ray.config import PipelineConfig
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRestore:
+    def test_roundtrip_byte_identity(self, tmp_path):
+        """The reference's restored-bytes invariant
+        (src/look_ahead.c:204-215): every doc reconstructs to its exact
+        original text from the deduplicated store."""
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.restore import (canonical_store,
+                                                         restore_corpus)
+        from dedup_restore_ray.stages.exact import exact_dedup
+        from dedup_restore_ray.functions.hashing import content_hashes
+
+        texts = ["alpha beta gamma", "alpha beta gamma", "delta", "",
+                 "epsilon zeta", "delta"]
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+        def add_hash(b):
+            h = content_hashes(b.column("text").to_pylist())
+            return b.append_column("content_hash", pa.array(h, pa.binary(20)))
+
+        hashed = docs.map_batches(add_hash, batch_format="pyarrow")
+        marked = exact_dedup(hashed).materialize()
+        store = canonical_store(docs, marked)
+        # store holds only canonical rows
+        assert store.count() == len(set(texts))
+        for strategy in ("broadcast", "sort"):
+            restored = restore_corpus(
+                marked.select_columns(["doc_id", "canonical_id"]), store,
+                strategy=strategy).to_pandas()
+            assert len(restored) == len(texts)
+            got = dict(zip(restored.doc_id, restored.restored_text))
+            for i, t in enumerate(texts):
+                assert got[i] == t, (strategy, i)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResumableOutput:
+    def test_manifests_and_resume_skip(self, tmp_path):
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.dedup import (dedup_pipeline,
+                                                       write_assignments)
+        from dedup_restore_ray.state.manifest import (aggregate_metrics,
+                                                      completed_partitions,
+                                                      read_manifests)
+        docs = rd.from_items([
+            {"doc_id": i, "text": f"doc number {i % 7} body text here"}
+            for i in range(40)])
+        res = dedup_pipeline(docs, PipelineConfig())
+        out_dir = str(tmp_path / "assignments")
+        summary = write_assignments(res, out_dir, num_partitions=4)
+        assert summary["written_rows"] == 40
+        assert completed_partitions(out_dir) == {"0", "1", "2", "3"}
+        manifests = read_manifests(out_dir)
+        assert sum(m["rows"] for m in manifests) == 40
+        cfg_hashes = {m["config_hash"] for m in manifests}
+        assert cfg_hashes == {PipelineConfig().config_hash()}
+        # resume: second write skips all completed partitions
+        res2 = dedup_pipeline(docs, PipelineConfig())
+        summary2 = write_assignments(res2, out_dir, num_partitions=4)
+        assert summary2["written_rows"] == 0
+        assert aggregate_metrics(out_dir)["rows"] == 40
+
+
+class TestMultimodal:
+    def test_decode_stub_requires_fake(self):
+        from dedup_restore_ray.stages.multimodal import DecodeMedia
+        with pytest.raises(NotImplementedError):
+            DecodeMedia(fake=False)
+
+    def test_fake_decode_deterministic(self):
+        from dedup_restore_ray.stages.multimodal import DecodeMedia
+        t = pa.table({"doc_id": [1, 2], "payload": [b"abc", None]})
+        d = DecodeMedia(fake=True, feature_dim=8)
+        out1, out2 = d(t), d(t)
+        assert out1.column("features").to_pylist() == \
+            out2.column("features").to_pylist()
+        feats = out1.column("features").to_pylist()
+        assert len(feats[0]) == 8
+        assert feats[1] == [0.0] * 8          # null payload -> zeros
+        assert out1.column("payload_bytes").to_pylist() == [3, 0]
+
+    def test_frame_sample_counts(self):
+        from dedup_restore_ray.stages.multimodal import FrameSample
+        t = pa.table({"doc_id": [1, 2], "duration_s": [1.0, 0.0]})
+        out = FrameSample(every_k=10, fps=30.0)(t)
+        # 30 frames / 10 -> 3 refs for doc 1, none for doc 2
+        assert out.column("doc_id").to_pylist() == [1, 1, 1]
+        assert out.column("frame_index").to_pylist() == [0, 10, 20]
+
+
+class TestManifestAtomicity:
+    def test_incomplete_partition_invisible(self, tmp_path):
+        from dedup_restore_ray.state.manifest import (completed_partitions,
+                                                      write_partition)
+        root = str(tmp_path / "out")
+        t = pa.table({"a": [1, 2]})
+        write_partition(root, "0", t, "cfg")
+        # a tmp dir without manifest must not count as complete
+        os.makedirs(os.path.join(root, "part=1.tmp-zz"), exist_ok=True)
+        assert completed_partitions(root) == {"0"}
+
+    def test_idempotent_rewrite(self, tmp_path):
+        from dedup_restore_ray.state.manifest import (read_manifests,
+                                                      write_partition)
+        root = str(tmp_path / "out")
+        t = pa.table({"a": [1, 2]})
+        write_partition(root, "0", t, "cfg")
+        first = read_manifests(root)[0]["written_at"]
+        write_partition(root, "0", pa.table({"a": [9]}), "cfg")
+        assert read_manifests(root)[0]["written_at"] == first  # untouched

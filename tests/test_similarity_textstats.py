@@ -1,0 +1,80 @@
+"""Similarity-search and text-analysis kernels (pure numpy)."""
+
+import numpy as np
+import pytest
+
+from dedup_restore_ray.functions.similarity import (cosine_topk_block,
+                                                    ivf_assign, kmeans_fit,
+                                                    l2_normalize, merge_topk)
+from dedup_restore_ray.functions.textstats import (bpe_token_count,
+                                                   detect_language,
+                                                   quality_features)
+
+
+class TestCosineTopK:
+    def test_exact_vs_bruteforce(self):
+        rng = np.random.default_rng(0)
+        corpus = rng.standard_normal((200, 16))
+        queries = rng.standard_normal((3, 16))
+        qn = l2_normalize(queries)
+        ids = np.arange(200, dtype=np.int64)
+        # blockwise: two blocks merged
+        i1, s1 = cosine_topk_block(qn, corpus[:120], ids[:120], 5)
+        i2, s2 = cosine_topk_block(qn, corpus[120:], ids[120:], 5)
+        mi, ms = merge_topk([i1, i2], [s1, s2], 5)
+        # oracle
+        full = qn @ l2_normalize(corpus).T
+        for q in range(3):
+            expect = np.argsort(-full[q], kind="stable")[:5]
+            assert set(mi[q]) == set(expect)
+            assert np.allclose(sorted(ms[q], reverse=True),
+                               sorted(full[q][expect], reverse=True))
+
+    def test_merge_tiebreak_by_id(self):
+        ids = np.array([[5, 3]], dtype=np.int64)
+        scores = np.array([[0.5, 0.5]])
+        mi, _ = merge_topk([ids], [scores], 2)
+        assert mi[0].tolist() == [3, 5]
+
+
+class TestIVF:
+    def test_kmeans_deterministic(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((300, 8))
+        c1 = kmeans_fit(x, 4, seed=42)
+        c2 = kmeans_fit(x, 4, seed=42)
+        assert np.array_equal(c1, c2)
+
+    def test_assign_covers_all_lists(self):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((400, 8))
+        cent = kmeans_fit(x, 4, seed=42)
+        lists = ivf_assign(x, cent)
+        assert set(np.unique(lists)) <= {0, 1, 2, 3}
+        assert len(np.unique(lists)) >= 2
+
+
+class TestTextStats:
+    def test_langid_obvious(self):
+        assert detect_language("the cat and the dog are in the house") == "en"
+        assert detect_language("der Hund und die Katze sind in dem Haus") == "de"
+        assert detect_language("le chat et le chien dans la maison") == "fr"
+        assert detect_language("el gato y el perro en la casa") == "es"
+        assert detect_language("数据 处理 系统 管道 数据 处理") == "zh"
+        assert detect_language("") == "und"
+        assert detect_language("zzz qqq xxx") == "und"
+
+    def test_quality_monotone_in_substance(self):
+        feats = quality_features([
+            "The quick brown fox jumps over the lazy dog and keeps going "
+            "with a perfectly ordinary sentence of reasonable length.",
+            "!!! ??? ### $$$ %%%",
+            "",
+        ])
+        assert feats["quality_score"][0] > feats["quality_score"][1]
+        assert feats["quality_score"][2] == 0.0
+        assert feats["n_tokens"][2] == 0
+
+    def test_bpe_count_positive(self):
+        assert bpe_token_count("Hello, world! It's fine.") >= 6
+        assert bpe_token_count("") == 0
