@@ -551,6 +551,54 @@ def q_frame_sample(sf_dir: str):
     return media.map_batches(FrameSample(every_k=10), batch_format="pyarrow")
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (reference M1 src/chunk.c) over doc
+    text bytes: per-doc chunk count and byte totals (rows-only: the
+    rolling-hash cut points are not SQL-expressible)."""
+    from dedup_restore_ray.functions.cdc import chunk_boundaries
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n_chunks, total = [], []
+        for t in batch.column("text").to_pylist():
+            data = (t or "").encode()
+            b = chunk_boundaries(data, min_chunk=64, max_chunk=1024,
+                                 mask=0x3F)
+            n_chunks.append(len(b))
+            total.append(len(data))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_chunks": pa.array(n_chunks, pa.int64()),
+                         "n_bytes": pa.array(total, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_point_lookup(sf_dir: str):
+    """Direct random read on the store (reference R15
+    src/direct_rw.c:152-307): predicate-pushdown read of a key range +
+    column pruning — only matching row groups leave storage."""
+    import pyarrow.dataset as pads
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        filter=(pads.field("o_orderkey") >= 100) & (pads.field("o_orderkey") < 200))
+    out = ds.to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out
+
+
+def q_sorted_head(sf_dir: str):
+    """Global sort + ranked head (recipe ordering, reference
+    src/metadata.c:91-95 positional order): first 100 lineitem refs in
+    (file, seq) order with explicit rank."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber"])
+    head = (li.sort(["l_orderkey", "l_linenumber"]).limit(100)).to_pandas()
+    head = head.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    head["rank"] = np.arange(1, len(head) + 1, dtype=np.int64)
+    return head
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_stats_docs": q_dedup_stats_docs,
@@ -579,6 +627,9 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
+    "cdc_chunks": q_cdc_chunks,
+    "point_lookup": q_point_lookup,
+    "sorted_head": q_sorted_head,
 }
 
 
@@ -734,6 +785,18 @@ ORACLE_SQL = {
         SELECT user_id, count(*) AS n_events,
                sum(new_session) + 1 AS n_sessions
         FROM g GROUP BY user_id
+    """,
+    "point_lookup": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200
+    """,
+    "sorted_head": """
+        SELECT l_orderkey, l_linenumber,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rank
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+        LIMIT 100
     """,
     "near_dup_pairs_docs": r"""
         WITH toks AS (
