@@ -599,6 +599,62 @@ def q_sorted_head(sf_dir: str):
     return head
 
 
+def q_semi_join_customers(sf_dir: str):
+    """Semi join (SURVEY §2.7): customers having >= 1 order, realized
+    as a broadcast key-set filter inside map_batches — no shuffle."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    keys = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b.column("o_custkey").to_pylist())
+    kref = ray.put(np.sort(np.array(list(keys), dtype=np.int64)))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ck = np.asarray(batch.column("c_custkey"))
+        pos = np.searchsorted(ks, ck)
+        pos[pos == len(ks)] = max(len(ks) - 1, 0)
+        mask = ks[pos] == ck if len(ks) else np.zeros(len(ck), bool)
+        return batch.filter(pa.array(mask))
+
+    return cust.map_batches(semi, batch_format="pyarrow")
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Anti join: customers with no order above 400k (broadcast
+    negative key-set filter; right side pre-filtered at the read)."""
+    import pyarrow.dataset as pads
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"],
+                             filter=pads.field("o_totalprice") > 400000.0)
+    keys = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b.column("o_custkey").to_pylist())
+    kref = ray.put(np.sort(np.array(list(keys), dtype=np.int64)))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ck = np.asarray(batch.column("c_custkey"))
+        pos = np.searchsorted(ks, ck)
+        pos[pos == len(ks)] = max(len(ks) - 1, 0)
+        mask = ks[pos] == ck if len(ks) else np.zeros(len(ck), bool)
+        return batch.filter(pa.array(~mask))
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def q_having_parts(sf_dir: str):
+    """Grouped aggregate + having: parts referenced by > 25 lineitems."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    agg = (li.groupby("l_partkey")
+             .aggregate(rd.aggregate.Count(alias_name="n_refs"))
+             .to_pandas())
+    return agg[agg.n_refs > 25].reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_stats_docs": q_dedup_stats_docs,
@@ -630,6 +686,9 @@ QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     "point_lookup": q_point_lookup,
     "sorted_head": q_sorted_head,
+    "semi_join_customers": q_semi_join_customers,
+    "anti_join_customers": q_anti_join_customers,
+    "having_parts": q_having_parts,
 }
 
 
@@ -797,6 +856,19 @@ ORACLE_SQL = {
         FROM lineitem
         ORDER BY l_orderkey, l_linenumber
         LIMIT 100
+    """,
+    "semi_join_customers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "anti_join_customers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 400000)
+    """,
+    "having_parts": """
+        SELECT l_partkey, count(*) AS n_refs FROM lineitem
+        GROUP BY l_partkey HAVING count(*) > 25
     """,
     "near_dup_pairs_docs": r"""
         WITH toks AS (

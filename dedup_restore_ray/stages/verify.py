@@ -319,24 +319,39 @@ def verify_pairs(pairs: "ray.data.Dataset", signatures: "ray.data.Dataset",
             _VerifyPacked(ref, cfg.jaccard_threshold),
             batch_format="pyarrow")
     if strategy == "join":
-        sigs = signatures.select_columns(["doc_id", "shingles"])
+        # Acero hash join rejects list-typed payload columns — carry the
+        # sorted shingle sets as little-endian uint64 blobs instead.
+        def to_blob(batch: pa.Table) -> pa.Table:
+            sh = batch.column("shingles").combine_chunks()
+            offs = np.asarray(sh.offsets)
+            flat = np.asarray(sh.flatten(), dtype=np.uint64)
+            blobs = [flat[offs[i]:offs[i + 1]].tobytes()
+                     for i in range(batch.num_rows)]
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "shingle_blob": pa.array(blobs, pa.binary())})
+
+        sigs = signatures.select_columns(["doc_id", "shingles"]).map_batches(
+            to_blob, batch_format="pyarrow")
         left = pairs.join(
-            sigs.rename_columns({"doc_id": "u", "shingles": "shingles_u"}),
+            sigs.rename_columns({"doc_id": "u", "shingle_blob": "blob_u"}),
             join_type="inner", num_partitions=8, on=("u",))
         both = left.join(
-            sigs.rename_columns({"doc_id": "v", "shingles": "shingles_v"}),
+            sigs.rename_columns({"doc_id": "v", "shingle_blob": "blob_v"}),
             join_type="inner", num_partitions=8, on=("v",))
 
-        def verify(batch: pd.DataFrame) -> pd.DataFrame:
-            jac = np.empty(len(batch), dtype=np.float64)
-            su = batch["shingles_u"].to_numpy()
-            sv = batch["shingles_v"].to_numpy()
-            for i in range(len(batch)):
-                jac[i] = jaccard_sorted(np.asarray(su[i], dtype=np.uint64),
-                                        np.asarray(sv[i], dtype=np.uint64))
-            out = batch[["u", "v"]].copy()
-            out["jaccard"] = jac
-            return out[out["jaccard"] >= cfg.jaccard_threshold]
+        def verify(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            jac = np.empty(n, dtype=np.float64)
+            bu = batch.column("blob_u").to_pylist()
+            bv = batch.column("blob_v").to_pylist()
+            for i in range(n):
+                jac[i] = jaccard_sorted(
+                    np.frombuffer(bu[i] or b"", dtype=np.uint64),
+                    np.frombuffer(bv[i] or b"", dtype=np.uint64))
+            out = pa.table({"u": batch.column("u"),
+                            "v": batch.column("v"),
+                            "jaccard": pa.array(jac)})
+            return out.filter(pa.array(jac >= cfg.jaccard_threshold))
 
-        return both.map_batches(verify, batch_format="pandas")
+        return both.map_batches(verify, batch_format="pyarrow")
     raise ValueError(f"unknown strategy {strategy!r}")

@@ -1,0 +1,81 @@
+"""Strategy-parity tests: every distributed formulation of an operator
+must agree with its broadcast/driver-side formulation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dedup_restore_ray.config import PipelineConfig
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVerifyStrategies:
+    @pytest.fixture(scope="class")
+    def setup(self, pages_corpus):
+        import ray.data as rd
+        from dedup_restore_ray.stages.pairs import candidate_pairs
+        from dedup_restore_ray.stages.signatures import SignatureStage
+        pages, _ = pages_corpus
+        cfg = PipelineConfig()
+        docs = rd.from_arrow(pages.select(["url", "text"])
+                             .rename_columns(["doc_id", "text"]))
+        sigs = docs.map_batches(SignatureStage(cfg),
+                                batch_format="pyarrow").materialize()
+        cands = candidate_pairs(sigs, cfg, use_simhash=True,
+                                use_fingerprints=True,
+                                use_norm=True).materialize()
+        return cfg, sigs, cands
+
+    @pytest.mark.parametrize("strategy", ["broadcast", "scatter", "join"])
+    def test_strategies_agree(self, setup, strategy):
+        from dedup_restore_ray.stages.verify import verify_pairs
+        cfg, sigs, cands = setup
+        out = (verify_pairs(cands, sigs, cfg, strategy=strategy)
+               .to_pandas().sort_values(["u", "v"]).reset_index(drop=True))
+        if not hasattr(self.__class__, "_ref"):
+            self.__class__._ref = out
+        ref = self.__class__._ref
+        assert len(out) == len(ref)
+        assert out[["u", "v"]].equals(ref[["u", "v"]])
+        assert np.allclose(out["jaccard"], ref["jaccard"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactDedupMarkShufflePath:
+    def test_matches_light_path(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.exact import exact_dedup, exact_dedup_mark
+        rows = [{"content_hash": bytes([i % 5]) * 20, "doc_id": i,
+                 "payload": [np.uint64(i)]} for i in range(37)]
+        ds = rd.from_arrow(pa.table({
+            "content_hash": pa.array([r["content_hash"] for r in rows],
+                                     pa.binary(20)),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "shingles": pa.array([[i] for i in range(37)],
+                                 pa.list_(pa.uint64())),
+        }))
+        light = exact_dedup(ds).to_pandas().sort_values("doc_id")
+        full = exact_dedup_mark(ds).to_pandas().sort_values("doc_id")
+        assert light["canonical_id"].tolist() == full["canonical_id"].tolist()
+        assert light["is_dup"].tolist() == full["is_dup"].tolist()
+        # full path preserves the payload columns losslessly
+        assert full["shingles"].map(len).eq(1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestANNRecall:
+    def test_ivf_recall_vs_bruteforce(self, sf_dir):
+        """IVF with 4 probes over 16 lists recovers most of the exact
+        top-10 (approximate op — bounded, not exact)."""
+        from dedup_restore_ray.queries import q_ann_ivf, q_similarity_topk
+        exact = q_similarity_topk(sf_dir)
+        approx = q_ann_ivf(sf_dir)
+        recalls = []
+        for qid in exact.qid.unique():
+            e = set(exact[exact.qid == qid].vec_id)
+            a = set(approx[approx.qid == qid].vec_id)
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5
+        # self-match always found
+        for qid in exact.qid.unique():
+            assert qid in set(approx[approx.qid == qid].vec_id)
