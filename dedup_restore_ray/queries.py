@@ -249,17 +249,23 @@ def q_events_hourly(sf_dir: str):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
 
-    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # combiner: per-batch pre-aggregation so the shuffle moves one
+        # row per (type, hour) per batch, not one per event (SURVEY §4)
         batch = batch.copy()
         batch["hour_epoch"] = (batch["ts"].dt.floor("h")
                                .astype("datetime64[s]").astype("int64"))
-        return batch[["event_type", "hour_epoch", "value"]]
+        g = (batch.groupby(["event_type", "hour_epoch"], as_index=False)
+             .agg(pn=("value", "size"), pv=("value", "sum")))
+        return g
 
-    out = (ev.map_batches(bucket, batch_format="pandas")
-           .groupby(["event_type", "hour_epoch"])
-           .aggregate(rd.aggregate.Count(alias_name="n_events"),
-                      rd.aggregate.Sum("value", alias_name="total_value"))
-           .to_pandas())
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    out = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour_epoch"],
+        {"n_events": ("pn", "sum"), "total_value": ("pv", "sum")},
+    ).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
     out["total_value"] = out["total_value"].round(2)
     return out
 
@@ -649,10 +655,24 @@ def q_anti_join_customers(sf_dir: str):
 def q_having_parts(sf_dir: str):
     """Grouped aggregate + having: parts referenced by > 25 lineitems."""
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
-    agg = (li.groupby("l_partkey")
-             .aggregate(rd.aggregate.Count(alias_name="n_refs"))
-             .to_pandas())
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    agg = grouped_aggregate(li, ["l_partkey"], {},
+                            count_alias="n_refs").to_pandas()
     return agg[agg.n_refs > 25].reset_index(drop=True)
+
+
+def q_embedding_dup_clusters(sf_dir: str):
+    """Embedding-cosine near-dup clustering (rows-only): cosine >= 0.3
+    pairs -> union-find -> (vec_id, cluster_id); singletons cluster
+    alone."""
+    from dedup_restore_ray.stages.cluster import (cluster_union_find,
+                                                  edges_to_driver)
+    pairs = q_embedding_cosine_pairs(sf_dir).materialize()
+    labels = cluster_union_find(edges_to_driver(
+        pairs.select_columns(["u", "v"])))
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    emb["cluster_id"] = [labels.get(v, v) for v in emb["vec_id"]]
+    return emb
 
 
 QUERIES = {
@@ -689,6 +709,7 @@ QUERIES = {
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "having_parts": q_having_parts,
+    "embedding_dup_clusters": q_embedding_dup_clusters,
 }
 
 

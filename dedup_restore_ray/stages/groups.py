@@ -220,6 +220,55 @@ def distinct_rows(ds: "ray.data.Dataset", keys: list[str]
 
 
 # ----------------------------------------------------------------------
+# Grouped aggregation (sum / count / min / max via reduceat)
+# ----------------------------------------------------------------------
+
+_AGG_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+
+def grouped_aggregate(ds: "ray.data.Dataset", keys: list[str],
+                      aggs: dict[str, tuple[str, str]],
+                      count_alias: str | None = None) -> "ray.data.Dataset":
+    """Sum/min/max aggregates per key group: one sort + per-block
+    ``ufunc.reduceat`` (replaces ``groupby().aggregate(...)`` whose
+    fixed overhead dominates on many-group workloads).
+
+    aggs: {out_col: (in_col, "sum"|"min"|"max")}; count_alias adds a
+    per-group row count.  Interior blocks hold only whole groups and
+    block-edge groups are reassembled whole by the residual pass, so
+    each key appears exactly once in the output — no second reduce.
+    """
+    interior, edge = sorted_split(ds, keys)
+
+    def block_agg(b: pa.Table) -> pa.Table:
+        fields = [(k, b.schema.field(k).type) for k in keys]
+        n = b.num_rows
+        if n == 0:
+            cols = {k: pa.array([], t) for k, t in fields}
+            for out_col, (in_col, _) in aggs.items():
+                cols[out_col] = pa.array([], b.schema.field(in_col).type)
+            if count_alias:
+                cols[count_alias] = pa.array([], pa.int64())
+            return pa.table(cols)
+        starts, ends = group_bounds(b, keys)
+        cols = {k: b.column(k).take(pa.array(starts)) for k in keys}
+        for out_col, (in_col, how) in aggs.items():
+            vals = np.asarray(b.column(in_col))
+            cols[out_col] = pa.array(_AGG_UFUNC[how].reduceat(vals, starts))
+        if count_alias:
+            cols[count_alias] = pa.array((ends - starts).astype(np.int64))
+        return pa.table(cols)
+
+    def residual_agg(g: pa.Table) -> pa.Table:
+        return block_agg(g.sort_by([(k, "ascending") for k in keys]))
+
+    return (interior.map_batches(block_agg, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(keys).map_groups(
+                residual_agg, batch_format="pyarrow")))
+
+
+# ----------------------------------------------------------------------
 # First-wins canonical marking (exact dedup)
 # ----------------------------------------------------------------------
 

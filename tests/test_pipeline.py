@@ -108,3 +108,44 @@ class TestExactDedupStage:
         assert canon[7] == 7
         assert out.set_index("doc_id")["is_dup"].to_dict() == {
             3: False, 5: True, 9: True, 7: False}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHotBucketSkew:
+    def test_salted_star_chain_preserves_clustering(self):
+        """A bucket larger than max_bucket_pairs takes the salted
+        star+chain path (north_rule skew handling) — connectivity must
+        survive the O(n) edge subset."""
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+        from dedup_restore_ray.sources.pages import generate_pages
+        cfg = PipelineConfig()
+        pages, truth = generate_pages(200, seed=42,
+                                      hot_bucket_size=cfg.max_bucket_pairs * 2)
+        res = dedup_pipeline(rd.from_arrow(pages), cfg, id_col="url",
+                             text_col="text", html_col="html")
+        out = res.assignments.to_pandas()
+        tr = truth.to_pandas()
+        m = out.merge(tr, left_on="doc_id", right_on="url")
+        hot = m[m.kind == "boilerplate"]
+        assert len(hot) == cfg.max_bucket_pairs * 2
+        assert hot["cluster_id"].nunique() == 1
+
+
+class TestGroupPairIndices:
+    def test_hot_bucket_spanning_connectivity(self):
+        from dedup_restore_ray.stages.groups import group_pair_indices
+        from dedup_restore_ray.functions.unionfind import connected_component_labels
+        n, cap, salts = 500, 64, 16
+        iu, iv = group_pair_indices(0, n, cap, salts)
+        # O(n) edges, not O(n^2)
+        assert len(iu) == n - 1
+        labels = connected_component_labels(list(zip(iu.tolist(), iv.tolist())))
+        assert set(labels.values()) == {0}
+        assert len(labels) == n
+
+    def test_small_bucket_all_pairs(self):
+        from dedup_restore_ray.stages.groups import group_pair_indices
+        iu, iv = group_pair_indices(10, 14, 64, 16)
+        assert len(iu) == 6           # C(4,2)
+        assert all(u < v for u, v in zip(iu, iv))
