@@ -108,6 +108,237 @@ def cluster_label_propagation(edges: "ray.data.Dataset",
     return labels
 
 
+def _pa_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    s = ds.schema()
+    return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+
+
+def _scatter_lookup(refs: "ray.data.Dataset", store: "ray.data.Dataset",
+                    key_col: str, payload_col: str, out_cols: list[str]
+                    ) -> "ray.data.Dataset":
+    """Distributed key->payload lookup via one sort-scatter (no
+    Dataset.join): ``store`` rows (slot -1) lead each key group after a
+    sort on (key, slot); a vectorized take replicates the payload onto
+    the reference rows.  refs must carry key_col + out_cols; output =
+    out_cols + payload_col.  Keys absent from the store drop their
+    refs."""
+    from dedup_restore_ray.stages.groups import group_bounds, sorted_split
+
+    payload_type = _pa_schema(store).field(payload_col).type
+    refs_schema = _pa_schema(refs)
+
+    def store_rows(b: pa.Table) -> pa.Table:
+        cols = {key_col: b.column(key_col),
+                "slot": pa.array(np.full(b.num_rows, -1, np.int8)),
+                payload_col: b.column(payload_col)}
+        for c in out_cols:
+            if c in b.schema.names:
+                cols[c] = b.column(c)
+            else:
+                cols[c] = pa.nulls(b.num_rows, refs_schema.field(c).type)
+        return pa.table(cols)
+
+    def ref_rows(b: pa.Table) -> pa.Table:
+        cols = {key_col: b.column(key_col),
+                "slot": pa.array(np.zeros(b.num_rows, np.int8)),
+                payload_col: pa.nulls(b.num_rows, payload_type)}
+        for c in out_cols:
+            cols[c] = b.column(c)
+        return pa.table(cols)
+
+    rows = (store.map_batches(store_rows, batch_format="pyarrow")
+            .union(refs.map_batches(ref_rows, batch_format="pyarrow")))
+
+    def scatter(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(c, b.schema.field(c).type) for c in out_cols]
+            + [(payload_col, payload_type)])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, [key_col])
+        sizes = ends - starts
+        slot = np.asarray(b.column("slot"))
+        has_store = slot[starts] == -1
+        store_idx = np.repeat(starts, sizes)
+        ref_mask = (slot >= 0) & np.repeat(has_store, sizes)
+        rr = np.flatnonzero(ref_mask)
+        if len(rr) == 0:
+            return out_schema.empty_table()
+        cols = {c: b.column(c).take(pa.array(rr)) for c in out_cols}
+        cols[payload_col] = b.column(payload_col).take(
+            pa.array(store_idx[rr]))
+        return pa.table(cols)
+
+    interior, edge = sorted_split(rows, [key_col, "slot"], [key_col])
+    return (interior.map_batches(scatter, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                lambda g: scatter(g.sort_by(
+                    [(key_col, "ascending"), ("slot", "ascending")])),
+                batch_format="pyarrow")))
+
+
+def cluster_label_propagation_distributed(edges: "ray.data.Dataset",
+                                          cfg: PipelineConfig | None = None
+                                          ) -> "ray.data.Dataset":
+    """Fully distributed min-label propagation — NO driver-side label
+    map.  Each round: one sort-scatter delivers label(v) to u (and
+    label(u) to v), one grouped min folds messages with current labels.
+    The formulation for graphs beyond ``cfg.broadcast_limit`` nodes;
+    per-round cost is ~2 sort shuffles of the (small) label/edge
+    tables, so prefer the broadcast variant when the label table fits
+    one machine.  Returns the fixpoint Dataset (node, label)."""
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
+    cfg = cfg or PipelineConfig()
+    edges = edges.select_columns(["u", "v"]).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            b.column("u").combine_chunks(),
+            b.column("v").combine_chunks()])})
+
+    nodes = distinct_rows(
+        edges.map_batches(endpoints, batch_format="pyarrow"), ["node"])
+    labels = nodes.map_batches(
+        lambda b: b.append_column("label", b.column("node")),
+        batch_format="pyarrow").materialize()
+    n_nodes = labels.count()
+
+    def both_dir(b: pa.Table) -> pa.Table:
+        # (key=v, dst=u) and (key=u, dst=v): deliver each endpoint's
+        # label to its partner
+        return pa.table({
+            "node": pa.concat_arrays([b.column("v").combine_chunks(),
+                                      b.column("u").combine_chunks()]),
+            "dst": pa.concat_arrays([b.column("u").combine_chunks(),
+                                     b.column("v").combine_chunks()]),
+        })
+
+    refs = edges.map_batches(both_dir, batch_format="pyarrow").materialize()
+
+    for _round in range(cfg.max_label_rounds):
+        msgs = _scatter_lookup(refs, labels, key_col="node",
+                               payload_col="label", out_cols=["dst"])
+        msgs = msgs.map_batches(
+            lambda b: pa.table({"node": b.column("dst"),
+                                "label": b.column("label")}),
+            batch_format="pyarrow")
+        # repartition+materialize before the aggregate sort: the union
+        # DAG accumulates tiny blocks each round, and Ray's sort
+        # planner over-estimates memory from block counts (observed:
+        # '13GB driver memory' for a 10-row dataset) and stalls
+        folded = msgs.union(labels).repartition(8).materialize()
+        new_labels = grouped_aggregate(
+            folded, ["node"], {"label": ("label", "min")}).materialize()
+        # convergence: min-label propagation is monotone, so the label
+        # multiset shrinks strictly until fixpoint — compare a cheap
+        # global reduction instead of a join
+        def lsum(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            h = np.asarray(
+                pc.cast(b.column("label"), pa.string()).to_pylist(),
+                dtype=object)
+            from dedup_restore_ray.stages.verify import _id_hashes
+            s = int(np.sum(_id_hashes(list(h))) & 0xFFFFFFFFFFFFFFFF)
+            return pa.table({"s": pa.array([s], pa.uint64())})
+
+        old_sig = sum(r["s"] for r in labels.map_batches(
+            lsum, batch_format="pyarrow").take_all()) & 0xFFFFFFFFFFFFFFFF
+        new_sig = sum(r["s"] for r in new_labels.map_batches(
+            lsum, batch_format="pyarrow").take_all()) & 0xFFFFFFFFFFFFFFFF
+        labels = new_labels
+        if old_sig == new_sig:
+            break
+    assert labels.count() == n_nodes
+    return labels
+
+
+def attach_cluster_ids_distributed(assignments: "ray.data.Dataset",
+                                   labels: "ray.data.Dataset"
+                                   ) -> "ray.data.Dataset":
+    """Beyond-broadcast cluster attachment: the label lookup is the
+    same sort-scatter; docs whose canonical is outside the duplicate
+    graph cluster alone (label = own canonical)."""
+    lab = labels.map_batches(
+        lambda b: pa.table({"canonical_id": b.column("node"),
+                            "cluster_label": b.column("label")}),
+        batch_format="pyarrow")
+    refs = assignments.select_columns(["doc_id", "canonical_id", "is_dup"])
+    hit = _scatter_lookup(refs, lab, key_col="canonical_id",
+                          payload_col="cluster_label",
+                          out_cols=["doc_id", "canonical_id", "is_dup"])
+    hit = hit.map_batches(
+        lambda b: (b.append_column("cluster_id", b.column("cluster_label"))
+                   .drop_columns(["cluster_label"])),
+        batch_format="pyarrow")
+    # misses: docs whose canonical has no label row — self-cluster.
+    # recover them distributively: all assignments minus hits by doc_id
+    # is exactly the set whose canonical is absent from labels; since
+    # labels covers every node with >= 1 edge, misses are docs whose
+    # canonical never appeared in an edge -> canonical IS the cluster.
+    labset_rows = lab.map_batches(
+        lambda b: pa.table({"canonical_id": b.column("canonical_id")}),
+        batch_format="pyarrow")
+    miss = _anti_by_key(refs, labset_rows, "canonical_id")
+    miss = miss.map_batches(
+        lambda b: b.append_column("cluster_id", b.column("canonical_id")),
+        batch_format="pyarrow")
+    return hit.union(miss)
+
+
+def _anti_by_key(refs: "ray.data.Dataset", keys: "ray.data.Dataset",
+                 key_col: str) -> "ray.data.Dataset":
+    """Distributed anti-semijoin via the same sort-scatter trick: key
+    rows (slot -1) mark present keys; ref rows in groups WITHOUT a key
+    row survive."""
+    from dedup_restore_ray.stages.groups import group_bounds, sorted_split
+
+    def key_rows(b: pa.Table) -> pa.Table:
+        cols = {key_col: b.column(key_col),
+                "slot": pa.array(np.full(b.num_rows, -1, np.int8))}
+        for f in _pa_schema(refs).names:
+            if f != key_col:
+                cols[f] = pa.nulls(b.num_rows, _pa_schema(refs).field(f).type)
+        return pa.table(cols)
+
+    def ref_rows(b: pa.Table) -> pa.Table:
+        cols = {key_col: b.column(key_col),
+                "slot": pa.array(np.zeros(b.num_rows, np.int8))}
+        for f in _pa_schema(refs).names:
+            if f != key_col:
+                cols[f] = b.column(f)
+        return pa.table(cols)
+
+    rows = (keys.map_batches(key_rows, batch_format="pyarrow")
+            .union(refs.map_batches(ref_rows, batch_format="pyarrow")))
+    out_fields = list(_pa_schema(refs).names)
+
+    def pick_missing(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(f, _pa_schema(refs).field(f).type)
+                                for f in out_fields])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, [key_col])
+        sizes = ends - starts
+        slot = np.asarray(b.column("slot"))
+        no_store = slot[starts] != -1
+        ref_mask = (slot >= 0) & np.repeat(no_store, sizes)
+        rr = np.flatnonzero(ref_mask)
+        return pa.table({f: b.column(f).take(pa.array(rr))
+                         for f in out_fields})
+
+    interior, edge = sorted_split(rows, [key_col, "slot"], [key_col])
+    return (interior.map_batches(pick_missing, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                lambda g: pick_missing(g.sort_by(
+                    [(key_col, "ascending"), ("slot", "ascending")])),
+                batch_format="pyarrow")))
+
+
 def attach_cluster_ids(assignments: "ray.data.Dataset", labels: dict,
                        exact_canonical: bool = True) -> "ray.data.Dataset":
     """exact-dedup assignments (doc_id, canonical_id, is_dup) + near-dup

@@ -64,3 +64,33 @@ class TestDistributedCluster:
         lp = cluster_label_propagation(ds)
         uf = cluster_union_find(edges)
         assert lp == uf
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedLabelPropagation:
+    def test_matches_union_find(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.cluster import (
+            cluster_label_propagation_distributed, cluster_union_find)
+        edges = [(3, 9), (9, 12), (1, 2), (2, 3), (50, 60), (60, 61),
+                 (61, 50)]
+        ds = rd.from_items([{"u": u, "v": v} for u, v in edges])
+        labels_ds = cluster_label_propagation_distributed(ds)
+        got = {r["node"]: r["label"] for r in labels_ds.take_all()}
+        assert got == cluster_union_find(edges)
+
+    def test_attach_join(self):
+        import ray.data as rd
+        import pyarrow as pa
+        from dedup_restore_ray.stages.cluster import (
+            attach_cluster_ids_distributed, cluster_label_propagation_distributed)
+        edges = rd.from_items([{"u": 2, "v": 5}])
+        labels = cluster_label_propagation_distributed(edges)
+        assigns = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 5, 7], pa.int64()),
+            "canonical_id": pa.array([1, 2, 2, 7], pa.int64()),
+            "is_dup": pa.array([False, False, True, False]),
+        }))
+        out = attach_cluster_ids_distributed(assigns, labels).to_pandas()
+        cl = dict(zip(out.doc_id, out.cluster_id))
+        assert cl == {1: 1, 2: 2, 5: 2, 7: 7}
