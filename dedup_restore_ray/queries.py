@@ -675,6 +675,70 @@ def q_embedding_dup_clusters(sf_dir: str):
     return emb
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """GPT-2-style pre-tokenizer counts (rows-only: the pattern uses a
+    lookahead RE2 cannot express)."""
+    from dedup_restore_ray.functions.textstats import bpe_token_count
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_bpe_tokens": pa.array(
+                             [bpe_token_count(t) for t in
+                              batch.column("text").to_pylist()], pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_customer_order_counts(sf_dir: str):
+    """Left outer join shape: every customer with its order count,
+    zero included (broadcast count map, no shuffle)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    counts: dict = {}
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for k in b.column("o_custkey").to_pylist():
+            counts[k] = counts.get(k, 0) + 1
+    cref = ray.put(counts)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        n = [cm.get(k, 0) for k in batch.column("c_custkey").to_pylist()]
+        return batch.append_column("n_orders", pa.array(n, pa.int64()))
+
+    return cust.map_batches(attach, batch_format="pyarrow")
+
+
+def q_extract_text_docs(sf_dir: str):
+    """HTML->text extraction plumbing (rows-only): deterministic html
+    synthesized from each doc, extracted by the actor stage; output is
+    the SHA-1 of the extracted text — the per-url byte-identity
+    invariant (BASELINE.json input_hint) as data."""
+    import hashlib
+    from dedup_restore_ray.pipelines.dedup import ExtractText
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        htmls = [(f"<html><body><main>{t}</main></body></html>").encode()
+                 for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "html": pa.array(htmls, pa.binary()),
+                         "text": pa.array([None] * batch.num_rows,
+                                          pa.string())})
+
+    ex = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        ExtractText(), batch_format="pyarrow")
+
+    def digest(batch: pa.Table) -> pa.Table:
+        h = [hashlib.sha1((t or "").encode()).hexdigest()
+             for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "extracted_sha1": pa.array(h, pa.string())})
+
+    return ex.map_batches(digest, batch_format="pyarrow")
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_stats_docs": q_dedup_stats_docs,
@@ -710,6 +774,9 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "having_parts": q_having_parts,
     "embedding_dup_clusters": q_embedding_dup_clusters,
+    "bpe_token_counts": q_bpe_token_counts,
+    "customer_order_counts": q_customer_order_counts,
+    "extract_text_docs": q_extract_text_docs,
 }
 
 
@@ -890,6 +957,12 @@ ORACLE_SQL = {
     "having_parts": """
         SELECT l_partkey, count(*) AS n_refs FROM lineitem
         GROUP BY l_partkey HAVING count(*) > 25
+    """,
+    "customer_order_counts": """
+        SELECT c_custkey, c_mktsegment,
+               (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+                 AS n_orders
+        FROM customer
     """,
     "near_dup_pairs_docs": r"""
         WITH toks AS (
