@@ -65,13 +65,76 @@ def winnowed_fingerprints(text: str, k: int, window: int) -> np.ndarray:
     return np.unique(fp)
 
 
+_BASE_INV = np.uint64(pow(int(_BASE), -1, 1 << 64))  # P odd => invertible
+_MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _global_kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """O(n) rolling polynomial hash of every k-window via modular-
+    inverse prefix sums:  h[i] = P^{i+k-1} * (S[i+k] - S[i])  with
+    S[m] = Σ_{t<m} d[t]·P^{-t}  (all mod 2^64) — identical values to
+    the k-pass shifted-add loop, in ~6 vectorized passes."""
+    n = len(data)
+    m = n - k + 1
+    with np.errstate(over="ignore"):
+        powP = np.multiply.accumulate(
+            np.full(n, _BASE, dtype=U64), dtype=U64)          # P^1..P^n
+        powPinv = np.multiply.accumulate(
+            np.full(n, _BASE_INV, dtype=U64), dtype=U64)      # P^-1..P^-n
+        # d[t] * P^-t  (P^0 for t=0)
+        term = data.astype(U64)
+        term[1:] = term[1:] * powPinv[: n - 1]
+        S = np.concatenate((np.zeros(1, U64), np.cumsum(term, dtype=U64)))
+        coeff = np.empty(m, dtype=U64)
+        coeff[0] = powP[k - 2] if k >= 2 else np.uint64(1)    # P^{k-1}
+        coeff[1:] = powP[k - 1 : n - 1]                        # P^{i+k-1}
+        return coeff * (S[k:] - S[:-k])
+
+
+def _batched_window_min(h: np.ndarray, doc_starts: np.ndarray,
+                        doc_lens: np.ndarray, w: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Sliding-window minima (values) for many docs at once via van
+    Herk block prefix/suffix minima on a doc-block-aligned padded
+    array.  Returns CSR (flat minima, offsets per doc).  Docs shorter
+    than w emit their single overall min; the fingerprint VALUE set of
+    winnowing is invariant to argmin tie rules, so value-mins suffice.
+    """
+    n_docs = len(doc_lens)
+    blocks = np.maximum((doc_lens + w - 1) // w, 1)
+    pad_starts = np.concatenate(([0], np.cumsum(blocks[:-1] * w)))
+    total = int((blocks * w).sum())
+    padded = np.full(total, _MAX_U64, dtype=U64)
+    # scatter each doc's hashes into its padded region (vectorized)
+    src_idx = np.repeat(doc_starts, doc_lens) + _ramp(doc_lens)
+    dst_idx = np.repeat(pad_starts, doc_lens) + _ramp(doc_lens)
+    padded[dst_idx] = h[src_idx]
+    a = padded.reshape(-1, w)
+    prefix = np.minimum.accumulate(a, axis=1).reshape(-1)
+    suffix = np.minimum.accumulate(a[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    # valid window starts per doc: 0 .. max(len - w, 0)
+    n_wins = np.maximum(doc_lens - w, 0) + 1
+    win_idx = np.repeat(pad_starts, n_wins) + _ramp(n_wins)
+    mins = np.minimum(suffix[win_idx], prefix[win_idx + w - 1])
+    offsets = np.concatenate(([0], np.cumsum(n_wins)))
+    return mins, offsets
+
+
+def _ramp(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for a counts vector (vectorized)."""
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(np.concatenate(([0], np.cumsum(counts[:-1]))), counts)
+    return out
+
+
 def batch_winnowed_fingerprints(texts: list[str], k: int, window: int
                                 ) -> list[np.ndarray]:
-    """Winnowed fingerprints for a whole batch with ONE global rolling
-    hash: the k shifted-add passes run over the concatenation of all
-    texts (k numpy ops total instead of k per doc); windows straddling
-    document boundaries are discarded by position masking.  Per doc only
-    the winnow step (2 numpy calls) remains."""
+    """Winnowed fingerprints for a whole batch: ONE O(n) global rolling
+    hash + ONE batched van Herk sliding-min; per doc only the final
+    unique() remains.  Values identical to winnowed_fingerprints per
+    doc (same hash formula; winnowing value sets are tie-rule
+    invariant)."""
     enc = [t.encode("utf-8", "surrogatepass") for t in texts]
     lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
     if lens.sum() == 0:
@@ -81,20 +144,20 @@ def batch_winnowed_fingerprints(texts: list[str], k: int, window: int
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     if n < k:
         return [winnowed_fingerprints(t, k, window) for t in texts]
-    m = n - k + 1
-    with np.errstate(over="ignore"):
-        acc = np.zeros(m, dtype=U64)
-        for j in range(k):
-            acc = acc * _BASE + data[j : j + m]
-    acc = mix64(acc)
-    out = []
+    acc = mix64(_global_kgram_hashes(data, k))
+    # per-doc hash spans (docs shorter than k have none)
+    hlens = np.maximum(lens - k + 1, 0)
+    hstarts = starts  # acc[p] covers data[p:p+k], so spans share starts
+    ok = hlens > 0
+    if not ok.any():
+        return [np.empty(0, dtype=U64) for _ in texts]
+    mins, offs = _batched_window_min(acc, hstarts[ok], hlens[ok], window)
+    out: list[np.ndarray] = []
+    j = 0
     for i in range(len(texts)):
-        li = int(lens[i])
-        if li < k:
+        if not ok[i]:
             out.append(np.empty(0, dtype=U64))
             continue
-        s = int(starts[i])
-        h = acc[s : s + li - k + 1]
-        _, fp = winnow(h, window)
-        out.append(np.unique(fp))
+        out.append(np.unique(mins[offs[j]:offs[j + 1]]))
+        j += 1
     return out

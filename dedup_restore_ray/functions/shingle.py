@@ -76,10 +76,14 @@ class ShingleEncoder:
         """Returns (flat: uint64 [S_total], offsets: int64 [n+1]) where
         flat[offsets[i]:offsets[i+1]] are doc i's sorted-unique shingle
         hashes."""
+        return self.encode_tokens([tokenize(t) for t in texts])
+
+    def encode_tokens(self, token_lists) -> tuple[np.ndarray, np.ndarray]:
+        """CSR shingle hashes from pre-tokenized docs (lets callers
+        tokenize once and reuse the tokens for counts/normalization)."""
         per_doc = []
-        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = tokenize(t)
+        offsets = np.zeros(len(token_lists) + 1, dtype=np.int64)
+        for i, toks in enumerate(token_lists):
             if toks:
                 wh = self.hasher.hash_words(toks)
                 sh = shingle_hashes_for_tokens(wh, self.k)

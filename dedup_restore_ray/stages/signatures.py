@@ -64,13 +64,18 @@ class SignatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         cfg = self.cfg
-        flat, offsets = self.encoder.encode(texts)
+        # tokenize ONCE per doc; counts, normalization and shingles all
+        # derive from the same token lists
+        from dedup_restore_ray.functions.shingle import tokenize
+        token_lists = [tokenize(t) for t in texts]
+        flat, offsets = self.encoder.encode_tokens(token_lists)
         sig = minhash_signatures(flat, offsets, self.perm_a, self.perm_b)
         sh = simhash_signatures(flat, offsets)
         chashes = content_hashes([t if t is not None else "" for t in texts])
-        norm = [normalize_text(t) for t in texts]
+        norm = [" ".join(toks) for toks in token_lists]
         nhashes = content_hashes(norm)
-        ntok = token_counts(texts)
+        ntok = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                           count=len(token_lists))
         nshingles = np.diff(offsets)
         fps = batch_winnowed_fingerprints(norm, cfg.winnow_kgram, self.window)
 
