@@ -115,6 +115,16 @@ def dedup_pipeline(docs: "ray.data.Dataset",
             num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
         except Exception:
             num_blocks = 16
+    # scale gate: broadcast formulations (packed id-hash filters,
+    # driver union-find, in-memory shingle pack) hold per-doc state on
+    # one machine; beyond cfg.broadcast_limit docs the pipeline
+    # auto-switches to the all-shuffle formulations (exact_dedup_mark,
+    # sort-scatter verify, distributed label propagation).
+    n_docs_in = docs.count()
+    scale_mode = n_docs_in > cfg.broadcast_limit
+    metrics["scale_mode"] = scale_mode
+    if scale_mode and verify_strategy == "broadcast":
+        verify_strategy = "scatter"
     docs = docs.repartition(num_blocks)
 
     if html_col is not None:
@@ -148,34 +158,51 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     # outgrows one machine (~10^9+), exact_dedup_mark provides the
     # full-shuffle formulation instead.
     from dedup_restore_ray.stages.groups import mark_canonical
-    assignments = mark_canonical(
-        signatures.select_columns(["content_hash", "doc_id"]),
-        "content_hash").select_columns(
-        ["doc_id", "canonical_id", "is_dup"]).materialize()
-    _lap("exact_mark")
+    if scale_mode:
+        # all-shuffle form: the full signature payload rides the
+        # content-hash sort once; canonical set = filtered marked rows
+        from dedup_restore_ray.stages.exact import exact_dedup_mark
+        marked = exact_dedup_mark(signatures).materialize()
+        assignments = marked.select_columns(
+            ["doc_id", "canonical_id", "is_dup"])
+        _lap("exact_mark")
 
-    from dedup_restore_ray.stages.verify import _id_hashes
-    canon_parts = []
-    for b in assignments.iter_batches(batch_size=65536,
-                                      batch_format="pyarrow"):
-        keep = pc.invert(b.column("is_dup").combine_chunks())
-        ids = b.filter(keep).column("doc_id").to_pylist()
-        canon_parts.append(_id_hashes(ids))
-    canon_hashes = np.sort(np.concatenate(canon_parts)) if canon_parts \
-        else np.empty(0, np.uint64)
-    canon_ref = ray.put(canon_hashes)
+        def only_canonical_marked(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(batch.column("is_dup").combine_chunks()))
 
-    def only_canonical(batch: pa.Table) -> pa.Table:
-        ch = ray.get(canon_ref)
-        ih = _id_hashes(batch.column("doc_id").to_pylist())
-        pos = np.searchsorted(ch, ih)
-        pos[pos == len(ch)] = max(len(ch) - 1, 0)
-        mask = (ch[pos] == ih) if len(ch) else np.zeros(len(ih), bool)
-        return batch.filter(pa.array(mask))
-
-    canon_sigs = signatures.map_batches(only_canonical,
+        canon_sigs = marked.map_batches(only_canonical_marked,
                                         batch_format="pyarrow")
-    _lap("canonical_filter")
+        _lap("canonical_filter")
+    else:
+        assignments = mark_canonical(
+            signatures.select_columns(["content_hash", "doc_id"]),
+            "content_hash").select_columns(
+            ["doc_id", "canonical_id", "is_dup"]).materialize()
+        _lap("exact_mark")
+
+        from dedup_restore_ray.stages.verify import _id_hashes
+        canon_parts = []
+        for b in assignments.iter_batches(batch_size=65536,
+                                          batch_format="pyarrow"):
+            keep = pc.invert(b.column("is_dup").combine_chunks())
+            ids = b.filter(keep).column("doc_id").to_pylist()
+            canon_parts.append(_id_hashes(ids))
+        canon_hashes = np.sort(np.concatenate(canon_parts)) if canon_parts \
+            else np.empty(0, np.uint64)
+        canon_ref = ray.put(canon_hashes)
+
+        def only_canonical(batch: pa.Table) -> pa.Table:
+            ch = ray.get(canon_ref)
+            ih = _id_hashes(batch.column("doc_id").to_pylist())
+            pos = np.searchsorted(ch, ih)
+            pos[pos == len(ch)] = max(len(ch) - 1, 0)
+            mask = (ch[pos] == ih) if len(ch) else np.zeros(len(ih), bool)
+            return batch.filter(pa.array(mask))
+
+        canon_sigs = signatures.map_batches(only_canonical,
+                                            batch_format="pyarrow")
+        _lap("canonical_filter")
 
     # ---- candidate generation (LSH [+ simhash] ∪ substring) ------------
     # all candidate sources (LSH bands, simhash bands, substring
@@ -226,15 +253,22 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     _lap("edges")
     if cluster_strategy == "auto":
         cluster_strategy = ("union_find"
-                            if n_edges <= cfg.broadcast_limit else "label_prop")
+                            if n_edges <= cfg.broadcast_limit
+                            else "distributed")
     if cluster_strategy == "union_find":
         labels = cluster_union_find(edges_to_driver(near_edges))
-    else:
+        final = attach_cluster_ids(assignments, labels)
+    elif cluster_strategy == "label_prop":
         labels = cluster_label_propagation(near_edges, cfg)
+        final = attach_cluster_ids(assignments, labels)
+    else:  # fully distributed: no driver-side label state
+        from dedup_restore_ray.stages.cluster import (
+            attach_cluster_ids_distributed,
+            cluster_label_propagation_distributed)
+        labels_ds = cluster_label_propagation_distributed(near_edges, cfg)
+        final = attach_cluster_ids_distributed(assignments, labels_ds)
     metrics["cluster_strategy"] = cluster_strategy
     _lap("cluster")
-
-    final = attach_cluster_ids(assignments, labels)
     return DedupResult(assignments=final, signatures=signatures,
                        verified_pairs=verified, metrics=metrics)
 

@@ -149,3 +149,28 @@ class TestGroupPairIndices:
         iu, iv = group_pair_indices(10, 14, 64, 16)
         assert len(iu) == 6           # C(4,2)
         assert all(u < v for u, v in zip(iu, iv))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScaleModeParity:
+    def test_scale_and_broadcast_paths_agree(self, pages_corpus):
+        """Force scale_mode (full-shuffle exact dedup, scatter verify,
+        distributed clustering) and require cluster assignments
+        identical to the broadcast path."""
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+        pages, _ = pages_corpus
+        ds = rd.from_arrow(pages)
+        normal = dedup_pipeline(ds, PipelineConfig(), id_col="url",
+                                text_col="text", html_col="html")
+        tiny_limit = PipelineConfig(broadcast_limit=10)
+        scaled = dedup_pipeline(rd.from_arrow(pages), tiny_limit,
+                                id_col="url", text_col="text",
+                                html_col="html",
+                                cluster_strategy="distributed")
+        a = normal.assignments.to_pandas().sort_values("doc_id")
+        b = scaled.assignments.to_pandas().sort_values("doc_id")
+        assert scaled.metrics["scale_mode"] is True
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["canonical_id"].tolist() == b["canonical_id"].tolist()
+        assert a["cluster_id"].tolist() == b["cluster_id"].tolist()
