@@ -18,7 +18,6 @@ near-dup stages run over canonical representatives only.
 
 from __future__ import annotations
 
-import html.parser
 import re
 from dataclasses import dataclass, field
 
@@ -125,7 +124,8 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     metrics["scale_mode"] = scale_mode
     if scale_mode and verify_strategy == "broadcast":
         verify_strategy = "scatter"
-    docs = docs.repartition(num_blocks)
+    if num_blocks > 0:        # num_blocks=0: trust the read's splitting
+        docs = docs.repartition(num_blocks)
 
     if html_col is not None:
         docs = docs.map_batches(

@@ -12,16 +12,20 @@ candidates are verified).  label(n) starts as n; each round:
 until no label changes (fixpoint = min node id per connected component,
 identical to union-find — proven equivalent in tests/test_cluster.py).
 
-Execution: each round is one ``groupby(node).aggregate(min)`` over
-label-assertion rows.  Neighbor labels are looked up through a
-broadcast label map (``ray.put`` once per round — the label table
-covers only duplicate docs, SURVEY §4 'broadcast small sides').  For
-graphs beyond ``cfg.broadcast_limit`` nodes the same rounds run with
-hash-partitioned ``Dataset.join`` instead of the broadcast (flagged via
-``strategy='join'``).  Round count is bounded: with min-label
-propagation over both edge directions the label of a component's
-minimum reaches every node in <= diameter rounds; cfg.max_label_rounds
-caps pathological chains.
+Execution tiers (all produce the identical fixpoint — tested):
+  1. ``cluster_union_find`` — driver-side path compression; default
+     while the edge list fits one machine.
+  2. ``cluster_label_propagation`` — grouped-min rounds with a
+     broadcast label map (``ray.put`` once per round; the label table
+     covers only duplicate docs, SURVEY §4 'broadcast small sides').
+  3. ``cluster_label_propagation_distributed`` — no driver state at
+     all: per-round neighbor-label delivery via the sort-scatter
+     lookup (_scatter_lookup) + grouped min; convergence detected by a
+     monotone label-multiset hash.  (Ray's ``Dataset.join`` is avoided
+     deliberately — it fails on union-produced block layouts.)
+Round count is bounded: with min-label propagation over both edge
+directions the label of a component's minimum reaches every node in
+<= diameter rounds; cfg.max_label_rounds caps pathological chains.
 """
 
 from __future__ import annotations
