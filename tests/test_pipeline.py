@@ -174,3 +174,19 @@ class TestScaleModeParity:
         assert a["doc_id"].tolist() == b["doc_id"].tolist()
         assert a["canonical_id"].tolist() == b["canonical_id"].tolist()
         assert a["cluster_id"].tolist() == b["cluster_id"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeterminism:
+    def test_flagship_identical_across_runs(self, pages_corpus):
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+        pages, _ = pages_corpus
+        outs = []
+        for _ in range(2):
+            res = dedup_pipeline(rd.from_arrow(pages), PipelineConfig(),
+                                 id_col="url", text_col="text",
+                                 html_col="html")
+            outs.append(res.assignments.to_pandas()
+                        .sort_values("doc_id").reset_index(drop=True))
+        assert outs[0].equals(outs[1])
