@@ -134,8 +134,9 @@ def run_scaling() -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     lo, hi = SCALING_LOW, SCALING_HIGH
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     runs = {lo: [], hi: []}
-    for _ in range(2):                     # interleaved A/B, best-of-2
+    for _ in range(repeats):               # interleaved A/B, best-of-N
         runs[lo].append(run(lo)["value"])
         runs[hi].append(run(hi)["value"])
     t_lo, t_hi = min(runs[lo]), min(runs[hi])

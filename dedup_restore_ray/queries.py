@@ -739,6 +739,21 @@ def q_extract_text_docs(sf_dir: str):
     return ex.map_batches(digest, batch_format="pyarrow")
 
 
+def q_top_orders_per_customer(sf_dir: str):
+    """Grouped top-k (window row_number <= 3): each customer's three
+    most expensive orders — one multi-key sort + vectorized per-block
+    head-of-group (stages/groups.grouped_topk)."""
+    from dedup_restore_ray.stages.groups import grouped_topk
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey",
+                                      "o_totalprice"])
+    top = grouped_topk(orders, ["o_custkey"],
+                       [("o_totalprice", True), ("o_orderkey", False)],
+                       k=3).to_pandas()
+    top["o_totalprice"] = top["o_totalprice"].round(2)
+    return top
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_stats_docs": q_dedup_stats_docs,
@@ -777,6 +792,7 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "customer_order_counts": q_customer_order_counts,
     "extract_text_docs": q_extract_text_docs,
+    "top_orders_per_customer": q_top_orders_per_customer,
 }
 
 
@@ -963,6 +979,12 @@ ORACLE_SQL = {
                (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
                  AS n_orders
         FROM customer
+    """,
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) <= 3
     """,
     "near_dup_pairs_docs": r"""
         WITH toks AS (

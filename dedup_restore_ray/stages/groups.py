@@ -268,6 +268,63 @@ def grouped_aggregate(ds: "ray.data.Dataset", keys: list[str],
                 residual_agg, batch_format="pyarrow")))
 
 
+def grouped_topk(ds: "ray.data.Dataset", keys: list[str],
+                 order_by: list[tuple[str, bool]], k: int
+                 ) -> "ray.data.Dataset":
+    """Top-k rows per key group (the window-function
+    ``row_number() <= k`` shape) — one multi-key sort + vectorized
+    per-block head-of-group selection + residual pass.
+
+    order_by: [(col, descending)] — include a unique tiebreak column
+    so boundary-of-k selection is deterministic (matches SQL
+    row_number with the same ORDER BY)."""
+    sort_spec = [(c, "ascending") for c in keys] + [
+        (c, "descending" if desc else "ascending") for c, desc in order_by]
+    srt = ds.sort([c for c, _ in sort_spec],
+                  descending=[d == "descending" for _, d in sort_spec]
+                  ).materialize()
+
+    def interior(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return b.filter(pa.array(~edge_key_mask(b, keys)))
+
+    def edge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return b.filter(pa.array(edge_key_mask(b, keys)))
+
+    def head_k(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return b
+        starts, ends = group_bounds(b, keys)
+        sizes = ends - starts
+        take_n = np.minimum(sizes, k)
+        idx = np.repeat(starts, take_n) + _ramp(take_n)
+        return b.take(pa.array(idx))
+
+    def residual_head(g: pa.Table) -> pa.Table:
+        return head_k(g.sort_by(sort_spec))
+
+    return (srt.map_batches(interior, batch_format="pyarrow",
+                            batch_size=None)
+            .map_batches(head_k, batch_format="pyarrow", batch_size=None)
+            .union(srt.map_batches(edge, batch_format="pyarrow",
+                                   batch_size=None)
+                   .groupby(keys).map_groups(residual_head,
+                                             batch_format="pyarrow")))
+
+
+def _ramp(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for a counts vector (vectorized)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(np.concatenate(([0], np.cumsum(counts[:-1]))), counts)
+    return out
+
+
 # ----------------------------------------------------------------------
 # First-wins canonical marking (exact dedup)
 # ----------------------------------------------------------------------
