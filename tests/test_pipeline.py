@@ -190,3 +190,25 @@ class TestDeterminism:
             outs.append(res.assignments.to_pandas()
                         .sort_values("doc_id").reset_index(drop=True))
         assert outs[0].equals(outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGoldenRegression:
+    def test_assignments_match_golden(self, pages_corpus):
+        """Committed golden fixture (FIXTURES.md F4): flagship output
+        on the 300-doc corpus is bit-stable across sessions.  If a
+        deliberate algorithm change shifts results, regenerate the
+        golden (tests/golden/) in the same commit and say why."""
+        import os
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+        golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                                   "assignments_300.parquet")
+        golden = pq.read_table(golden_path).to_pandas()
+        pages, _ = pages_corpus
+        res = dedup_pipeline(rd.from_arrow(pages), PipelineConfig(),
+                             id_col="url", text_col="text", html_col="html")
+        out = (res.assignments.to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out.equals(golden)
