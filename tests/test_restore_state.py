@@ -122,3 +122,46 @@ class TestManifestAtomicity:
         first = read_manifests(root)[0]["written_at"]
         write_partition(root, "0", pa.table({"a": [9]}), "cfg")
         assert read_manifests(root)[0]["written_at"] == first  # untouched
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWindowedRestore:
+    def test_window_size_reduces_container_reads(self):
+        """The reference's central restore result (src/look_ahead.c):
+        larger look-ahead windows -> fewer container reads, identical
+        restored bytes."""
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.restore import (canonical_store,
+                                                         windowed_restore)
+        from dedup_restore_ray.stages.exact import exact_dedup
+        from dedup_restore_ray.functions.hashing import content_hashes
+
+        # 400 refs over 40 distinct payloads, heavy duplication
+        texts = [f"payload number {i % 40} with some body text" \
+                 for i in range(400)]
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(400), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+        def add_hash(b):
+            h = content_hashes(b.column("text").to_pylist())
+            return b.append_column("content_hash",
+                                   pa.array(h, pa.binary(20)))
+
+        marked = exact_dedup(docs.map_batches(
+            add_hash, batch_format="pyarrow")).materialize()
+        store = canonical_store(docs, marked).materialize()
+        stats = {}
+        for w in (16, 64, 400):
+            stats[w] = windowed_restore(
+                marked.select_columns(["doc_id", "canonical_id"]),
+                store, window_size=w)
+        # monotone: bigger window -> fewer container reads
+        assert stats[16]["total_container_read"] >= \
+            stats[64]["total_container_read"] >= \
+            stats[400]["total_container_read"]
+        # window covering everything reads each container exactly once
+        assert stats[400]["total_container_read"] == 40
+        # restored stream identical regardless of window size
+        assert len({s["restored_sha1"] for s in stats.values()}) == 1
+        assert stats[16]["restored_rows"] == 400
