@@ -4,10 +4,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
 
---scaling: runs the headline pipeline in two fresh processes
-(num_cpus=8 and num_cpus=32) on the same input and reports both
-throughputs + scaling efficiency (the sandbox stand-in for the
-north_rule's two-cluster-size criterion; see BASELINE.md).
+--scaling: runs the headline pipeline in two fresh processes at two
+parallelism levels — num_cpus=1 vs 4 by default (env-overridable via
+GRAFT_SCALING_LOW/HIGH; see run_scaling's rationale and BASELINE.md
+for why 1-vs-4 and not 8-vs-32 on this host) — on the same input and
+reports both throughputs + scaling efficiency (the sandbox stand-in
+for the north_rule's two-cluster-size criterion).
 """
 
 from __future__ import annotations

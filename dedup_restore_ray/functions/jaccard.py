@@ -33,6 +33,53 @@ def intersect_size_sorted(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.count_nonzero(b[idx] == a))
 
 
+def jaccard_batch(flat: np.ndarray,
+                  a_starts: np.ndarray, a_lens: np.ndarray,
+                  b_starts: np.ndarray, b_lens: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for a whole BATCH of pairs at once — no per-pair
+    Python loop.  Each pair i compares the sorted-unique slices
+    ``flat[a_starts[i]:a_starts[i]+a_lens[i]]`` and
+    ``flat[b_starts[i]:b_starts[i]+b_lens[i]]``.
+
+    Method: gather both sides with one vectorized CSR expansion, tag
+    every element with its pair index, lexsort by (pair, value); an
+    element common to both sides of a pair appears exactly twice
+    adjacently (sides are unique-valued), so intersection sizes fall
+    out of one adjacent-equality bincount.  O(N log N) numpy for the
+    whole batch.
+    """
+    n = len(a_starts)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    a_lens = np.asarray(a_lens, dtype=np.int64)
+    b_lens = np.asarray(b_lens, dtype=np.int64)
+
+    def expand(starts, lens):
+        total = int(lens.sum())
+        idx = np.arange(total, dtype=np.int64)
+        idx += np.repeat(np.asarray(starts, np.int64)
+                         - np.concatenate((np.zeros(1, np.int64),
+                                           np.cumsum(lens[:-1]))), lens)
+        return idx
+
+    ia = expand(a_starts, a_lens)
+    ib = expand(b_starts, b_lens)
+    vals = np.concatenate((flat[ia], flat[ib]))
+    pids = np.concatenate((np.repeat(np.arange(n, dtype=np.int64), a_lens),
+                           np.repeat(np.arange(n, dtype=np.int64), b_lens)))
+    order = np.lexsort((vals, pids))
+    pv, vv = pids[order], vals[order]
+    dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+    inter = np.bincount(pv[1:][dup], minlength=n).astype(np.int64)
+    union = a_lens + b_lens - inter
+    out = np.zeros(n, dtype=np.float64)
+    both_empty = (a_lens == 0) & (b_lens == 0)
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
+    out[both_empty] = 1.0
+    return out
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int, encoder) -> float:
     """Convenience: exact k-gram Jaccard of two raw texts using a
     ShingleEncoder (for tests / small oracles)."""

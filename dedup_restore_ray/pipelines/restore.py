@@ -39,19 +39,32 @@ def canonical_store(docs: "ray.data.Dataset", assignments: "ray.data.Dataset",
                     id_col: str = "doc_id", text_col: str = "text"
                     ) -> "ray.data.Dataset":
     """The deduplicated store: text of canonical docs only (the
-    'containers' — unique content, stored once)."""
-    canon_ids = set()
+    'containers' — unique content, stored once).
+
+    Canonical membership is broadcast as a packed sorted uint64
+    id-hash array (zero-copy from the object store; a Python set would
+    fully unpickle in every task) and tested with one vectorized
+    searchsorted per batch — same pattern as the canonical filter in
+    pipelines/dedup.py."""
+    import pyarrow.compute as pc
+    from dedup_restore_ray.stages.verify import _id_hashes
+
+    canon_parts = []
     for b in assignments.iter_batches(batch_size=65536,
                                       batch_format="pyarrow"):
-        import pyarrow.compute as pc
         keep = pc.invert(b.column("is_dup").combine_chunks())
-        canon_ids.update(b.filter(keep).column("doc_id").to_pylist())
-    ref = ray.put(canon_ids)
+        canon_parts.append(_id_hashes(b.filter(keep).column("doc_id")))
+    canon_hashes = (np.sort(np.concatenate(canon_parts)) if canon_parts
+                    else np.empty(0, np.uint64))
+    ref = ray.put(canon_hashes)
 
     def filt(batch: pa.Table) -> pa.Table:
-        cs = ray.get(ref)
-        mask = pa.array([d in cs for d in batch.column(id_col).to_pylist()])
-        out = batch.filter(mask).select([id_col, text_col])
+        ch = ray.get(ref)
+        ih = _id_hashes(batch.column(id_col))
+        pos = np.searchsorted(ch, ih)
+        pos[pos == len(ch)] = max(len(ch) - 1, 0)
+        mask = (ch[pos] == ih) if len(ch) else np.zeros(len(ih), bool)
+        out = batch.filter(pa.array(mask)).select([id_col, text_col])
         return out.rename_columns(["canonical_id", "stored_text"])
 
     return docs.map_batches(filt, batch_format="pyarrow")
@@ -95,11 +108,18 @@ def windowed_restore(assignments: "ray.data.Dataset",
     for win in ordered.iter_batches(batch_size=window_size,
                                     batch_format="pyarrow"):
         refs = win.column("canonical_id").to_pylist()
-        # group refs by container: one fetch per distinct canonical
+        # group refs by container: one fetch per distinct canonical.
+        # A canonical missing from the store is a store/recipe
+        # inconsistency — fail loudly (the reference's restore depends
+        # hard on container reads succeeding, src/look_ahead.c:374-443)
         window_cache = {}
         for c in refs:
             if c not in window_cache:
-                window_cache[c] = texts.get(c, "")
+                if c not in texts:
+                    raise KeyError(
+                        f"canonical_id {c!r} referenced by recipe is "
+                        f"absent from the store (windowed_restore)")
+                window_cache[c] = texts[c]
                 total_container_read += 1
         for c in refs:
             t = window_cache[c]
@@ -131,8 +151,14 @@ def restore_corpus(assignments: "ray.data.Dataset",
 
         def gather(batch: pa.Table) -> pa.Table:
             tmap = ray.get(ref)
-            restored = [tmap.get(c) for c in
-                        batch.column("canonical_id").to_pylist()]
+            refs_ = batch.column("canonical_id").to_pylist()
+            missing = [c for c in refs_ if c not in tmap]
+            if missing:
+                raise KeyError(
+                    f"{len(missing)} canonical ids referenced by the "
+                    f"recipe are absent from the store (first: "
+                    f"{missing[0]!r})")
+            restored = [tmap[c] for c in refs_]
             return pa.table({"doc_id": batch.column("doc_id"),
                              "restored_text": pa.array(restored, pa.string())})
 
@@ -176,6 +202,15 @@ def restore_corpus(assignments: "ray.data.Dataset",
             has_store = slot[starts] == -1
             store_idx = np.repeat(starts, sizes)
             ref_mask = (slot >= 0) & np.repeat(has_store, sizes)
+            # refs whose canonical group has no store row = store/
+            # recipe inconsistency — fail loudly rather than dropping
+            orphan = (slot >= 0) & ~np.repeat(has_store, sizes)
+            if orphan.any():
+                bad = b.column("canonical_id").take(
+                    pa.array(np.flatnonzero(orphan)[:1]))[0].as_py()
+                raise KeyError(
+                    f"canonical_id {bad!r} referenced by recipe is "
+                    f"absent from the store (restore_corpus sort path)")
             rr = np.flatnonzero(ref_mask)
             if len(rr) == 0:
                 return out_schema.empty_table()

@@ -66,12 +66,13 @@ def q_exact_dedup_docs(sf_dir: str):
 
 
 def q_dedup_stats_docs(sf_dir: str):
-    """Counter report (A1, reference: src/optsmr.c:316-332)."""
-    out = q_exact_dedup_docs(sf_dir).to_pandas()
-    total = len(out)
-    dup = int(out["is_dup"].sum())
-    return pd.DataFrame({"total": [total], "dup": [dup],
-                         "uniq": [total - dup]})
+    """Counter report (A1, reference: src/optsmr.c:316-332) — counts
+    reduced distributively (pipelines.dedup.dedup_stats); only three
+    integers reach the driver."""
+    from dedup_restore_ray.pipelines.dedup import dedup_stats
+    s = dedup_stats(q_exact_dedup_docs(sf_dir))
+    return pd.DataFrame({"total": [s["total"]], "dup": [s["dup"]],
+                         "uniq": [s["unique"]]})
 
 
 # ----------------------------------------------------------------------
@@ -271,14 +272,22 @@ def q_events_hourly(sf_dir: str):
 
 
 def q_distinct_users(sf_dir: str):
+    """count(DISTINCT user_id) per type: per-batch local distinct
+    (combiner), one global distinct over (type, user) via the sort +
+    block-kernel machinery, then a grouped count — no per-group Python
+    call (stages/groups replaces map_groups)."""
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
 
-    def nunique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "n_users": [g["user_id"].nunique()]})
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
 
-    return ev.groupby("event_type").map_groups(nunique, batch_format="pandas")
+    pairs = ev.map_batches(local_distinct, batch_format="pyarrow")
+    uniq = distinct_rows(pairs, ["event_type", "user_id"])
+    return grouped_aggregate(uniq, ["event_type"], {},
+                             count_alias="n_users")
 
 
 # ----------------------------------------------------------------------
@@ -423,8 +432,11 @@ def q_near_dup_pairs_docs(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(SignatureStage(CFG), batch_format="pyarrow",
                           batch_size=CFG.batch_size).materialize()
+    # use_norm=False: the oracle models shingle Jaccard only — with the
+    # norm rail, two zero-token docs would verify at jaccard(∅,∅)=1 and
+    # be emitted while the oracle filters length(s)>0 (latent mismatch)
     cands = candidate_pairs(sigs, CFG, use_simhash=True,
-                            use_fingerprints=True, use_norm=True)
+                            use_fingerprints=True, use_norm=False)
     verified = verify_pairs(cands, sigs, CFG).to_pandas()
     verified["jaccard"] = round_half_up(verified["jaccard"])
     return verified.sort_values(["u", "v"]).reset_index(drop=True)
@@ -439,19 +451,21 @@ def q_dedup_clusters_docs(sf_dir: str):
 
 
 def q_substring_pairs_docs(sf_dir: str):
-    """Suffix-array substring pass over documents (rows-only; exact
-    per-partition formulation)."""
-    from dedup_restore_ray.stages.substring import suffix_array_pairs
-    from dedup_restore_ray.functions.shingle import normalize_text
+    """Substring-dedup pass over documents (rows-only): the DISTRIBUTED
+    winnowed-fingerprint formulation — one groupby(fingerprint)
+    shuffle, no single-task suffix array (the exact per-partition
+    suffix-array form is the small-scale parity check, kept in
+    tests/test_pipeline.py::TestSubstringParity).  Winnowing guarantee:
+    every pair the suffix array finds (shared run >= substring_min_len
+    normalized chars) shares a selected fingerprint, so this is a
+    superset at full recall."""
+    from dedup_restore_ray.stages.substring import fingerprint_pairs
     ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def norm(batch: pa.Table) -> pa.Table:
-        nt = [normalize_text(t) for t in batch.column("text").to_pylist()]
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "norm_text": pa.array(nt, pa.string())})
-
-    docs = ds.map_batches(norm, batch_format="pyarrow").repartition(1)
-    return suffix_array_pairs(docs, CFG)
+    sigs = ds.map_batches(
+        SignatureStage(CFG, emit_minhash=False, emit_bucket_keys=False),
+        batch_format="pyarrow", batch_size=CFG.batch_size)
+    return fingerprint_pairs(
+        sigs.select_columns(["doc_id", "fingerprints"]), CFG)
 
 
 # ----------------------------------------------------------------------
@@ -506,32 +520,61 @@ def q_trace_dedup(sf_dir: str):
 def q_trace_dedup_stats(sf_dir: str):
     """Counter report over the trace-shaped dedup: dup/unique/stored
     bytes at the reference's fixed 4096-byte chunk size
-    (src/trace_work.c:83)."""
-    out = q_trace_dedup(sf_dir).to_pandas()
-    dup = int(out["is_dup"].sum())
-    total = len(out)
+    (src/trace_work.c:83).  Distributed reduction — the marked table
+    never reaches the driver."""
+    from dedup_restore_ray.pipelines.dedup import dedup_stats
+    s = dedup_stats(q_trace_dedup(sf_dir))
+    total, dup = s["total"], s["dup"]
     return pd.DataFrame({
         "total": [total], "dup": [dup], "uniq": [total - dup],
         "logical_bytes": [total * 4096], "stored_bytes": [(total - dup) * 4096],
     })
 
 
-def q_sessionize_events(sf_dir: str):
-    """Sessionization: per-user event stream split at >30-min gaps
-    (streaming-shaped workload as sorted map_groups; ordering
-    assumption: events sorted by ts within each user group)."""
+def q_sessionize_events(sf_dir: str, gap_seconds: int = 1800):
+    """Sessionization: per-user event stream split at >30-min gaps.
+    One (user_id, ts) sort + vectorized per-block gap counting
+    (stages/groups machinery — NOT one-Python-call-per-user
+    map_groups); block-edge users are reassembled by the residual
+    pass, so results are independent of block layout."""
+    from dedup_restore_ray.stages.groups import group_bounds, sorted_split
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(0)
-        n_sessions = int((gaps > 1800).sum()) + 1
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_events": [len(g)],
-                             "n_sessions": [n_sessions]})
+    def session_block(b: pa.Table) -> pa.Table:
+        # sorted by (user_id, ts): gaps = ts diffs; cross-user
+        # positions masked out; per-user gap>threshold count via
+        # add.reduceat over the group bounds
+        key_t = b.schema.field("user_id").type
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], key_t),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        starts, ends = group_bounds(b, ["user_id"])
+        ts_field = b.schema.field("ts").type
+        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
+            ts_field.unit] if pa.types.is_timestamp(ts_field) else 1
+        ts_int = np.asarray(pc.cast(b.column("ts"), pa.int64())
+                            .combine_chunks())
+        is_gap = np.zeros(b.num_rows, dtype=np.int64)
+        if b.num_rows > 1:
+            gaps = ts_int[1:] - ts_int[:-1]
+            is_gap[1:] = gaps > gap_seconds * per_sec
+        is_gap[starts] = 0          # first event of each user: no gap
+        n_sessions = np.add.reduceat(is_gap, starts) + 1
+        return pa.table({
+            "user_id": b.column("user_id").take(pa.array(starts)),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "n_sessions": pa.array(n_sessions.astype(np.int64)),
+        })
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    interior, edge = sorted_split(ev, ["user_id", "ts"], ["user_id"])
+    return (interior.map_batches(session_block, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby("user_id").map_groups(
+                lambda g: session_block(g.sort_by(
+                    [("user_id", "ascending"), ("ts", "ascending")])),
+                batch_format="pyarrow")))
 
 
 def q_media_features(sf_dir: str):
@@ -606,50 +649,35 @@ def q_sorted_head(sf_dir: str):
 
 
 def q_semi_join_customers(sf_dir: str):
-    """Semi join (SURVEY §2.7): customers having >= 1 order, realized
-    as a broadcast key-set filter inside map_batches — no shuffle."""
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    keys = set()
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keys.update(b.column("o_custkey").to_pylist())
-    kref = ray.put(np.sort(np.array(list(keys), dtype=np.int64)))
+    """Semi join (SURVEY §2.7): customers having >= 1 order —
+    fully distributed sort-scatter rendezvous (stages/joins.semi_join);
+    the orders side never streams to the driver."""
+    from dedup_restore_ray.stages.joins import semi_join
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    keys = orders.map_batches(
+        lambda b: pa.table({"c_custkey": b.column("o_custkey")}),
+        batch_format="pyarrow")
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
-
-    def semi(batch: pa.Table) -> pa.Table:
-        ks = ray.get(kref)
-        ck = np.asarray(batch.column("c_custkey"))
-        pos = np.searchsorted(ks, ck)
-        pos[pos == len(ks)] = max(len(ks) - 1, 0)
-        mask = ks[pos] == ck if len(ks) else np.zeros(len(ck), bool)
-        return batch.filter(pa.array(mask))
-
-    return cust.map_batches(semi, batch_format="pyarrow")
+    return semi_join(cust, keys, "c_custkey")
 
 
 def q_anti_join_customers(sf_dir: str):
-    """Anti join: customers with no order above 400k (broadcast
-    negative key-set filter; right side pre-filtered at the read)."""
+    """Anti join: customers with no order above 400k — distributed
+    sort-scatter anti-semijoin (stages/joins.anti_join); right side
+    pre-filtered at the read (predicate pushdown), no driver key set."""
     import pyarrow.dataset as pads
+    from dedup_restore_ray.stages.joins import anti_join
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey"],
                              filter=pads.field("o_totalprice") > 400000.0)
-    keys = set()
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keys.update(b.column("o_custkey").to_pylist())
-    kref = ray.put(np.sort(np.array(list(keys), dtype=np.int64)))
+    keys = orders.map_batches(
+        lambda b: pa.table({"c_custkey": b.column("o_custkey")}),
+        batch_format="pyarrow")
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
-
-    def anti(batch: pa.Table) -> pa.Table:
-        ks = ray.get(kref)
-        ck = np.asarray(batch.column("c_custkey"))
-        pos = np.searchsorted(ks, ck)
-        pos[pos == len(ks)] = max(len(ks) - 1, 0)
-        mask = ks[pos] == ck if len(ks) else np.zeros(len(ck), bool)
-        return batch.filter(pa.array(~mask))
-
-    return cust.map_batches(anti, batch_format="pyarrow")
+    return anti_join(cust, keys, "c_custkey")
 
 
 def q_having_parts(sf_dir: str):
@@ -692,22 +720,20 @@ def q_bpe_token_counts(sf_dir: str):
 
 def q_customer_order_counts(sf_dir: str):
     """Left outer join shape: every customer with its order count,
-    zero included (broadcast count map, no shuffle)."""
+    zero included — distributed grouped count (stages/groups) + one
+    sort-scatter left lookup with default 0 (stages/joins); no driver
+    count map."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.joins import left_lookup
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    counts: dict = {}
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for k in b.column("o_custkey").to_pylist():
-            counts[k] = counts.get(k, 0) + 1
-    cref = ray.put(counts)
+    counts = grouped_aggregate(orders, ["o_custkey"], {},
+                               count_alias="n_orders").map_batches(
+        lambda b: pa.table({"c_custkey": b.column("o_custkey"),
+                            "n_orders": b.column("n_orders")}),
+        batch_format="pyarrow")
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
-
-    def attach(batch: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
-        n = [cm.get(k, 0) for k in batch.column("c_custkey").to_pylist()]
-        return batch.append_column("n_orders", pa.array(n, pa.int64()))
-
-    return cust.map_batches(attach, batch_format="pyarrow")
+    return left_lookup(cust, counts, "c_custkey", "n_orders", 0)
 
 
 def q_extract_text_docs(sf_dir: str):
@@ -946,7 +972,7 @@ ORACLE_SQL = {
                       THEN 1 ELSE 0 END AS new_session
           FROM events)
         SELECT user_id, count(*) AS n_events,
-               sum(new_session) + 1 AS n_sessions
+               (sum(new_session) + 1)::BIGINT AS n_sessions
         FROM g GROUP BY user_id
     """,
     "point_lookup": """

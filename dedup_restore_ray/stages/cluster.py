@@ -222,6 +222,13 @@ def cluster_label_propagation_distributed(edges: "ray.data.Dataset",
 
     refs = edges.map_batches(both_dir, batch_format="pyarrow").materialize()
 
+    # fold width for the per-round repartition: scale with the cluster
+    # so rounds don't serialize on a fixed block count at larger sizes
+    try:
+        fold_width = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        fold_width = 8
+
     for _round in range(cfg.max_label_rounds):
         msgs = _scatter_lookup(refs, labels, key_col="node",
                                payload_col="label", out_cols=["dst"])
@@ -233,7 +240,7 @@ def cluster_label_propagation_distributed(edges: "ray.data.Dataset",
         # DAG accumulates tiny blocks each round, and Ray's sort
         # planner over-estimates memory from block counts (observed:
         # '13GB driver memory' for a 10-row dataset) and stalls
-        folded = msgs.union(labels).repartition(8).materialize()
+        folded = msgs.union(labels).repartition(fold_width).materialize()
         new_labels = grouped_aggregate(
             folded, ["node"], {"label": ("label", "min")}).materialize()
         # convergence: min-label propagation is monotone, so the label

@@ -29,14 +29,30 @@ import ray
 import ray.data
 
 from dedup_restore_ray.config import PipelineConfig
-from dedup_restore_ray.functions.hashing import hash_bytes_u64
-from dedup_restore_ray.functions.jaccard import jaccard_sorted
+from dedup_restore_ray.functions.hashing import hash_bytes_u64, mix64
+from dedup_restore_ray.functions.jaccard import jaccard_batch, jaccard_sorted
 
 
-def _id_hashes(ids: list) -> np.ndarray:
-    """Stable uint64 hash per doc id (any type).  Collision risk
-    n^2/2^64 — negligible below ~10^8 members; the join strategy is the
-    exact path beyond that."""
+def _id_hashes(ids) -> np.ndarray:
+    """Stable uint64 hash per doc id.  Accepts a pyarrow
+    (Chunked)Array, numpy array, or Python list.
+
+    Integer ids take the vectorized splitmix64 path — a *bijection* on
+    uint64, so zero collisions and no per-row Python.  Other types
+    (strings, binaries) fall back to per-value blake2b (collision risk
+    n^2/2^64 — negligible below ~10^8 members; the join strategy is
+    the exact path beyond that).  Within one run every id column has
+    one type, so the two paths never mix for the same dataset."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if isinstance(ids, pa.Array):
+        if pa.types.is_integer(ids.type):
+            return mix64(np.asarray(ids).astype(np.uint64))
+        ids = ids.to_pylist()
+    else:
+        arr = np.asarray(ids)
+        if arr.dtype.kind in "iu":
+            return mix64(arr.astype(np.uint64))
     return np.fromiter((hash_bytes_u64(str(x).encode()) for x in ids),
                        dtype=np.uint64, count=len(ids))
 
@@ -46,23 +62,30 @@ def _member_shingle_pack(pairs: "ray.data.Dataset",
     """(sorted member id-hashes, CSR offsets, flat shingles) for docs
     appearing in pairs.  Streams both datasets; only pair members are
     held."""
-    members: set[int] = set()
+    mh: list[np.ndarray] = []
     for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        members.update(_id_hashes(b.column("u").to_pylist()).tolist())
-        members.update(_id_hashes(b.column("v").to_pylist()).tolist())
+        mh.append(_id_hashes(b.column("u")))
+        mh.append(_id_hashes(b.column("v")))
+    members = (np.unique(np.concatenate(mh)) if mh
+               else np.empty(0, np.uint64))
+    # packed sorted uint64 array: zero-copy from the object store +
+    # vectorized searchsorted (a Python set would fully unpickle in
+    # every task and test membership per row)
     member_ref = ray.put(members)
 
     def filt(batch: pa.Table) -> pa.Table:
-        mset = ray.get(member_ref)
-        ih = _id_hashes(batch.column("doc_id").to_pylist())
-        mask = pa.array([int(h) in mset for h in ih])
-        out = batch.select(["doc_id", "shingles"]).filter(mask)
+        mem = ray.get(member_ref)
+        ih = _id_hashes(batch.column("doc_id"))
+        pos = np.searchsorted(mem, ih)
+        pos[pos == len(mem)] = max(len(mem) - 1, 0)
+        mask = (mem[pos] == ih) if len(mem) else np.zeros(len(ih), bool)
+        out = batch.select(["doc_id", "shingles"]).filter(pa.array(mask))
         return out
 
     ids_parts, shingle_parts, count_parts = [], [], []
     for b in (signatures.map_batches(filt, batch_format="pyarrow")
               .iter_batches(batch_size=8192, batch_format="pyarrow")):
-        ids_parts.append(_id_hashes(b.column("doc_id").to_pylist()))
+        ids_parts.append(_id_hashes(b.column("doc_id")))
         sh = b.column("shingles").combine_chunks()
         shingle_parts.append(np.asarray(sh.flatten(), dtype=np.uint64))
         count_parts.append(np.diff(np.asarray(sh.offsets)))
@@ -98,19 +121,24 @@ class _VerifyPacked:
             self._pack = ray.get(self.ref)   # three arrays, zero-copy
         ids, offsets, flat = self._pack
         n = batch.num_rows
-        uh = _id_hashes(batch.column("u").to_pylist())
-        vh = _id_hashes(batch.column("v").to_pylist())
-        iu = np.searchsorted(ids, uh)
-        iv = np.searchsorted(ids, vh)
+        uh = _id_hashes(batch.column("u"))
+        vh = _id_hashes(batch.column("v"))
         m = len(ids)
-        jac = np.zeros(n, dtype=np.float64)
-        empty = np.empty(0, dtype=np.uint64)
-        for i in range(n):
-            a = (flat[offsets[iu[i]]:offsets[iu[i] + 1]]
-                 if iu[i] < m and ids[iu[i]] == uh[i] else empty)
-            b = (flat[offsets[iv[i]]:offsets[iv[i] + 1]]
-                 if iv[i] < m and ids[iv[i]] == vh[i] else empty)
-            jac[i] = jaccard_sorted(a, b)
+        iu = np.minimum(np.searchsorted(ids, uh), max(m - 1, 0))
+        iv = np.minimum(np.searchsorted(ids, vh), max(m - 1, 0))
+        if m == 0:
+            jac = np.zeros(n, dtype=np.float64)
+        else:
+            offs = np.asarray(offsets, dtype=np.int64)
+            fu = ids[iu] == uh
+            fv = ids[iv] == vh
+            a_starts = np.where(fu, offs[iu], 0)
+            a_lens = np.where(fu, offs[iu + 1] - offs[iu], 0)
+            b_starts = np.where(fv, offs[iv], 0)
+            b_lens = np.where(fv, offs[iv + 1] - offs[iv], 0)
+            # one batched CSR merge-intersect for the whole batch — no
+            # per-pair Python (docs missing from the pack compare as ∅)
+            jac = jaccard_batch(flat, a_starts, a_lens, b_starts, b_lens)
         out = batch.append_column("jaccard", pa.array(jac))
         return out.filter(pa.array(jac >= self.threshold))
 
@@ -136,8 +164,8 @@ def verify_pairs_scatter(pairs: "ray.data.Dataset",
     # member hash set (tiny: u64 per member)
     mh: list[np.ndarray] = []
     for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        mh.append(_id_hashes(b.column("u").to_pylist()))
-        mh.append(_id_hashes(b.column("v").to_pylist()))
+        mh.append(_id_hashes(b.column("u")))
+        mh.append(_id_hashes(b.column("v")))
     members = (np.unique(np.concatenate(mh)) if mh
                else np.empty(0, np.uint64))
     member_ref = ray.put(members)
@@ -146,7 +174,7 @@ def verify_pairs_scatter(pairs: "ray.data.Dataset",
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         mem = ray.get(member_ref)
-        ih = _id_hashes(batch.column("doc_id").to_pylist())
+        ih = _id_hashes(batch.column("doc_id"))
         pos = np.searchsorted(mem, ih)
         pos[pos == len(mem)] = max(len(mem) - 1, 0)
         mask = (mem[pos] == ih) if len(mem) else np.zeros(len(ih), bool)
@@ -163,8 +191,8 @@ def verify_pairs_scatter(pairs: "ray.data.Dataset",
     id_type = None
 
     def pair_rows(batch: pa.Table) -> pa.Table:
-        uh = _id_hashes(batch.column("u").to_pylist())
-        vh = _id_hashes(batch.column("v").to_pylist())
+        uh = _id_hashes(batch.column("u"))
+        vh = _id_hashes(batch.column("v"))
         from dedup_restore_ray.functions.hashing import combine64
         pid = combine64(uh, vh)
         n = batch.num_rows
@@ -244,13 +272,12 @@ def verify_pairs_scatter(pairs: "ray.data.Dataset",
         if len(g0) == 0:
             return out_schema.empty_table()
         sh = b.column("shingles").combine_chunks()
-        offs = np.asarray(sh.offsets)
+        offs = np.asarray(sh.offsets, dtype=np.int64)
         flat = np.asarray(sh.flatten(), dtype=np.uint64)
-        jac = np.empty(len(g0), dtype=np.float64)
-        for i, s in enumerate(g0):
-            a = flat[offs[s]:offs[s + 1]]
-            c = flat[offs[s + 1]:offs[s + 2]]
-            jac[i] = jaccard_sorted(a, c)
+        # batched CSR merge-intersect over every pair group at once
+        jac = jaccard_batch(flat,
+                            offs[g0], offs[g0 + 1] - offs[g0],
+                            offs[g0 + 1], offs[g0 + 2] - offs[g0 + 1])
         keep = jac >= threshold
         ku = pa.array(g0[keep])
         kv = pa.array(g0[keep] + 1)
@@ -276,7 +303,7 @@ def build_shingle_pack(signatures: "ray.data.Dataset"):
     ids_parts, shingle_parts, count_parts = [], [], []
     for b in signatures.iter_batches(batch_size=8192,
                                      batch_format="pyarrow"):
-        ids_parts.append(_id_hashes(b.column("doc_id").to_pylist()))
+        ids_parts.append(_id_hashes(b.column("doc_id")))
         sh = b.column("shingles").combine_chunks()
         shingle_parts.append(np.asarray(sh.flatten(), dtype=np.uint64))
         count_parts.append(np.diff(np.asarray(sh.offsets)))

@@ -1,0 +1,273 @@
+"""Round-2 additions: reference-exact CDC checksum, batched Jaccard,
+distributed join helpers, sessionize kernel, substring parity,
+vectorized id hashing, restore strictness."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from dedup_restore_ray.config import PipelineConfig
+
+
+# ----------------------------------------------------------------------
+# Reference rsync-style checksum (src/adler32.c:12-28) bit-exactness
+# ----------------------------------------------------------------------
+
+def _c_adler32_checksum(buf: bytes) -> int:
+    """Direct scalar port of the reference src/adler32.c:12-28
+    (s1 = s2 = 0, CHAR_OFFSET 0, signed chars, uint32 wraparound)."""
+    s1 = s2 = 0
+    vals = np.frombuffer(buf, dtype=np.uint8).view(np.int8)
+    for c in vals.tolist():
+        s1 = (s1 + c) & 0xFFFFFFFF
+        s2 = (s2 + s1) & 0xFFFFFFFF
+    return ((s1 & 0xFFFF) + ((s2 << 16) & 0xFFFFFFFF)) & 0xFFFFFFFF
+
+
+class TestRsyncChecksum:
+    def test_matches_c_port(self):
+        from dedup_restore_ray.functions.cdc import rolling_rsync32
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 256, 400, dtype=np.uint8)
+        h = rolling_rsync32(data, win=48)
+        for i in (0, 1, 100, len(h) - 1):
+            expect = _c_adler32_checksum(bytes(data[i:i + 48]))
+            assert int(h[i]) == expect, i
+
+    def test_rolling_update_consistency(self):
+        """The reference's incremental adler32_rolling_checksum
+        (src/adler32.c:34-45) applied stepwise equals the fresh
+        per-window value — mod 2^16 exactness of the update."""
+        from dedup_restore_ray.functions.cdc import rolling_rsync32
+        rng = np.random.default_rng(9)
+        data = rng.integers(0, 256, 200, dtype=np.uint8)
+        win = 48
+        h = rolling_rsync32(data, win)
+        sview = data.view(np.int8)
+        csum = _c_adler32_checksum(bytes(data[:win]))
+        assert int(h[0]) == csum
+        for i in range(1, len(h)):
+            c1, c2 = int(sview[i - 1]), int(sview[i + win - 1])
+            s1 = csum & 0xFFFF
+            s2 = (csum >> 16) & 0xFFFF
+            s1 = (s1 - (c1 - c2)) & 0xFFFFFFFF
+            s2 = (s2 - (win * c1 - s1)) & 0xFFFFFFFF
+            csum = ((s1 & 0xFFFF) + ((s2 << 16) & 0xFFFFFFFF)) & 0xFFFFFFFF
+            assert int(h[i]) == csum, i
+
+    def test_cut_decision_uses_low_bits(self):
+        # the mask test (abstract & 0x3FF) depends only on s1's low
+        # bits — a boundary found by the C code is found here
+        from dedup_restore_ray.functions.cdc import chunk_boundaries
+        rng = np.random.default_rng(11)
+        data = rng.integers(0, 256, 50_000, dtype=np.uint8).tobytes()
+        b = chunk_boundaries(data, min_chunk=256, max_chunk=4096, mask=0xFF)
+        assert b[-1] == len(data)
+        assert (np.diff(np.concatenate(([0], b))) <= 4096).all()
+
+
+# ----------------------------------------------------------------------
+# Batched CSR Jaccard == per-pair scalar Jaccard
+# ----------------------------------------------------------------------
+
+class TestJaccardBatch:
+    def test_matches_scalar(self):
+        from dedup_restore_ray.functions.jaccard import (jaccard_batch,
+                                                         jaccard_sorted)
+        rng = np.random.default_rng(5)
+        sets = []
+        for _ in range(40):
+            n = int(rng.integers(0, 30))
+            sets.append(np.unique(rng.integers(0, 50, n).astype(np.uint64)))
+        offsets = np.concatenate(([0], np.cumsum([len(s) for s in sets])))
+        flat = (np.concatenate(sets) if sets else np.empty(0, np.uint64))
+        ii = rng.integers(0, len(sets), 100)
+        jj = rng.integers(0, len(sets), 100)
+        got = jaccard_batch(flat,
+                            offsets[ii], offsets[ii + 1] - offsets[ii],
+                            offsets[jj], offsets[jj + 1] - offsets[jj])
+        for k in range(len(ii)):
+            expect = jaccard_sorted(sets[ii[k]], sets[jj[k]])
+            assert got[k] == pytest.approx(expect), (ii[k], jj[k])
+
+    def test_empty_batch(self):
+        from dedup_restore_ray.functions.jaccard import jaccard_batch
+        z = np.empty(0, np.int64)
+        assert len(jaccard_batch(np.empty(0, np.uint64), z, z, z, z)) == 0
+
+
+# ----------------------------------------------------------------------
+# Vectorized id hashing
+# ----------------------------------------------------------------------
+
+class TestIdHashes:
+    def test_int_paths_consistent(self):
+        from dedup_restore_ray.stages.verify import _id_hashes
+        ids = [5, 123456789, 0, 2**40]
+        a = _id_hashes(ids)
+        b = _id_hashes(pa.array(ids, pa.int64()))
+        c = _id_hashes(np.array(ids, dtype=np.int64))
+        assert (a == b).all() and (a == c).all()
+        assert len(set(a.tolist())) == len(ids)
+
+    def test_string_path_stable(self):
+        from dedup_restore_ray.stages.verify import _id_hashes
+        a = _id_hashes(["x", "y"])
+        b = _id_hashes(pa.array(["x", "y"]))
+        assert (a == b).all()
+
+
+# ----------------------------------------------------------------------
+# Distributed join helpers (stages/joins.py)
+# ----------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoins:
+    @pytest.fixture(scope="class")
+    def tables(self):
+        rng = np.random.default_rng(7)
+        refs = pa.table({
+            "k": pa.array(rng.integers(0, 50, 200), pa.int64()),
+            "payload": pa.array([f"r{i}" for i in range(200)])})
+        keys = pa.table({
+            "k": pa.array(rng.integers(25, 75, 300), pa.int64()),
+            "n": pa.array(rng.integers(1, 9, 300), pa.int64())})
+        return refs, keys
+
+    def test_semi_join(self, tables):
+        import ray.data as rd
+        from dedup_restore_ray.stages.joins import semi_join
+        refs, keys = tables
+        got = semi_join(rd.from_arrow(refs).repartition(4),
+                        rd.from_arrow(keys).repartition(3),
+                        "k").to_pandas()
+        kset = set(keys["k"].to_pylist())
+        expect = refs.to_pandas()[refs.to_pandas().k.isin(kset)]
+        assert sorted(got.payload) == sorted(expect.payload)
+
+    def test_anti_join(self, tables):
+        import ray.data as rd
+        from dedup_restore_ray.stages.joins import anti_join
+        refs, keys = tables
+        got = anti_join(rd.from_arrow(refs).repartition(4),
+                        rd.from_arrow(keys).repartition(3),
+                        "k").to_pandas()
+        kset = set(keys["k"].to_pylist())
+        expect = refs.to_pandas()[~refs.to_pandas().k.isin(kset)]
+        assert sorted(got.payload) == sorted(expect.payload)
+
+    def test_left_lookup_with_default(self, tables):
+        import ray.data as rd
+        from dedup_restore_ray.stages.groups import grouped_aggregate
+        from dedup_restore_ray.stages.joins import left_lookup
+        refs, keys = tables
+        counts = grouped_aggregate(rd.from_arrow(keys).repartition(3),
+                                   ["k"], {}, count_alias="n_orders")
+        got = left_lookup(rd.from_arrow(refs).repartition(4), counts,
+                          "k", "n_orders", 0).to_pandas()
+        vc = keys.to_pandas().k.value_counts()
+        for _, row in got.iterrows():
+            assert row.n_orders == vc.get(row.k, 0)
+        assert len(got) == refs.num_rows
+
+
+# ----------------------------------------------------------------------
+# Substring: fingerprint shuffle ⊇ suffix-array pairs (parity at small
+# scale; the SA form is the demoted-to-test exact oracle)
+# ----------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+class TestSubstringParity:
+    def test_fingerprint_superset_of_suffix_array(self, pages_corpus):
+        import ray.data as rd
+        from dedup_restore_ray.functions.shingle import normalize_text
+        from dedup_restore_ray.stages.signatures import SignatureStage
+        from dedup_restore_ray.stages.substring import (fingerprint_pairs,
+                                                        suffix_array_pairs)
+        pages, truth = pages_corpus
+        cfg = PipelineConfig()
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pages["url"],
+            "text": pages["text"]}))
+
+        def norm(b):
+            nt = [normalize_text(t) for t in b.column("text").to_pylist()]
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "norm_text": pa.array(nt, pa.string())})
+
+        sa = suffix_array_pairs(
+            docs.map_batches(norm, batch_format="pyarrow").repartition(1),
+            cfg).to_pandas()
+        sigs = docs.map_batches(
+            SignatureStage(cfg, emit_minhash=False, emit_bucket_keys=False),
+            batch_format="pyarrow")
+        fp = fingerprint_pairs(
+            sigs.select_columns(["doc_id", "fingerprints"]),
+            cfg).to_pandas()
+        sa_set = {tuple(sorted(t)) for t in zip(sa.u, sa.v)}
+        fp_set = {tuple(sorted(t)) for t in zip(fp.u, fp.v)}
+        # winnowing guarantee: every exact >= min_len run is caught
+        assert sa_set <= fp_set
+        assert len(sa_set) > 0
+
+
+# ----------------------------------------------------------------------
+# Restore strictness: missing canonical fails loudly
+# ----------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+class TestRestoreStrict:
+    def _mini(self):
+        import ray.data as rd
+        assigns = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "canonical_id": pa.array([1, 1, 99], pa.int64())}))
+        store = rd.from_arrow(pa.table({
+            "canonical_id": pa.array([1], pa.int64()),
+            "stored_text": pa.array(["alpha"], pa.string())}))
+        return assigns, store
+
+    def test_broadcast_raises(self):
+        from dedup_restore_ray.pipelines.restore import restore_corpus
+        assigns, store = self._mini()
+        with pytest.raises(Exception, match="absent from the store"):
+            restore_corpus(assigns, store, strategy="broadcast").to_pandas()
+
+    def test_sort_raises(self):
+        from dedup_restore_ray.pipelines.restore import restore_corpus
+        assigns, store = self._mini()
+        with pytest.raises(Exception, match="absent from the store"):
+            restore_corpus(assigns, store, strategy="sort").to_pandas()
+
+    def test_windowed_raises(self):
+        from dedup_restore_ray.pipelines.restore import windowed_restore
+        assigns, store = self._mini()
+        with pytest.raises(Exception, match="absent from the store"):
+            windowed_restore(assigns, store, window_size=2)
+
+
+# ----------------------------------------------------------------------
+# Sessionize sort-kernel vs pandas reference
+# ----------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+class TestSessionizeKernel:
+    def test_matches_pandas(self, sf_dir):
+        from dedup_restore_ray.queries import q_sessionize_events
+        got = (q_sessionize_events(sf_dir).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+        rows = []
+        for uid, g in ev.groupby("user_id"):
+            g = g.sort_values("ts")
+            gaps = g["ts"].diff().dt.total_seconds().fillna(0)
+            rows.append((uid, len(g), int((gaps > 1800).sum()) + 1))
+        expect = (pd.DataFrame(rows,
+                               columns=["user_id", "n_events", "n_sessions"])
+                  .sort_values("user_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["user_id", "n_events", "n_sessions"]].astype(
+                {"n_events": "int64", "n_sessions": "int64"}),
+            expect.astype({"n_events": "int64", "n_sessions": "int64"}))
