@@ -493,6 +493,47 @@ def q_restore_docs(sf_dir: str):
     return restored.map_batches(digest, batch_format="pyarrow")
 
 
+def q_update_restore_docs(sf_dir: str):
+    """Direct random WRITE on the deduplicated store (reference R15
+    ``write_to_reloaded``, src/direct_rw.c:213-307): every 20th doc is
+    point-updated in place (new content appended as fresh store rows,
+    recipe patched — no re-dedup of the corpus), then the WHOLE corpus
+    is restored and digested.  The oracle computes the expected
+    post-update text per doc, so a wrong patch, a stale store row, or
+    a broken splice all hash-mismatch."""
+    from dedup_restore_ray.pipelines.restore import (canonical_store,
+                                                     restore_corpus)
+    from dedup_restore_ray.pipelines.update import apply_updates
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    marked = q_exact_dedup_docs(sf_dir).materialize()
+    store = canonical_store(docs, marked).materialize()
+
+    def make_update(batch: pa.Table) -> pa.Table:
+        ids_np = np.asarray(batch.column("doc_id").combine_chunks())
+        sel = batch.filter(pa.array(ids_np % 20 == 0))
+        ids = sel.column("doc_id").to_pylist()
+        txt = sel.column("text").to_pylist()
+        new = [f"{t} [v2:{i}]" for t, i in zip(txt, ids)]
+        return pa.table({"doc_id": sel.column("doc_id"),
+                         "new_text": pa.array(new, pa.string())})
+
+    updates = docs.map_batches(make_update, batch_format="pyarrow")
+    res = apply_updates(marked.select_columns(
+        ["doc_id", "canonical_id", "is_dup"]), store, updates)
+    restored = restore_corpus(
+        res.assignments.select_columns(["doc_id", "canonical_id"]),
+        res.store, strategy="sort")
+
+    def digest(batch: pa.Table) -> pa.Table:
+        import hashlib
+        h = [hashlib.md5((t or "").encode()).hexdigest()
+             for t in batch.column("restored_text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "restored_md5": pa.array(h, pa.string())})
+
+    return restored.map_batches(digest, batch_format="pyarrow")
+
+
 def q_trace_dedup(sf_dir: str):
     """Trace-shaped exact dedup (FIXTURES.md F2): lineitem rows as
     ordered chunk refs (file=l_orderkey, seq=l_linenumber), fingerprint
@@ -803,6 +844,7 @@ QUERIES = {
     "dedup_clusters_docs": q_dedup_clusters_docs,
     "substring_pairs_docs": q_substring_pairs_docs,
     "restore_docs": q_restore_docs,
+    "update_restore_docs": q_update_restore_docs,
     "trace_dedup": q_trace_dedup,
     "trace_dedup_stats": q_trace_dedup_stats,
     "sessionize_events": q_sessionize_events,
@@ -943,6 +985,13 @@ ORACLE_SQL = {
     """,
     "restore_docs": """
         SELECT doc_id, md5(text) AS restored_md5 FROM documents
+    """,
+    "update_restore_docs": """
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 20 = 0
+                        THEN text || ' [v2:' || CAST(doc_id AS VARCHAR) || ']'
+                        ELSE text END) AS restored_md5
+        FROM documents
     """,
     "trace_dedup": """
         WITH t AS (

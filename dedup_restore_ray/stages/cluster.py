@@ -306,28 +306,32 @@ def _anti_by_key(refs: "ray.data.Dataset", keys: "ray.data.Dataset",
     row survive."""
     from dedup_restore_ray.stages.groups import group_bounds, sorted_split
 
+    # capture the refs schema ONCE — Dataset.schema() inside a
+    # per-batch closure can trigger plan execution on every call
+    refs_schema = _pa_schema(refs)
+    out_fields = list(refs_schema.names)
+
     def key_rows(b: pa.Table) -> pa.Table:
         cols = {key_col: b.column(key_col),
                 "slot": pa.array(np.full(b.num_rows, -1, np.int8))}
-        for f in _pa_schema(refs).names:
+        for f in out_fields:
             if f != key_col:
-                cols[f] = pa.nulls(b.num_rows, _pa_schema(refs).field(f).type)
+                cols[f] = pa.nulls(b.num_rows, refs_schema.field(f).type)
         return pa.table(cols)
 
     def ref_rows(b: pa.Table) -> pa.Table:
         cols = {key_col: b.column(key_col),
                 "slot": pa.array(np.zeros(b.num_rows, np.int8))}
-        for f in _pa_schema(refs).names:
+        for f in out_fields:
             if f != key_col:
                 cols[f] = b.column(f)
         return pa.table(cols)
 
     rows = (keys.map_batches(key_rows, batch_format="pyarrow")
             .union(refs.map_batches(ref_rows, batch_format="pyarrow")))
-    out_fields = list(_pa_schema(refs).names)
 
     def pick_missing(b: pa.Table) -> pa.Table:
-        out_schema = pa.schema([(f, _pa_schema(refs).field(f).type)
+        out_schema = pa.schema([(f, refs_schema.field(f).type)
                                 for f in out_fields])
         n = b.num_rows
         if n == 0:

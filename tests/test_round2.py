@@ -248,6 +248,114 @@ class TestRestoreStrict:
 
 
 # ----------------------------------------------------------------------
+# Direct random write (reference R15 write_to_reloaded parity)
+# ----------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+class TestDirectWrite:
+    @pytest.fixture(scope="class")
+    def deduped(self):
+        import ray.data as rd
+        from dedup_restore_ray.functions.hashing import content_hashes
+        from dedup_restore_ray.pipelines.restore import canonical_store
+        from dedup_restore_ray.stages.exact import exact_dedup
+        texts = ["alpha beta", "alpha beta", "gamma", "delta", "gamma",
+                 "epsilon"]
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+        def add_hash(b):
+            h = content_hashes(b.column("text").to_pylist())
+            return b.append_column("content_hash",
+                                   pa.array(h, pa.binary(20)))
+
+        marked = exact_dedup(
+            docs.map_batches(add_hash, batch_format="pyarrow")).materialize()
+        store = canonical_store(docs, marked).materialize()
+        return texts, docs, marked, store
+
+    def _restore_texts(self, res):
+        from dedup_restore_ray.pipelines.restore import restore_corpus
+        out = restore_corpus(
+            res.assignments.select_columns(["doc_id", "canonical_id"]),
+            res.store, strategy="sort").to_pandas()
+        return dict(zip(out.doc_id, out.restored_text))
+
+    def test_update_to_new_content(self, deduped):
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.update import apply_updates
+        texts, docs, marked, store = deduped
+        updates = rd.from_arrow(pa.table({
+            "doc_id": pa.array([3], pa.int64()),
+            "new_text": pa.array(["delta PRIME"], pa.string())}))
+        res = apply_updates(marked.select_columns(
+            ["doc_id", "canonical_id", "is_dup"]), store, updates)
+        got = self._restore_texts(res)
+        assert got[3] == "delta PRIME"
+        for i, t in enumerate(texts):
+            if i != 3:
+                assert got[i] == t
+        assert res.metrics["n_updates"] == 1
+        assert res.metrics["new_store_rows"] == 1
+        assert res.metrics["dedup_hits"] == 0
+
+    def test_update_dedups_against_existing_content(self, deduped):
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.update import apply_updates
+        texts, docs, marked, store = deduped
+        # doc 5 rewritten to content that already exists (canonical 2)
+        updates = rd.from_arrow(pa.table({
+            "doc_id": pa.array([5], pa.int64()),
+            "new_text": pa.array(["gamma"], pa.string())}))
+        res = apply_updates(marked.select_columns(
+            ["doc_id", "canonical_id", "is_dup"]), store, updates)
+        assert res.metrics["dedup_hits"] == 1
+        assert res.metrics["new_store_rows"] == 0
+        got = self._restore_texts(res)
+        assert got[5] == "gamma"
+        a = res.assignments.to_pandas().set_index("doc_id")
+        assert a.loc[5, "canonical_id"] == 2
+        assert bool(a.loc[5, "is_dup"])
+
+    def test_update_canonical_keeps_dependents(self, deduped):
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.update import (apply_updates,
+                                                        vacuum_store)
+        texts, docs, marked, store = deduped
+        # doc 0 is canonical for doc 1; updating 0 must not corrupt 1
+        updates = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "new_text": pa.array(["ZERO v2"], pa.string())}))
+        res = apply_updates(marked.select_columns(
+            ["doc_id", "canonical_id", "is_dup"]), store, updates)
+        got = self._restore_texts(res)
+        assert got[0] == "ZERO v2"
+        assert got[1] == "alpha beta"     # dependent unaffected
+        # vacuum retains every still-referenced row
+        v = vacuum_store(res.assignments, res.store)
+        refs = set(res.assignments.to_pandas().canonical_id)
+        assert set(v.to_pandas().canonical_id) == refs
+
+    def test_concurrent_identical_updates_share_row(self, deduped):
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.update import apply_updates
+        texts, docs, marked, store = deduped
+        updates = rd.from_arrow(pa.table({
+            "doc_id": pa.array([3, 5], pa.int64()),
+            "new_text": pa.array(["same NEW content"] * 2, pa.string())}))
+        res = apply_updates(marked.select_columns(
+            ["doc_id", "canonical_id", "is_dup"]), store, updates)
+        assert res.metrics["new_store_rows"] == 1   # first-wins election
+        got = self._restore_texts(res)
+        assert got[3] == got[5] == "same NEW content"
+        a = res.assignments.to_pandas().set_index("doc_id")
+        assert a.loc[3, "canonical_id"] == a.loc[5, "canonical_id"]
+        assert not bool(a.loc[3, "is_dup"])   # elected writer
+        assert bool(a.loc[5, "is_dup"])
+
+
+# ----------------------------------------------------------------------
 # Sessionize sort-kernel vs pandas reference
 # ----------------------------------------------------------------------
 
