@@ -104,9 +104,11 @@ def windowed_restore(assignments: "ray.data.Dataset",
     restored_rows = 0
     restored_bytes = 0
     digest = hashlib.sha1()
+    merkle = hashlib.sha1()
     ordered = assignments.sort(list(order_cols))
     for win in ordered.iter_batches(batch_size=window_size,
                                     batch_format="pyarrow"):
+        win_digest = hashlib.sha1()
         refs = win.column("canonical_id").to_pylist()
         # group refs by container: one fetch per distinct canonical.
         # A canonical missing from the store is a store/recipe
@@ -127,12 +129,228 @@ def windowed_restore(assignments: "ray.data.Dataset",
             restored_bytes += len(t)
             digest.update(t.encode())
             digest.update(b"\x00")
+            win_digest.update(t.encode())
+            win_digest.update(b"\x00")
+        merkle.update(win_digest.hexdigest().encode())
     return {
         "total_container_read": total_container_read,
         "restored_rows": restored_rows,
         "restored_bytes": restored_bytes,
         "window_size": window_size,
         "restored_sha1": digest.hexdigest(),
+        # per-window digest chain — comparable across the driver and
+        # distributed formulations (same windows -> same merkle)
+        "restored_merkle": merkle.hexdigest(),
+    }
+
+
+def _window_ids(srt: "ray.data.Dataset", order_cols: tuple,
+                window_size: int) -> "ray.data.Dataset":
+    """Append ``window_id = global_rank // window_size`` to a SORTED,
+    MATERIALIZED dataset — distributed and exact, with only
+    O(num_blocks) driver state.
+
+    Two block-aligned passes over the same materialized blocks: pass 1
+    collects each block's (first order-key, row count); because the
+    sort's range partitioning makes block first-keys ascend with block
+    position (and the leading order column is unique per row), sorting
+    those first-keys on the driver recovers the block order and a
+    cumulative sum gives each block's global offset.  Pass 2 broadcasts
+    the tiny {first_key: offset} map and stamps ranks per block."""
+    import ray as _ray
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        cols = {"key": pa.array(
+            ["\x1f".join(str(b.column(c)[0].as_py()) for c in order_cols)]
+            if b.num_rows else [], pa.string()),
+            "n": pa.array([b.num_rows] if b.num_rows else [], pa.int64())}
+        for i, c in enumerate(order_cols):
+            cols[f"k{i}"] = b.column(c).slice(0, 1 if b.num_rows else 0)
+        return pa.table(cols)
+
+    metas = srt.map_batches(block_meta, batch_format="pyarrow",
+                            batch_size=None).take_all()
+    # the dataset is globally sorted, so ordering blocks by their
+    # first-row ORDER-COLUMN VALUES (not the string form) recovers
+    # block order; cumulative sum gives each block's global offset
+    metas.sort(key=lambda m: tuple(m[f"k{i}"]
+                                   for i in range(len(order_cols))))
+    offsets = {}
+    acc = 0
+    for m in metas:
+        offsets[m["key"]] = acc
+        acc += m["n"]
+    off_ref = _ray.put(offsets)
+
+    def stamp(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("window_id", pa.array([], pa.int64()))
+        omap = _ray.get(off_ref)
+        key = "\x1f".join(str(b.column(c)[0].as_py()) for c in order_cols)
+        start = omap[key]
+        wid = (start + np.arange(b.num_rows, dtype=np.int64)) // window_size
+        return b.append_column("window_id", pa.array(wid))
+
+    return srt.map_batches(stamp, batch_format="pyarrow", batch_size=None)
+
+
+def windowed_restore_distributed(assignments: "ray.data.Dataset",
+                                 store: "ray.data.Dataset",
+                                 window_size: int = 1024,
+                                 order_cols: tuple = ("doc_id",)) -> dict:
+    """The reference's windowed restore (R5-R12, src/look_ahead.c:
+    310-840) lifted fully off the driver: NO driver-resident store
+    dict, no per-ref Python loop.
+
+    - windows = contiguous ``window_size`` runs of the recipe in
+      (order_cols) order, assigned distributively (``_window_ids``);
+    - ``total_container_read`` = distinct (window_id, canonical_id)
+      pairs — exactly the driver ``windowed_restore`` counter (each
+      stored row fetched once per window it appears in), computed as
+      one distributed distinct;
+    - texts are gathered by ONE sort-scatter against the store
+      (stages/cluster._scatter_lookup) — the per-window grouped gather
+      of construct_restore_table/restore_from_table;
+    - byte-identity: ``restored_merkle`` = sha1 over per-window
+      ordered digests (windows digested distributively, combined on
+      the driver in window order) — parity-tested against the driver
+      version's identical merkle.
+
+    Raises on canonicals missing from the store (store/recipe
+    inconsistency), like every restore path here.
+    """
+    import hashlib
+
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import distinct_rows
+
+    refs = assignments.select_columns(
+        [*order_cols, "canonical_id"]).sort(list(order_cols)).materialize()
+    n_refs = refs.count()
+    if n_refs == 0:
+        return {"total_container_read": 0, "restored_rows": 0,
+                "restored_bytes": 0, "window_size": window_size,
+                "restored_merkle": hashlib.sha1(b"").hexdigest()}
+    refs_w = _window_ids(refs, order_cols, window_size).materialize()
+
+    total_container_read = distinct_rows(
+        refs_w.select_columns(["window_id", "canonical_id"]),
+        ["window_id", "canonical_id"]).count()
+
+    gathered = _scatter_lookup(
+        refs_w, store, key_col="canonical_id", payload_col="stored_text",
+        out_cols=["window_id", *order_cols]).materialize()
+    restored_rows = gathered.count()
+    if restored_rows != n_refs:
+        raise KeyError(
+            f"{n_refs - restored_rows} recipe refs point at canonicals "
+            f"absent from the store (windowed_restore_distributed)")
+    byte_parts = gathered.map_batches(
+        lambda b: pa.table({"n": pa.array(
+            [int(pa.compute.sum(pa.compute.utf8_length(
+                b.column("stored_text"))).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").take_all()
+    restored_bytes = sum(r["n"] for r in byte_parts)
+
+    # per-window ordered digests (few windows per block; the inner
+    # loop is C-speed sha1 over the window's texts)
+    def digest_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"window_id": pa.array([], pa.int64()),
+                             "digest": pa.array([], pa.string())})
+        starts, ends = group_bounds(b, ["window_id"])
+        texts = b.column("stored_text").to_pylist()
+        wids, digs = [], []
+        for s, e in zip(starts, ends):
+            h = hashlib.sha1()
+            for t in texts[s:e]:
+                h.update((t or "").encode())
+                h.update(b"\x00")
+            wids.append(b.column("window_id")[int(s)].as_py())
+            digs.append(h.hexdigest())
+        return pa.table({"window_id": pa.array(wids, pa.int64()),
+                         "digest": pa.array(digs, pa.string())})
+
+    interior, edge = sorted_split(gathered,
+                                  ["window_id", *order_cols],
+                                  ["window_id"])
+    dig_rows = (interior.map_batches(digest_block, batch_format="pyarrow",
+                                     batch_size=None)
+                .union(edge.groupby("window_id").map_groups(
+                    lambda g: digest_block(g.sort_by(
+                        [("window_id", "ascending")]
+                        + [(c, "ascending") for c in order_cols])),
+                    batch_format="pyarrow"))).take_all()
+    merkle = hashlib.sha1()
+    for r in sorted(dig_rows, key=lambda r: r["window_id"]):
+        merkle.update(r["digest"].encode())
+    return {
+        "total_container_read": int(total_container_read),
+        "restored_rows": int(restored_rows),
+        "restored_bytes": int(restored_bytes),
+        "window_size": window_size,
+        "restored_merkle": merkle.hexdigest(),
+    }
+
+
+class CachedWindowGather:
+    """Actor for the container-cache restore variants (reference
+    R8-R11, src/look_ahead.c:460-701): an LRU of stored rows persists
+    ACROSS windows, so a canonical reused in a later window costs no
+    new container read while cached.
+
+    Deployed as ``map_batches(CachedWindowGather, concurrency=1)``
+    over window-ordered refs for reference-faithful (single-stream)
+    counters; with concurrency > 1 each actor models one restore
+    stream and the counters sum across streams (scheduling-dependent,
+    like any multi-worker cache)."""
+
+    def __init__(self, cache_size: int):
+        import collections
+        self.cache: "collections.OrderedDict" = collections.OrderedDict()
+        self.cache_size = cache_size
+        self.container_read = 0
+        self.cache_hit = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from dedup_restore_ray.stages.verify import _id_hashes
+        ch = _id_hashes(batch.column("canonical_id"))
+        for h in ch.tolist():
+            if h in self.cache:
+                self.cache_hit += 1
+                self.cache.move_to_end(h)
+            else:
+                self.container_read += 1
+                self.cache[h] = True
+                if len(self.cache) > self.cache_size:
+                    self.cache.popitem(last=False)
+        return pa.table({
+            "container_read": pa.array([self.container_read], pa.int64()),
+            "cache_hit": pa.array([self.cache_hit], pa.int64())})
+
+
+def windowed_restore_cached(assignments: "ray.data.Dataset",
+                            store: "ray.data.Dataset",
+                            cache_size: int = 30,
+                            order_cols: tuple = ("doc_id",)) -> dict:
+    """Container-cache counters for the windowed restore (reference
+    R8-R11): stream the recipe in order through an actor-held LRU of
+    ``cache_size`` stored rows; a read is counted only on cache miss.
+    cache_size -> infinity reproduces the one-shot restore (every
+    container read exactly once); cache_size = 0 degenerates to one
+    read per ref (regular_assemble, src/look_ahead.c:149-179)."""
+    refs = assignments.select_columns(
+        [*order_cols, "canonical_id"]).sort(list(order_cols))
+    rows = refs.map_batches(
+        CachedWindowGather, batch_format="pyarrow",
+        concurrency=1,
+        fn_constructor_args=(cache_size,)).take_all()
+    # the actor's counters are cumulative; the last row has the totals
+    return {
+        "total_container_read": max((r["container_read"] for r in rows),
+                                    default=0),
+        "cache_hit": max((r["cache_hit"] for r in rows), default=0),
+        "cache_size": cache_size,
     }
 
 

@@ -534,6 +534,28 @@ def q_update_restore_docs(sf_dir: str):
     return restored.map_batches(digest, batch_format="pyarrow")
 
 
+def q_windowed_restore_docs(sf_dir: str, window_size: int = 64):
+    """Distributed windowed restore counters (reference R5-R12
+    look-ahead restore, src/look_ahead.c:310-840): total_container_read
+    = stored-row fetches with one fetch per (window, canonical) — the
+    quantity the reference's whole LAW/FAA apparatus minimizes.  Fully
+    distributed (no driver-resident store); the oracle recomputes the
+    counters relationally."""
+    from dedup_restore_ray.pipelines.restore import (
+        canonical_store, windowed_restore_distributed)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    marked = q_exact_dedup_docs(sf_dir).materialize()
+    store = canonical_store(docs, marked)
+    m = windowed_restore_distributed(
+        marked.select_columns(["doc_id", "canonical_id"]), store,
+        window_size=window_size)
+    return pd.DataFrame({
+        "total_container_read": [m["total_container_read"]],
+        "restored_rows": [m["restored_rows"]],
+        "restored_bytes": [m["restored_bytes"]],
+    })
+
+
 def q_trace_dedup(sf_dir: str):
     """Trace-shaped exact dedup (FIXTURES.md F2): lineitem rows as
     ordered chunk refs (file=l_orderkey, seq=l_linenumber), fingerprint
@@ -845,6 +867,7 @@ QUERIES = {
     "substring_pairs_docs": q_substring_pairs_docs,
     "restore_docs": q_restore_docs,
     "update_restore_docs": q_update_restore_docs,
+    "windowed_restore_docs": q_windowed_restore_docs,
     "trace_dedup": q_trace_dedup,
     "trace_dedup_stats": q_trace_dedup_stats,
     "sessionize_events": q_sessionize_events,
@@ -992,6 +1015,23 @@ ORACLE_SQL = {
                         THEN text || ' [v2:' || CAST(doc_id AS VARCHAR) || ']'
                         ELSE text END) AS restored_md5
         FROM documents
+    """,
+    "windowed_restore_docs": """
+        WITH r AS (
+          SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY text) AS canonical_id
+          FROM documents),
+        w AS (
+          SELECT canonical_id,
+                 CAST(FLOOR((row_number() OVER (ORDER BY doc_id) - 1)
+                            / 64) AS BIGINT) AS window_id
+          FROM r)
+        SELECT (SELECT count(*) FROM
+                  (SELECT DISTINCT window_id, canonical_id FROM w))
+                 AS total_container_read,
+               (SELECT count(*) FROM w) AS restored_rows,
+               (SELECT sum(length(text))::BIGINT FROM documents)
+                 AS restored_bytes
     """,
     "trace_dedup": """
         WITH t AS (

@@ -356,6 +356,79 @@ class TestDirectWrite:
 
 
 # ----------------------------------------------------------------------
+# Distributed windowed restore: counter + merkle parity with the
+# driver-side formulation (reference R5-R12 look-ahead restore)
+# ----------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+class TestWindowedRestoreDistributed:
+    @pytest.fixture(scope="class")
+    def corpus(self, pages_corpus):
+        import ray.data as rd
+        from dedup_restore_ray.functions.hashing import content_hashes
+        from dedup_restore_ray.pipelines.restore import canonical_store
+        from dedup_restore_ray.stages.exact import exact_dedup
+        pages, truth = pages_corpus
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pages["url"],
+            "text": pages["text"]})).map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "text": pa.compute.fill_null(b.column("text"), "")}),
+            batch_format="pyarrow")
+
+        def add_hash(b):
+            h = content_hashes(b.column("text").to_pylist())
+            return b.append_column("content_hash",
+                                   pa.array(h, pa.binary(20)))
+
+        marked = exact_dedup(docs.map_batches(
+            add_hash, batch_format="pyarrow")).materialize()
+        store = canonical_store(docs, marked).materialize()
+        return marked.select_columns(
+            ["doc_id", "canonical_id"]).repartition(7).materialize(), store
+
+    @pytest.mark.parametrize("window", [32, 128])
+    def test_counter_and_merkle_parity(self, corpus, window):
+        from dedup_restore_ray.pipelines.restore import (
+            windowed_restore, windowed_restore_distributed)
+        assigns, store = corpus
+        drv = windowed_restore(assigns, store, window_size=window)
+        dist = windowed_restore_distributed(assigns, store,
+                                            window_size=window)
+        assert dist["total_container_read"] == drv["total_container_read"]
+        assert dist["restored_rows"] == drv["restored_rows"]
+        assert dist["restored_bytes"] == drv["restored_bytes"]
+        assert dist["restored_merkle"] == drv["restored_merkle"]
+
+    def test_reads_monotone_in_window(self, corpus):
+        from dedup_restore_ray.pipelines.restore import (
+            windowed_restore_distributed)
+        assigns, store = corpus
+        reads = [windowed_restore_distributed(
+            assigns, store, window_size=w)["total_container_read"]
+            for w in (16, 64, 512)]
+        assert reads[0] >= reads[1] >= reads[2]
+
+    def test_cached_counters(self, corpus):
+        from dedup_restore_ray.pipelines.restore import (
+            windowed_restore_cached)
+        assigns, store = corpus
+        n = assigns.count()
+        uniq = store.count()
+        no_cache = windowed_restore_cached(assigns, store, cache_size=0)
+        big_cache = windowed_restore_cached(assigns, store,
+                                            cache_size=10**6)
+        mid_cache = windowed_restore_cached(assigns, store, cache_size=8)
+        # cache_size=0 -> regular_assemble: one read per ref
+        assert no_cache["total_container_read"] == n
+        # infinite cache -> one read per stored row (one-shot restore)
+        assert big_cache["total_container_read"] == uniq
+        assert (uniq <= mid_cache["total_container_read"] <= n)
+        assert mid_cache["cache_hit"] + mid_cache["total_container_read"] == n
+
+
+# ----------------------------------------------------------------------
 # Sessionize sort-kernel vs pandas reference
 # ----------------------------------------------------------------------
 
