@@ -23,7 +23,6 @@ from dedup_restore_ray.config import PipelineConfig
 from dedup_restore_ray.functions.hashing import content_hashes
 from dedup_restore_ray.functions.shingle import ShingleEncoder, token_counts, tokenize
 from dedup_restore_ray.functions.similarity import (cosine_topk_block,
-                                                    ivf_assign, kmeans_fit,
                                                     l2_normalize, merge_topk)
 from dedup_restore_ray.functions.textstats import (_STOPWORDS_EN,
                                                    detect_language,
@@ -336,76 +335,66 @@ def q_similarity_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
 
 def q_embedding_cosine_pairs(sf_dir: str, threshold: float = 0.3):
     """Embedding-cosine near-dup pairs (u < v, cosine >= threshold) —
-    all-pairs via per-batch matmul against the broadcast corpus (the
-    corpus fits the broadcast at test scale; the production path is the
-    IVF-bucketed variant q_ann_ivf)."""
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    EXACT, via the distributed block-cross-product
+    (stages/embpairs.cosine_pairs_blockwise): one Ray task per block
+    pair, no whole-corpus broadcast.  The approximate 100-TB path is
+    hyperplane LSH (q_embedding_lsh_pairs) / the IVF index
+    (q_ann_ivf)."""
+    from dedup_restore_ray.stages.embpairs import cosine_pairs_blockwise
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    pairs = cosine_pairs_blockwise(ds, threshold, num_blocks=8)
+    return pairs.map_batches(
+        lambda b: pa.table({"u": b.column("u"), "v": b.column("v"),
+                            "cosine": pa.array(round_half_up(
+                                np.asarray(b.column("cosine"))))}),
+        batch_format="pyarrow")
+
+
+def q_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.3):
+    """Approximate embedding near-dup pairs via hyperplane (sign-
+    random-projection) LSH — the scale path: only the projection
+    matrix is broadcast; candidates ride the salted bucket stream and
+    are verified with exact cosine delivered by sort-scatter
+    (rows-only: LSH candidate sets are probabilistic; recall is
+    asserted on a planted corpus in tests)."""
+    from dedup_restore_ray.stages.embpairs import hyperplane_lsh_pairs
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = hyperplane_lsh_pairs(ds, threshold, CFG)
+    return out.map_batches(
+        lambda b: pa.table({"u": b.column("u"), "v": b.column("v"),
+                            "cosine": pa.array(round_half_up(
+                                np.asarray(b.column("cosine"))))}),
+        batch_format="pyarrow")
+
+
+def ivf_index_for(sf_dir: str):
+    """Build (or reuse — the meta manifest makes this resumable) the
+    persisted partitioned IVF index for an sf_dir's embeddings."""
+    import os
+    from dedup_restore_ray.stages.ann import IVFIndex
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/ivf_index_{tag}_{CFG.config_hash()}"
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    all_ids = emb["vec_id"].to_numpy()
-    all_vecs = l2_normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
-    ref = ray.put((all_ids, all_vecs))
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_all, vec_all = ray.get(ref)
-        ids = np.asarray(batch.column("vec_id"))
-        vecs = l2_normalize(np.stack(batch.column("embedding").to_pylist())
-                            .astype(np.float64))
-        s = vecs @ vec_all.T
-        bi, bj = np.nonzero(s >= threshold)
-        u = ids[bi]
-        v = ids_all[bj]
-        keep = u < v
-        return pa.table({"u": pa.array(u[keep], pa.int64()),
-                         "v": pa.array(v[keep], pa.int64()),
-                         "cosine": pa.array(round_half_up(s[bi, bj][keep]))})
-
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    return IVFIndex.build(emb, index_dir, CFG)
 
 
-def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10):
-    """IVF approximate NN: k-means centroids fit on a sample, vectors
-    bucketed by nearest centroid (shuffle key), queries probe the
-    nearest num_probe buckets (rows-only check — approximate)."""
-    cfg = CFG
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    sample = np.stack(emb["embedding"].head(2000).to_numpy()).astype(np.float64)
-    cent = kmeans_fit(sample, cfg.ivf_num_centroids, seed=42)
+def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
+              num_probe: int | None = None):
+    """IVF approximate NN over a REAL partitioned index
+    (stages/ann.py): vectors shuffled by nearest-centroid list id and
+    persisted as one Parquet directory per list; each query reads ONLY
+    its probed lists' partitions (rows-only check — approximate;
+    recall vs brute force asserted in tests/test_strategies.py)."""
+    idx = ivf_index_for(sf_dir)
     qids, qn = _load_queries(sf_dir, n_queries)
-    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :cfg.ivf_num_probe]
-    cent_ref = ray.put((cent, qn, probe))
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-
-    def bucketed_partial(batch: pa.Table) -> pa.Table:
-        c, qm, pr = ray.get(cent_ref)
-        vecs = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
-        ids = np.asarray(batch.column("vec_id"))
-        lists = ivf_assign(vecs, c)
-        out_q, out_id, out_s = [], [], []
-        for qrow in range(qm.shape[0]):
-            mask = np.isin(lists, pr[qrow])
-            if not mask.any():
-                continue
-            tid, ts = cosine_topk_block(qm[qrow:qrow + 1], vecs[mask],
-                                        ids[mask], k)
-            out_q.extend([qrow] * tid.shape[1])
-            out_id.extend(tid[0])
-            out_s.extend(ts[0])
-        return pa.table({"qrow": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(np.array(out_id, dtype=np.int64)),
-                         "score": pa.array(np.array(out_s, dtype=np.float64))})
-
-    rows = ds.map_batches(bucketed_partial, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    for qrow in range(len(qids)):
-        g = rows[rows.qrow == qrow].sort_values(
-            ["score", "vec_id"], ascending=[False, True]).head(k)
-        for _, r in g.iterrows():
-            out_rows.append((int(qids[qrow]), int(r.vec_id),
-                             float(round_half_up(r.score))))
-    return pd.DataFrame(out_rows, columns=["qid", "vec_id", "score"])
+    out, metrics = idx.search(qn, k=k, num_probe=num_probe,
+                              query_ids=qids)
+    assert metrics["partitions_read"] <= metrics["partitions_total"]
+    out["score"] = round_half_up(out["score"])
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -860,6 +849,7 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "similarity_topk": q_similarity_topk,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ann_ivf": q_ann_ivf,
     "minhash_signatures_docs": q_minhash_signatures_docs,
     "near_dup_pairs_docs": q_near_dup_pairs_docs,

@@ -429,6 +429,54 @@ class TestWindowedRestoreDistributed:
 
 
 # ----------------------------------------------------------------------
+# Embedding pair generation without whole-corpus broadcast
+# ----------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingPairs:
+    @pytest.fixture(scope="class")
+    def planted(self):
+        """120 random unit vectors + 15 planted near-dups of the first
+        15 (cosine > 0.95)."""
+        rng = np.random.default_rng(13)
+        base = rng.standard_normal((120, 32))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        noisy = base[:15] + 0.08 * rng.standard_normal((15, 32))
+        vecs = np.vstack([base, noisy])
+        ids = np.arange(len(vecs), dtype=np.int64)
+        tbl = pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64()))})
+        # brute-force expected pairs at 0.8
+        from dedup_restore_ray.functions.similarity import l2_normalize
+        vn = l2_normalize(vecs)
+        s = vn @ vn.T
+        iu, iv = np.nonzero(np.triu(s >= 0.8, k=1))
+        return tbl, {(int(a), int(b)) for a, b in zip(iu, iv)}
+
+    def test_blockwise_exact(self, planted):
+        import ray.data as rd
+        from dedup_restore_ray.stages.embpairs import cosine_pairs_blockwise
+        tbl, expect = planted
+        got = cosine_pairs_blockwise(rd.from_arrow(tbl), 0.8,
+                                     num_blocks=5).to_pandas()
+        assert {(int(u), int(v)) for u, v in zip(got.u, got.v)} == expect
+        assert len(expect) >= 15
+
+    def test_hyperplane_lsh_recall(self, planted):
+        import ray.data as rd
+        from dedup_restore_ray.stages.embpairs import hyperplane_lsh_pairs
+        tbl, expect = planted
+        got = hyperplane_lsh_pairs(rd.from_arrow(tbl), 0.8).to_pandas()
+        found = {(int(u), int(v)) for u, v in zip(got.u, got.v)}
+        # verification is exact cosine -> precision 1.0
+        assert found <= expect
+        # 16x8 sign-LSH at cosine>=0.95 collides w.h.p.
+        assert len(found & expect) / len(expect) >= 0.9
+
+
+# ----------------------------------------------------------------------
 # Sessionize sort-kernel vs pandas reference
 # ----------------------------------------------------------------------
 
