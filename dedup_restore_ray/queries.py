@@ -630,14 +630,16 @@ def q_sessionize_events(sf_dir: str, gap_seconds: int = 1800):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing (rows-only): deterministic fake payloads ->
-    actor-pool decode stub -> fixed-dim feature vectors."""
+    """Multimodal decode (rows-only): deterministic REAL payloads (PPM
+    image / PCM WAV / Y4M video per doc) -> actor-pool decode with the
+    pure-python codecs (functions/codecs.py) -> fixed-dim feature
+    vectors."""
     from dedup_restore_ray.stages.multimodal import DecodeMedia, synth_media_table
     docs = _docs(sf_dir, ["doc_id", "text"])
     media = docs.map_batches(
         lambda b: synth_media_table(b), batch_format="pyarrow")
-    feats = media.map_batches(DecodeMedia(fake=True), batch_format="pyarrow",
-                              batch_size=64)
+    feats = media.map_batches(DecodeMedia(fake=False),
+                              batch_format="pyarrow", batch_size=64)
     out = feats.select_columns(["doc_id", "payload_bytes"])
     return out
 

@@ -1,22 +1,21 @@
-"""Multimodal column plumbing: decode / feature-extract / resize /
-frame-sample stages over opaque binary payload columns.
+"""Multimodal column stages: decode / feature-extract / resize /
+frame-sample over opaque binary payload columns.
 
 Image/audio/video payloads are treated as opaque ``binary`` columns
-with typed metadata (media_type, width/height/duration), exactly how
-the reference treats chunk payloads as opaque byte buffers
-(reference: include/config.h:53-56 — bytes in, bytes out).
+with typed metadata (media_type, duration), exactly how the reference
+treats chunk payloads as opaque byte buffers (reference:
+include/config.h:53-56 — bytes in, bytes out).
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the codec step is STUBBED: ``DecodeMedia`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by the payload hash) produces
-arrays of the declared shape.  Everything around the stub — schema,
-actor-pool signature, batch sizing, output layout — is real and
-tested, so swapping in a real codec is a one-function change.
+The decode step is REAL for the uncompressed formats a pure-python
+decoder can handle (functions/codecs.py): PPM/PGM images, PCM WAV
+audio, YUV4MPEG2 (C420) video.  Compressed codecs (JPEG/MP3/H.264 —
+their libraries are absent from this container) raise ValueError with
+a clear message; ``fake=True`` keeps the deterministic stub decoder
+for plumbing tests.
 
 Scale notes: payload rows are large; use a small ``batch_size`` (the
-per-batch bytes, not row count, is what must fit the worker heap) and
-an actor pool (decoder state loads once per actor).
+per-batch BYTES, not row count, must fit the worker heap) and an
+actor pool (decoder dispatch tables built once per actor).
 """
 
 from __future__ import annotations
@@ -32,31 +31,57 @@ from dedup_restore_ray.functions.hashing import hash_bytes_u64
 class DecodeMedia:
     """Actor-pool stage: binary payload -> fixed-size feature vector.
 
-    Use as ``ds.map_batches(DecodeMedia(fake=True), batch_format="pyarrow",
-    batch_size=64, concurrency=N)``.  Real codecs load in __init__.
+    Use as ``ds.map_batches(DecodeMedia(), batch_format="pyarrow",
+    batch_size=64, concurrency=N)``.  Dispatches on ``media_type``:
+    image/ppm, audio/wav, video/y4m decode for real
+    (functions/codecs.py); unknown types raise unless ``fake=True``.
     """
 
-    def __init__(self, payload_col: str = "payload", feature_dim: int = 64,
-                 fake: bool = False):
+    def __init__(self, payload_col: str = "payload",
+                 type_col: str = "media_type",
+                 feature_dim: int = 64, fake: bool = False):
+        from dedup_restore_ray.functions import codecs
         self.payload_col = payload_col
+        self.type_col = type_col
         self.feature_dim = feature_dim
         self.fake = fake
-        if not fake:
-            # real decoder would be constructed here (once per actor)
-            raise NotImplementedError(
-                "media codecs are not available in this environment; "
-                "pass fake=True for the deterministic stub decoder")
+        self.codecs = codecs   # module bound once per actor
 
-    def _decode_one(self, payload: bytes | None) -> np.ndarray:
+    def _decode_fake(self, payload: bytes | None) -> np.ndarray:
         if payload is None:
             return np.zeros(self.feature_dim, dtype=np.float32)
         seed = hash_bytes_u64(payload) & 0xFFFFFFFF
         rng = np.random.default_rng(seed)
         return rng.standard_normal(self.feature_dim).astype(np.float32)
 
+    def _decode_one(self, payload: bytes | None, mtype: str) -> np.ndarray:
+        if self.fake:
+            return self._decode_fake(payload)
+        c = self.codecs
+        if payload is None:
+            return np.zeros(self.feature_dim, dtype=np.float32)
+        if mtype in ("image/ppm", "image/pgm"):
+            return c.image_features(c.decode_ppm(payload), self.feature_dim)
+        if mtype == "audio/wav":
+            samples, rate = c.decode_wav(payload)
+            return c.audio_features(samples, rate, self.feature_dim)
+        if mtype == "video/y4m":
+            frames, w, h = c.decode_y4m(payload)
+            feats = np.stack([c.image_features(f, self.feature_dim)
+                              for f in frames])
+            return feats.mean(axis=0).astype(np.float32)
+        raise ValueError(
+            f"no decoder for media_type {mtype!r} (compressed codecs "
+            f"are unavailable in this environment; supported: "
+            f"image/ppm, image/pgm, audio/wav, video/y4m)")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
-        feats = np.stack([self._decode_one(p) for p in payloads]) \
+        types = (batch.column(self.type_col).to_pylist()
+                 if self.type_col in batch.schema.names
+                 else ["image/fake"] * len(payloads))
+        feats = np.stack([self._decode_one(p, t)
+                          for p, t in zip(payloads, types)]) \
             if payloads else np.zeros((0, self.feature_dim), np.float32)
         flat = pa.array(feats.reshape(-1), pa.float32())
         offsets = pa.array(
@@ -69,56 +94,136 @@ class DecodeMedia:
 
 
 class ResizeImage:
-    """Actor-pool stage stub: binary image -> binary image at (w, h).
-    Real implementation would use PIL; the stub passes bytes through
-    and records the target shape (schema-correct plumbing)."""
+    """Actor-pool stage: PPM/PGM payload -> PPM/PGM payload resized to
+    (width, height) with nearest-neighbor sampling (pure numpy;
+    functions/codecs.resize_nearest).  Non-image payloads pass
+    through untouched."""
 
-    def __init__(self, width: int, height: int, payload_col: str = "payload"):
+    def __init__(self, width: int, height: int, payload_col: str = "payload",
+                 type_col: str = "media_type"):
+        from dedup_restore_ray.functions import codecs
         self.width = width
         self.height = height
         self.payload_col = payload_col
+        self.type_col = type_col
+        self.codecs = codecs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        c = self.codecs
+        payloads = batch.column(self.payload_col).to_pylist()
+        types = (batch.column(self.type_col).to_pylist()
+                 if self.type_col in batch.schema.names
+                 else [""] * len(payloads))
+        out_payloads = []
+        for p, t in zip(payloads, types):
+            if p is not None and t in ("image/ppm", "image/pgm"):
+                img = c.decode_ppm(p)
+                out_payloads.append(c.encode_ppm(
+                    c.resize_nearest(img, self.width, self.height)))
+            else:
+                out_payloads.append(p)
         n = batch.num_rows
-        return (batch.append_column("target_w",
-                                    pa.array([self.width] * n, pa.int32()))
-                     .append_column("target_h",
-                                    pa.array([self.height] * n, pa.int32())))
+        out = batch.drop_columns([self.payload_col])
+        return (out.append_column(self.payload_col,
+                                  pa.array(out_payloads, pa.binary()))
+                   .append_column("target_w",
+                                  pa.array([self.width] * n, pa.int32()))
+                   .append_column("target_h",
+                                  pa.array([self.height] * n, pa.int32())))
 
 
 class FrameSample:
-    """Actor-pool stage stub: video payload -> every-k-th frame refs.
-    Emits (doc ref, frame_index) rows — the flat_map shape a real
-    ffmpeg-backed sampler would produce."""
+    """Actor-pool stage: video payload -> every-k-th frame rows.
 
-    def __init__(self, every_k: int = 10, duration_col: str = "duration_s",
-                 fps: float = 30.0):
+    For real video/y4m payloads the frames are decoded and each
+    sampled frame is emitted as a PPM payload row (flat_map shape).
+    For other rows the frame schedule is derived from the declared
+    duration (plumbing parity with the original stub)."""
+
+    def __init__(self, every_k: int = 10, payload_col: str = "payload",
+                 type_col: str = "media_type",
+                 duration_col: str = "duration_s", fps: float = 30.0):
+        from dedup_restore_ray.functions import codecs
         self.every_k = every_k
+        self.payload_col = payload_col
+        self.type_col = type_col
         self.duration_col = duration_col
         self.fps = fps
+        self.codecs = codecs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        durs = batch.column(self.duration_col).to_pylist()
-        n_frames = [max(0, int((d or 0) * self.fps)) // self.every_k
-                    for d in durs]
-        idx = np.repeat(np.arange(batch.num_rows), n_frames)
-        frames = np.concatenate(
-            [np.arange(k, dtype=np.int64) * self.every_k for k in n_frames]
-        ) if n_frames else np.empty(0, np.int64)
-        out = batch.select([batch.schema.names[0]]).take(pa.array(idx))
-        return out.append_column("frame_index", pa.array(frames))
+        c = self.codecs
+        id_name = batch.schema.names[0]
+        types = (batch.column(self.type_col).to_pylist()
+                 if self.type_col in batch.schema.names
+                 else [""] * batch.num_rows)
+        payloads = (batch.column(self.payload_col).to_pylist()
+                    if self.payload_col in batch.schema.names
+                    else [None] * batch.num_rows)
+        durs = (batch.column(self.duration_col).to_pylist()
+                if self.duration_col in batch.schema.names
+                else [0.0] * batch.num_rows)
+        row_idx: list[int] = []
+        frame_idx: list[int] = []
+        frame_ppm: list[bytes | None] = []
+        for i, (p, t, d) in enumerate(zip(payloads, types, durs)):
+            if p is not None and t == "video/y4m":
+                frames, w, h = c.decode_y4m(p)
+                for fi in range(0, len(frames), self.every_k):
+                    row_idx.append(i)
+                    frame_idx.append(fi)
+                    frame_ppm.append(c.encode_ppm(frames[fi]))
+            else:
+                k = max(0, int((d or 0) * self.fps)) // self.every_k
+                for j in range(k):
+                    row_idx.append(i)
+                    frame_idx.append(j * self.every_k)
+                    frame_ppm.append(None)
+        out = batch.select([id_name]).take(
+            pa.array(np.asarray(row_idx, dtype=np.int64)))
+        return (out.append_column("frame_index",
+                                  pa.array(frame_idx, pa.int64()))
+                   .append_column("frame_payload",
+                                  pa.array(frame_ppm, pa.binary())))
 
 
 def synth_media_table(docs: pa.Table, text_col: str = "text") -> pa.Table:
-    """Deterministic fake media payloads derived from a docs table (the
-    testdata has no binary columns; payload = utf-8 bytes + sha1 tag)."""
+    """Deterministic REAL media payloads derived from a docs table
+    (the testdata has no binary columns): doc_id mod 3 selects a PPM
+    image, a PCM WAV clip, or a 3-frame Y4M video, with pixel/sample
+    content seeded by the text's hash — so decode stages exercise the
+    real codecs end-to-end."""
+    from dedup_restore_ray.functions import codecs
     texts = docs.column(text_col).to_pylist()
-    payloads = [
-        (t or "").encode() + hashlib.sha1((t or "").encode()).digest()
-        for t in texts]
+    ids = docs.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    mtypes: list[str] = []
+    durs: list[float] = []
+    for i, t in zip(ids, texts):
+        seed = hash_bytes_u64((t or "").encode()) & 0xFFFFFFFF
+        rng = np.random.default_rng(seed)
+        kind = (int(i) % 3 if isinstance(i, (int, np.integer))
+                else int(hash_bytes_u64(str(i).encode()) % 3))
+        if kind == 0:
+            img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            payloads.append(codecs.encode_ppm(img))
+            mtypes.append("image/ppm")
+            durs.append(0.0)
+        elif kind == 1:
+            n = 64 + int(rng.integers(0, 64))
+            samples = (rng.standard_normal(n) * 8000).astype(np.int16)
+            payloads.append(codecs.encode_wav(samples, rate=8000))
+            mtypes.append("audio/wav")
+            durs.append(n / 8000.0)
+        else:
+            frames = [rng.integers(0, 256, (4, 4), dtype=np.uint8)
+                      for _ in range(3)]
+            payloads.append(codecs.encode_y4m(frames, fps=30))
+            mtypes.append("video/y4m")
+            durs.append(3 / 30.0)
     return pa.table({
         "doc_id": docs.column("doc_id"),
-        "media_type": pa.array(["image/fake"] * len(texts)),
+        "media_type": pa.array(mtypes),
         "payload": pa.array(payloads, pa.binary()),
-        "duration_s": pa.array([len(t or "") / 100.0 for t in texts]),
+        "duration_s": pa.array(durs, pa.float64()),
     })

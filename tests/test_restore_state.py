@@ -76,10 +76,12 @@ class TestResumableOutput:
 
 
 class TestMultimodal:
-    def test_decode_stub_requires_fake(self):
+    def test_real_decode_rejects_unknown_type(self):
         from dedup_restore_ray.stages.multimodal import DecodeMedia
-        with pytest.raises(NotImplementedError):
-            DecodeMedia(fake=False)
+        t = pa.table({"doc_id": [1], "payload": [b"\xff\xd8rubbish"],
+                      "media_type": ["image/jpeg"]})
+        with pytest.raises(ValueError, match="no decoder"):
+            DecodeMedia(fake=False)(t)
 
     def test_fake_decode_deterministic(self):
         from dedup_restore_ray.stages.multimodal import DecodeMedia
