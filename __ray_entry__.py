@@ -19,11 +19,11 @@ def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: documents ->
     signatures -> exact dedup -> LSH/simhash/substring candidates ->
     exact-Jaccard verify -> clustering -> assignments."""
-    import ray.data as rd
     from dedup_restore_ray.config import PipelineConfig
     from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+    from dedup_restore_ray.sources.io import read_parquet_clean
 
-    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+    ds = read_parquet_clean("/root/testdata/sf0.001/documents.parquet",
                          columns=["doc_id", "text"])
     res = dedup_pipeline(ds, PipelineConfig(), id_col="doc_id",
                          text_col="text")

@@ -38,6 +38,7 @@ def run_benchmarks() -> dict:
     import ray.data as rd
     from dedup_restore_ray.config import PipelineConfig
     from dedup_restore_ray.pipelines.dedup import dedup_pipeline, dedup_stats
+    from dedup_restore_ray.sources.io import read_parquet_clean
     from dedup_restore_ray import queries as Q
 
     _init_ray()
@@ -45,11 +46,11 @@ def run_benchmarks() -> dict:
     n_docs = 0
 
     # warm the OS page cache so we measure compute+shuffle, not cold disk
-    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    read_parquet_clean(f"{SF_DIR}/documents.parquet").count()
 
     # --- headline: flagship near-dup pipeline over documents -----------
     t0 = time.time()
-    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+    ds = read_parquet_clean(f"{SF_DIR}/documents.parquet",
                          columns=["doc_id", "text"])
     res = dedup_pipeline(ds, PipelineConfig(), id_col="doc_id",
                          text_col="text")
@@ -61,7 +62,9 @@ def run_benchmarks() -> dict:
     for name in ["exact_dedup_docs", "minhash_signatures_docs",
                  "near_dup_pairs_docs", "substring_pairs_docs",
                  "similarity_topk", "embedding_cosine_pairs",
-                 "q1_lineitem", "grouped_restore", "events_hourly"]:
+                 "q1_lineitem", "grouped_restore", "events_hourly",
+                 "update_restore_docs", "windowed_restore_docs",
+                 "ann_ivf", "sessionize_events"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)
@@ -99,13 +102,13 @@ def _scaling_corpus() -> str:
 def run_scaling_child() -> dict:
     """One flagship run over the deterministic synthetic page corpus
     (north_rule input shape) at RAY_GRAFT_CPUS."""
-    import ray.data as rd
     from dedup_restore_ray.config import PipelineConfig
     from dedup_restore_ray.pipelines.dedup import dedup_pipeline, dedup_stats
+    from dedup_restore_ray.sources.io import read_parquet_clean
     path = _scaling_corpus()
     _init_ray()
     t0 = time.time()
-    ds = rd.read_parquet(path, columns=["url", "text", "html"])
+    ds = read_parquet_clean(path, columns=["url", "text", "html"])
     res = dedup_pipeline(ds, PipelineConfig(), id_col="url",
                          text_col="text", html_col="html")
     stats = dedup_stats(res.assignments)

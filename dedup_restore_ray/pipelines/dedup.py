@@ -273,26 +273,70 @@ def dedup_pipeline(docs: "ray.data.Dataset",
                        verified_pairs=verified, metrics=metrics)
 
 
+def assign_streams(ds: "ray.data.Dataset", policy: str = "hash",
+                   num_streams: int = 16, id_col: str = "doc_id"
+                   ) -> "ray.data.Dataset":
+    """Multi-stream placement (reference D6 ``set_stream_id``,
+    src/container.c:249-263, modes include/config.h:136-140): append a
+    ``stream_id`` column choosing which output stream/partition each
+    row lands in.
+
+      hash    id-hash modulo (the round-1 default — co-locates reruns
+              of the same id deterministically);
+      near    everything to stream 0 (the reference's NEAR returns 0 —
+              maximal locality, single-stream);
+      random  uniform pseudo-random — DETERMINISTIC here (salted
+              id-hash), unlike the reference's srand(time), because
+              resume-skip needs stable partition membership;
+      cycle   round-robin by position within each block (the
+              reference's incrementing counter, per-writer).
+    """
+    from dedup_restore_ray.functions.hashing import mix64
+    from dedup_restore_ray.stages.verify import _id_hashes
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if policy == "near":
+            sid = np.zeros(n, dtype=np.int64)
+        elif policy == "cycle":
+            sid = np.arange(n, dtype=np.int64) % num_streams
+        elif policy == "random":
+            sid = (mix64(_id_hashes(batch.column(id_col))
+                         ^ np.uint64(0x5EED))
+                   % np.uint64(num_streams)).astype(np.int64)
+        elif policy == "hash":
+            sid = (_id_hashes(batch.column(id_col))
+                   % np.uint64(num_streams)).astype(np.int64)
+        else:
+            raise ValueError(f"unknown placement policy {policy!r}")
+        return batch.append_column("stream_id", pa.array(sid))
+
+    return ds.map_batches(stamp, batch_format="pyarrow")
+
+
 def write_assignments(result: DedupResult, out_dir: str,
                       cfg: PipelineConfig | None = None,
-                      num_partitions: int = 16) -> dict:
+                      num_partitions: int = 16,
+                      placement: str = "hash") -> dict:
     """Resumable partitioned output: assignments hashed into
     ``num_partitions`` directories, each written atomically with a
     lineage manifest (config hash, row count, per-partition metrics).
     A rerun skips partitions whose manifest is complete — the
     'resume from last completed checkpoint' contract (north_rule;
-    reference analogue: append-only recipes, SURVEY §4)."""
+    reference analogue: append-only recipes, SURVEY §4).
+
+    placement: stream policy (see ``assign_streams``).  hash / random /
+    near give id-stable membership (resume-safe); cycle balances
+    perfectly but is stable only for identical input block layouts."""
     from dedup_restore_ray.state.manifest import (completed_partitions,
                                                   write_partition)
-    from dedup_restore_ray.stages.verify import _id_hashes
     cfg = cfg or PipelineConfig()
     chash = cfg.config_hash()
     done = completed_partitions(out_dir)
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        ih = _id_hashes(batch.column("doc_id").to_pylist())
-        part = (ih % np.uint64(num_partitions)).astype(np.int64)
-        return batch.append_column("part", pa.array(part))
+    def rename_part(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("stream_id")
+        return batch.set_column(idx, "part", batch.column("stream_id"))
 
     def write_group(g: pa.Table) -> pa.Table:
         # one writer per deterministic hash partition (same membership
@@ -308,7 +352,9 @@ def write_assignments(result: DedupResult, out_dir: str,
             written = g.num_rows
         return pa.table({"written": pa.array([written], pa.int64())})
 
-    parts = result.assignments.map_batches(add_part, batch_format="pyarrow")
+    parts = assign_streams(result.assignments, policy=placement,
+                           num_streams=num_partitions).map_batches(
+        rename_part, batch_format="pyarrow")
     total = sum(r["written"] for r in
                 parts.groupby("part").map_groups(
                     write_group, batch_format="pyarrow").take_all())

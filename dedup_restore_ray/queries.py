@@ -20,6 +20,7 @@ import ray
 import ray.data as rd
 
 from dedup_restore_ray.config import PipelineConfig
+from dedup_restore_ray.sources.io import read_parquet_clean
 from dedup_restore_ray.functions.hashing import content_hashes
 from dedup_restore_ray.functions.shingle import ShingleEncoder, token_counts, tokenize
 from dedup_restore_ray.functions.similarity import (cosine_topk_block,
@@ -44,7 +45,7 @@ _STOP_SQL = ",".join(f"'{w}'" for w in sorted(_STOPWORDS_EN))
 
 
 def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # ----------------------------------------------------------------------
@@ -149,7 +150,7 @@ def q_langid_docs(sf_dir: str):
 
 def q_q1_lineitem(sf_dir: str):
     """Grouped aggregate with filter (Q1-style)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"])
@@ -177,7 +178,7 @@ def q_q1_lineitem(sf_dir: str):
 
 def q_top_customers(sf_dir: str):
     """Hash join + grouped aggregate + top-k (broadcast small side)."""
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name", "c_mktsegment"])
@@ -203,7 +204,7 @@ def q_grouped_restore(sf_dir: str):
     reattach bytes.  Realized as broadcast lookup (part is the small
     side) — the groupby(container) shuffle form is dedup_pipeline's
     exact-dedup stage."""
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_linenumber", "l_partkey",
                                   "l_quantity"])
     part = pd.read_parquet(f"{sf_dir}/part.parquet",
@@ -222,7 +223,7 @@ def q_grouped_restore(sf_dir: str):
 
 def q_sort_topk_orders(sf_dir: str):
     """Global sort + limit."""
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_totalprice"])
     top = orders.sort(["o_totalprice", "o_orderkey"],
                       descending=[True, False]).limit(20).to_pandas()
@@ -231,7 +232,7 @@ def q_sort_topk_orders(sf_dir: str):
 
 
 def q_events_by_type(sf_dir: str):
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
     out = (ev.groupby("event_type")
            .aggregate(rd.aggregate.Count(alias_name="n_events"),
@@ -246,7 +247,7 @@ def q_events_by_type(sf_dir: str):
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate over the event stream (streaming-shaped
     workload expressed as groupby over floored event time)."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -277,7 +278,7 @@ def q_distinct_users(sf_dir: str):
     call (stages/groups replaces map_groups)."""
     from dedup_restore_ray.stages.groups import (distinct_rows,
                                                  grouped_aggregate)
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
 
     def local_distinct(batch: pa.Table) -> pa.Table:
@@ -305,7 +306,7 @@ def q_similarity_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     matmul partials, driver merge (results are k rows/query)."""
     qids, qn = _load_queries(sf_dir, n_queries)
     qref = ray.put(qn)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -341,7 +342,7 @@ def q_embedding_cosine_pairs(sf_dir: str, threshold: float = 0.3):
     hyperplane LSH (q_embedding_lsh_pairs) / the IVF index
     (q_ann_ivf)."""
     from dedup_restore_ray.stages.embpairs import cosine_pairs_blockwise
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     pairs = cosine_pairs_blockwise(ds, threshold, num_blocks=8)
     return pairs.map_batches(
@@ -359,7 +360,7 @@ def q_embedding_lsh_pairs(sf_dir: str, threshold: float = 0.3):
     (rows-only: LSH candidate sets are probabilistic; recall is
     asserted on a planted corpus in tests)."""
     from dedup_restore_ray.stages.embpairs import hyperplane_lsh_pairs
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     out = hyperplane_lsh_pairs(ds, threshold, CFG)
     return out.map_batches(
@@ -376,7 +377,7 @@ def ivf_index_for(sf_dir: str):
     from dedup_restore_ray.stages.ann import IVFIndex
     tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = f"/tmp/ivf_index_{tag}_{CFG.config_hash()}"
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return IVFIndex.build(emb, index_dir, CFG)
 
@@ -552,7 +553,7 @@ def q_trace_dedup(sf_dir: str):
     reference's recipe semantics (src/metadata.c:91-95,
     src/dedup.c:135-173)."""
     from dedup_restore_ray.stages.groups import mark_canonical
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_linenumber", "l_partkey"])
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -590,7 +591,7 @@ def q_sessionize_events(sf_dir: str, gap_seconds: int = 1800):
     map_groups); block-edge users are reassembled by the residual
     pass, so results are independent of block layout."""
     from dedup_restore_ray.stages.groups import group_bounds, sorted_split
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
 
     def session_block(b: pa.Table) -> pa.Table:
@@ -681,7 +682,7 @@ def q_point_lookup(sf_dir: str):
     src/direct_rw.c:152-307): predicate-pushdown read of a key range +
     column pruning — only matching row groups leave storage."""
     import pyarrow.dataset as pads
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
         filter=(pads.field("o_orderkey") >= 100) & (pads.field("o_orderkey") < 200))
@@ -694,7 +695,7 @@ def q_sorted_head(sf_dir: str):
     """Global sort + ranked head (recipe ordering, reference
     src/metadata.c:91-95 positional order): first 100 lineitem refs in
     (file, seq) order with explicit rank."""
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_linenumber"])
     head = (li.sort(["l_orderkey", "l_linenumber"]).limit(100)).to_pandas()
     head = head.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
@@ -707,12 +708,12 @@ def q_semi_join_customers(sf_dir: str):
     fully distributed sort-scatter rendezvous (stages/joins.semi_join);
     the orders side never streams to the driver."""
     from dedup_restore_ray.stages.joins import semi_join
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey"])
     keys = orders.map_batches(
         lambda b: pa.table({"c_custkey": b.column("o_custkey")}),
         batch_format="pyarrow")
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
     return semi_join(cust, keys, "c_custkey")
 
@@ -723,20 +724,20 @@ def q_anti_join_customers(sf_dir: str):
     pre-filtered at the read (predicate pushdown), no driver key set."""
     import pyarrow.dataset as pads
     from dedup_restore_ray.stages.joins import anti_join
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey"],
                              filter=pads.field("o_totalprice") > 400000.0)
     keys = orders.map_batches(
         lambda b: pa.table({"c_custkey": b.column("o_custkey")}),
         batch_format="pyarrow")
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
     return anti_join(cust, keys, "c_custkey")
 
 
 def q_having_parts(sf_dir: str):
     """Grouped aggregate + having: parts referenced by > 25 lineitems."""
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
     from dedup_restore_ray.stages.groups import grouped_aggregate
     agg = grouped_aggregate(li, ["l_partkey"], {},
                             count_alias="n_refs").to_pandas()
@@ -779,13 +780,13 @@ def q_customer_order_counts(sf_dir: str):
     count map."""
     from dedup_restore_ray.stages.groups import grouped_aggregate
     from dedup_restore_ray.stages.joins import left_lookup
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     counts = grouped_aggregate(orders, ["o_custkey"], {},
                                count_alias="n_orders").map_batches(
         lambda b: pa.table({"c_custkey": b.column("o_custkey"),
                             "n_orders": b.column("n_orders")}),
         batch_format="pyarrow")
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
     return left_lookup(cust, counts, "c_custkey", "n_orders", 0)
 
@@ -824,7 +825,7 @@ def q_top_orders_per_customer(sf_dir: str):
     most expensive orders — one multi-key sort + vectorized per-block
     head-of-group (stages/groups.grouped_topk)."""
     from dedup_restore_ray.stages.groups import grouped_topk
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_orderkey",
                                       "o_totalprice"])
     top = grouped_topk(orders, ["o_custkey"],

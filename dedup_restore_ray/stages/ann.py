@@ -115,7 +115,8 @@ class IVFIndex:
         # from the directory), unioned — no other partition is touched
         parts = []
         for l in probed_lists:
-            d = rd.read_parquet(self._list_dir(l),
+            from dedup_restore_ray.sources.io import read_parquet_clean
+            d = read_parquet_clean(self._list_dir(l),
                                 columns=[id_col, vec_col])
             parts.append(d.map_batches(
                 lambda b, _l=l: b.append_column(

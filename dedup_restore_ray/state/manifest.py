@@ -56,11 +56,20 @@ def write_partition(root: str, part_id: int | str, table: pa.Table,
     os.makedirs(root, exist_ok=True)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(table, os.path.join(tmp, "data.parquet"))
+    data_path = os.path.join(tmp, "data.parquet")
+    # per-chunk compression is delegated to the Parquet codec
+    # (reference M4 LZJB, src/lzjb.c) — but the RATIO counters the
+    # reference reports (origin_len, include/metadata.h:22) are
+    # first-class manifest fields
+    pq.write_table(table, data_path, compression="zstd")
+    stored = os.path.getsize(data_path)
     manifest = {
         "part_id": str(part_id),
         "rows": table.num_rows,
         "bytes": table.nbytes,
+        "origin_bytes": table.nbytes,
+        "stored_bytes": stored,
+        "compress_ratio": round(table.nbytes / stored, 3) if stored else None,
         "config_hash": config_hash,
         "inputs": inputs or [],
         "metrics": metrics or {},
@@ -89,11 +98,17 @@ def read_manifests(root: str) -> list[dict]:
 def aggregate_metrics(root: str) -> dict:
     """Reduce per-partition metric dicts (the reference's final counter
     report src/optsmr.c:316-332, reborn)."""
-    total: dict = {"partitions": 0, "rows": 0}
+    total: dict = {"partitions": 0, "rows": 0,
+                   "origin_bytes": 0, "stored_bytes": 0}
     for m in read_manifests(root):
         total["partitions"] += 1
         total["rows"] += m.get("rows", 0)
+        total["origin_bytes"] += m.get("origin_bytes", 0)
+        total["stored_bytes"] += m.get("stored_bytes", 0)
         for k, v in (m.get("metrics") or {}).items():
             if isinstance(v, (int, float)):
                 total[k] = total.get(k, 0) + v
+    if total["stored_bytes"]:
+        total["compress_ratio"] = round(
+            total["origin_bytes"] / total["stored_bytes"], 3)
     return total

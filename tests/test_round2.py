@@ -579,6 +579,65 @@ class TestCodecs:
 
 
 # ----------------------------------------------------------------------
+# Multi-stream placement policies (reference D6 set_stream_id) +
+# compression counters in manifests
+# ----------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+class TestPlacementAndCompression:
+    def _docs(self, n=64):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "x": pa.array([f"v{i}" for i in range(n)])}))
+
+    def test_policies(self):
+        from dedup_restore_ray.pipelines.dedup import assign_streams
+        ds = self._docs()
+        near = assign_streams(ds, "near", 8).to_pandas()
+        assert set(near.stream_id) == {0}
+        cyc = assign_streams(ds, "cycle", 8).to_pandas()
+        assert sorted(cyc.stream_id.value_counts()) == [8] * 8
+        rnd = assign_streams(ds, "random", 8).to_pandas()
+        hsh = assign_streams(ds, "hash", 8).to_pandas()
+        assert rnd.stream_id.between(0, 7).all()
+        assert hsh.stream_id.between(0, 7).all()
+        # random is salted differently from hash
+        assert not (rnd.stream_id == hsh.stream_id).all()
+        # determinism (resume-safety): same ids -> same streams
+        rnd2 = assign_streams(ds, "random", 8).to_pandas()
+        assert (rnd.stream_id == rnd2.stream_id).all()
+        with pytest.raises(Exception):
+            assign_streams(ds, "bogus", 8).to_pandas()
+
+    def test_manifest_compression_counters(self, tmp_path):
+        from dedup_restore_ray.state.manifest import (aggregate_metrics,
+                                                      write_partition)
+        root = str(tmp_path / "out")
+        t = pa.table({"a": pa.array(["abc" * 100] * 1000)})
+        write_partition(root, "0", t, "cfg")
+        agg = aggregate_metrics(root)
+        assert agg["origin_bytes"] > 0
+        assert 0 < agg["stored_bytes"] < agg["origin_bytes"]
+        assert agg["compress_ratio"] > 1.0
+
+    def test_write_assignments_placement(self, tmp_path):
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.dedup import (dedup_pipeline,
+                                                       write_assignments)
+        texts = [f"document body number {i % 10}" for i in range(40)]
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts)}))
+        res = dedup_pipeline(docs, PipelineConfig())
+        out_dir = str(tmp_path / "near_out")
+        summary = write_assignments(res, out_dir, num_partitions=4,
+                                    placement="near")
+        assert summary["written_rows"] == 40
+        assert summary["partitions"] == 1     # NEAR -> single stream
+
+
+# ----------------------------------------------------------------------
 # Sessionize sort-kernel vs pandas reference
 # ----------------------------------------------------------------------
 
