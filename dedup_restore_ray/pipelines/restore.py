@@ -237,9 +237,10 @@ def windowed_restore_distributed(assignments: "ray.data.Dataset",
         refs_w.select_columns(["window_id", "canonical_id"]),
         ["window_id", "canonical_id"]).count()
 
-    gathered = _scatter_lookup(
+    from dedup_restore_ray.stages.groups import flatten_blocks
+    gathered = flatten_blocks(_scatter_lookup(
         refs_w, store, key_col="canonical_id", payload_col="stored_text",
-        out_cols=["window_id", *order_cols]).materialize()
+        out_cols=["window_id", *order_cols]))
     restored_rows = gathered.count()
     if restored_rows != n_refs:
         raise KeyError(
@@ -403,9 +404,11 @@ def restore_corpus(assignments: "ray.data.Dataset",
                 "text": pa.array([None] * n, pa.string()),
             })
 
-        rows = (store.map_batches(store_rows, batch_format="pyarrow")
-                .union(assignments.select_columns(["doc_id", "canonical_id"])
-                       .map_batches(ref_rows, batch_format="pyarrow")))
+        from dedup_restore_ray.stages.groups import flatten_blocks
+        rows = flatten_blocks(
+            store.map_batches(store_rows, batch_format="pyarrow")
+            .union(assignments.select_columns(["doc_id", "canonical_id"])
+                   .map_batches(ref_rows, batch_format="pyarrow")))
 
         def scatter(b: pa.Table) -> pa.Table:
             out_schema = pa.schema([

@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from dedup_restore_ray.functions.hashing import content_hashes
-from dedup_restore_ray.stages.cluster import _scatter_lookup
+from dedup_restore_ray.stages.cluster import scatter_lookup_split
 from dedup_restore_ray.stages.groups import mark_canonical
 from dedup_restore_ray.stages.joins import anti_join, semi_join
 
@@ -96,14 +96,16 @@ def apply_updates(assignments: "ray.data.Dataset",
     id_type_ds = assignments.schema()
     id_type = dict(zip(id_type_ds.names, id_type_ds.types))[id_col]
 
-    up_hashed = _hash_col(updates, text_col, [id_col]).materialize()
+    up_hashed = _hash_col(updates, text_col, [id_col, text_col])
     store_hashed = _hash_col(store, "stored_text", ["canonical_id"])
 
-    # --- dedup-hit branch: content already in the store --------------
-    hits = _scatter_lookup(up_hashed, store_hashed,
-                           key_col="content_hash",
-                           payload_col="canonical_id",
-                           out_cols=[id_col]).materialize()
+    # ONE sort-scatter rendezvous yields both branches (hits = content
+    # already stored, misses = genuinely new content with their texts)
+    hits, misses = scatter_lookup_split(
+        up_hashed, store_hashed, key_col="content_hash",
+        payload_col="canonical_id",
+        out_cols=[id_col, text_col, "content_hash"])
+    hits = hits.materialize()
     n_hits = hits.count()
 
     def hit_rows(b: pa.Table) -> pa.Table:
@@ -115,13 +117,6 @@ def apply_updates(assignments: "ray.data.Dataset",
         })
 
     patched_hits = hits.map_batches(hit_rows, batch_format="pyarrow")
-
-    # --- new-content branch: fresh canonical per distinct content ----
-    # carry new_text through the anti-join so writers keep their payload
-    up_with_text = _hash_col(updates, text_col, [id_col, text_col])
-    misses = anti_join(up_with_text,
-                       store_hashed.select_columns(["content_hash"]),
-                       "content_hash")
 
     def add_fresh(b: pa.Table) -> pa.Table:
         fresh = _fresh_ids(b.column("content_hash").to_pylist(), id_type)
@@ -162,7 +157,11 @@ def apply_updates(assignments: "ray.data.Dataset",
     untouched = anti_join(
         assignments.select_columns([id_col, "canonical_id", "is_dup"]),
         updates.select_columns([id_col]), id_col)
-    new_assignments = untouched.union(patched_hits).union(patched_misses)
+    # coalesce the deep union-of-scatter DAG so downstream sorts
+    # (restore, further updates) don't hit the tiny-block sort stall
+    from dedup_restore_ray.stages.groups import flatten_blocks
+    new_assignments = flatten_blocks(
+        untouched.union(patched_hits).union(patched_misses))
     new_store = store.union(new_store_rows)
 
     return UpdateResult(

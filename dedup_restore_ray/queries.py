@@ -781,10 +781,19 @@ def q_customer_order_counts(sf_dir: str):
     from dedup_restore_ray.stages.groups import grouped_aggregate
     from dedup_restore_ray.stages.joins import left_lookup
     orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    counts = grouped_aggregate(orders, ["o_custkey"], {},
-                               count_alias="n_orders").map_batches(
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        # combiner: shrink the shuffle to one row per (batch, custkey)
+        g = b.group_by(["o_custkey"]).aggregate([("o_custkey", "count")])
+        return pa.table({"o_custkey": g.column("o_custkey"),
+                         "pn": g.column("o_custkey_count")})
+
+    counts = grouped_aggregate(
+        orders.map_batches(local_counts, batch_format="pyarrow"),
+        ["o_custkey"], {"n_orders": ("pn", "sum")}).map_batches(
         lambda b: pa.table({"c_custkey": b.column("o_custkey"),
-                            "n_orders": b.column("n_orders")}),
+                            "n_orders": pc.cast(b.column("n_orders"),
+                                                pa.int64())}),
         batch_format="pyarrow")
     cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])

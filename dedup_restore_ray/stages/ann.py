@@ -74,9 +74,13 @@ class IVFIndex:
                              "list_id": pa.array(lists, pa.int64())})
 
         n = emb.count()
-        # the shuffle: partitioned write clusters each list's vectors
-        # into its own directory (probe-pruned reads)
+        # the shuffle: sort by list id clusters each list's vectors
+        # contiguously, so the partitioned write emits a FEW files per
+        # list directory (without the sort, every input block crosses
+        # every partition -> blocks x lists tiny files, and the probe
+        # read pays per-file overhead)
         (emb.map_batches(assign, batch_format="pyarrow")
+            .sort("list_id")
             .write_parquet(index_dir, partition_cols=["list_id"]))
         np.save(os.path.join(index_dir, "centroids.npy"), cent)
         json.dump({"config_hash": chash, "num_rows": n,
@@ -111,28 +115,25 @@ class IVFIndex:
         if not probed_lists:
             return (pd.DataFrame(columns=["qid", "vec_id", "score"]),
                     metrics)
-        # pruned read: one Dataset per probed list (list id re-attached
-        # from the directory), unioned — no other partition is touched
-        parts = []
-        for l in probed_lists:
-            from dedup_restore_ray.sources.io import read_parquet_clean
-            d = read_parquet_clean(self._list_dir(l),
-                                columns=[id_col, vec_col])
-            parts.append(d.map_batches(
-                lambda b, _l=l: b.append_column(
-                    "list_id", pa.array([_l] * b.num_rows, pa.int64())),
-                batch_format="pyarrow"))
-        ds = parts[0]
-        for p in parts[1:]:
-            ds = ds.union(p)
-        ref = ray.put((qn, probe))
+        # pruned read: ONE read over exactly the probed lists'
+        # directories — no other partition is touched.  Per-row list
+        # membership is recomputed from the broadcast centroids inside
+        # the batch fn (deterministic — identical to the stored
+        # assignment), so no per-directory datasets/unions are needed.
+        from dedup_restore_ray.sources.io import read_parquet_clean
+        files = [os.path.join(self._list_dir(l), f)
+                 for l in probed_lists
+                 for f in sorted(os.listdir(self._list_dir(l)))
+                 if f.endswith(".parquet")]
+        ds = read_parquet_clean(files, columns=[id_col, vec_col])
+        ref = ray.put((qn, probe, self.centroids))
 
         def partial(batch: pa.Table) -> pa.Table:
-            qm, pr = ray.get(ref)
+            qm, pr, cent = ray.get(ref)
             vecs = np.stack(batch.column(vec_col).to_pylist()
                             ).astype(np.float64)
             ids = np.asarray(batch.column(id_col))
-            lists = np.asarray(batch.column("list_id"))
+            lists = ivf_assign(vecs, cent)
             out_q, out_id, out_s = [], [], []
             for qrow in range(qm.shape[0]):
                 mask = np.isin(lists, pr[qrow])

@@ -117,16 +117,15 @@ def _pa_schema(ds: "ray.data.Dataset") -> pa.Schema:
     return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
 
 
-def _scatter_lookup(refs: "ray.data.Dataset", store: "ray.data.Dataset",
-                    key_col: str, payload_col: str, out_cols: list[str]
-                    ) -> "ray.data.Dataset":
-    """Distributed key->payload lookup via one sort-scatter (no
-    Dataset.join): ``store`` rows (slot -1) lead each key group after a
-    sort on (key, slot); a vectorized take replicates the payload onto
-    the reference rows.  refs must carry key_col + out_cols; output =
-    out_cols + payload_col.  Keys absent from the store drop their
-    refs."""
-    from dedup_restore_ray.stages.groups import group_bounds, sorted_split
+def _scatter_sorted_runs(refs: "ray.data.Dataset",
+                         store: "ray.data.Dataset",
+                         key_col: str, payload_col: str,
+                         out_cols: list[str]):
+    """Shared plumbing for the sort-scatter lookups: tag store rows
+    (slot -1) and ref rows (slot 0), co-sort on (key, slot), return
+    (interior, edge, payload_type).  The sorted run is materialized
+    once (inside sorted_split) and can feed several kernels."""
+    from dedup_restore_ray.stages.groups import sorted_split
 
     payload_type = _pa_schema(store).field(payload_col).type
     refs_schema = _pa_schema(refs)
@@ -152,11 +151,25 @@ def _scatter_lookup(refs: "ray.data.Dataset", store: "ray.data.Dataset",
 
     rows = (store.map_batches(store_rows, batch_format="pyarrow")
             .union(refs.map_batches(ref_rows, batch_format="pyarrow")))
+    interior, edge = sorted_split(rows, [key_col, "slot"], [key_col])
+    return interior, edge, payload_type
+
+
+def _make_scatter_kernel(key_col: str, payload_col, payload_type,
+                         out_cols: list[str], emit: str):
+    """Block kernel over (key, slot)-sorted rows.  emit='hit' -> refs
+    whose key group leads with a store row, payload attached;
+    emit='miss' -> refs whose group has no store row (out_cols only);
+    emit='both' -> every ref with payload (null on miss) + __hit flag."""
+    from dedup_restore_ray.stages.groups import group_bounds
 
     def scatter(b: pa.Table) -> pa.Table:
-        out_schema = pa.schema(
-            [(c, b.schema.field(c).type) for c in out_cols]
-            + [(payload_col, payload_type)])
+        fields = [(c, b.schema.field(c).type) for c in out_cols]
+        if emit in ("hit", "both"):
+            fields = fields + [(payload_col, payload_type)]
+        if emit == "both":
+            fields = fields + [("__hit", pa.bool_())]
+        out_schema = pa.schema(fields)
         n = b.num_rows
         if n == 0:
             return out_schema.empty_table()
@@ -164,23 +177,85 @@ def _scatter_lookup(refs: "ray.data.Dataset", store: "ray.data.Dataset",
         sizes = ends - starts
         slot = np.asarray(b.column("slot"))
         has_store = slot[starts] == -1
-        store_idx = np.repeat(starts, sizes)
-        ref_mask = (slot >= 0) & np.repeat(has_store, sizes)
+        hit_rows = np.repeat(has_store, sizes)
+        if emit == "hit":
+            ref_mask = (slot >= 0) & hit_rows
+        elif emit == "miss":
+            ref_mask = (slot >= 0) & ~hit_rows
+        else:
+            ref_mask = slot >= 0
         rr = np.flatnonzero(ref_mask)
         if len(rr) == 0:
             return out_schema.empty_table()
         cols = {c: b.column(c).take(pa.array(rr)) for c in out_cols}
-        cols[payload_col] = b.column(payload_col).take(
-            pa.array(store_idx[rr]))
+        if emit in ("hit", "both"):
+            store_idx = np.repeat(starts, sizes)
+            # misses take their own (null) payload cell
+            src = np.where(hit_rows[rr], store_idx[rr], rr)
+            cols[payload_col] = b.column(payload_col).take(pa.array(src))
+        if emit == "both":
+            cols["__hit"] = pa.array(hit_rows[rr])
         return pa.table(cols)
 
-    interior, edge = sorted_split(rows, [key_col, "slot"], [key_col])
-    return (interior.map_batches(scatter, batch_format="pyarrow",
+    return scatter
+
+
+def _apply_scatter(interior, edge, key_col, kernel):
+    return (interior.map_batches(kernel, batch_format="pyarrow",
                                  batch_size=None)
             .union(edge.groupby(key_col).map_groups(
-                lambda g: scatter(g.sort_by(
+                lambda g: kernel(g.sort_by(
                     [(key_col, "ascending"), ("slot", "ascending")])),
                 batch_format="pyarrow")))
+
+
+def scatter_lookup_split(refs: "ray.data.Dataset",
+                         store: "ray.data.Dataset",
+                         key_col: str, payload_col: str,
+                         out_cols: list[str]
+                         ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """One sort-scatter pass returning BOTH (hits, misses): hits carry
+    out_cols + payload_col; misses carry out_cols only (refs whose key
+    has no store row).  ONE sort + ONE residual groupby total: a
+    combined kernel tags every ref hit/miss, the tagged result is
+    materialized once (coalesced), and the two outputs are cheap
+    filters over it — where sequential lookup + anti-join would pay
+    two sorts and two residual shuffles."""
+    interior, edge, ptype = _scatter_sorted_runs(refs, store, key_col,
+                                                 payload_col, out_cols)
+    both_k = _make_scatter_kernel(key_col, payload_col, ptype, out_cols,
+                                  "both")
+    from dedup_restore_ray.stages.groups import flatten_blocks
+    combined = flatten_blocks(
+        _apply_scatter(interior, edge, key_col, both_k))
+
+    def hits_of(b: pa.Table) -> pa.Table:
+        sel = b.filter(b.column("__hit").combine_chunks())
+        return sel.drop_columns(["__hit"])
+
+    def misses_of(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sel = b.filter(pc.invert(b.column("__hit").combine_chunks()))
+        return sel.drop_columns(["__hit", payload_col])
+
+    return (combined.map_batches(hits_of, batch_format="pyarrow"),
+            combined.map_batches(misses_of, batch_format="pyarrow"))
+
+
+def _scatter_lookup(refs: "ray.data.Dataset", store: "ray.data.Dataset",
+                    key_col: str, payload_col: str, out_cols: list[str]
+                    ) -> "ray.data.Dataset":
+    """Distributed key->payload lookup via one sort-scatter (no
+    Dataset.join): ``store`` rows (slot -1) lead each key group after a
+    sort on (key, slot); a vectorized take replicates the payload onto
+    the reference rows.  refs must carry key_col + out_cols; output =
+    out_cols + payload_col.  Keys absent from the store drop their
+    refs."""
+    interior, edge, ptype = _scatter_sorted_runs(refs, store, key_col,
+                                                 payload_col, out_cols)
+    hit_k = _make_scatter_kernel(key_col, payload_col, ptype, out_cols,
+                                 "hit")
+    return _apply_scatter(interior, edge, key_col, hit_k)
 
 
 def cluster_label_propagation_distributed(edges: "ray.data.Dataset",

@@ -28,6 +28,23 @@ import pyarrow.compute as pc
 import ray.data
 
 
+def flatten_blocks(ds: "ray.data.Dataset",
+                   width: int | None = None) -> "ray.data.Dataset":
+    """Coalesce a deep union DAG / many tiny blocks into ``width``
+    materialized blocks BEFORE feeding a sort.  Ray's sort planner
+    estimates memory from block counts and stalls on the accumulated
+    tiny blocks that union-of-map_groups outputs produce (observed:
+    '13GB driver memory' scheduling stall for a 10-row dataset) —
+    see CLAUDE.md.  Width scales with the cluster so this never
+    serializes a large job."""
+    if width is None:
+        try:
+            width = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            width = 8
+    return ds.repartition(width).materialize()
+
+
 def adjacent_equal(tbl: pa.Table, cols: list[str]) -> np.ndarray:
     """bool[n-1]: row i+1 equals row i on all cols (sorted input)."""
     n = tbl.num_rows

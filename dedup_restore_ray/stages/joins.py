@@ -20,7 +20,8 @@ import pyarrow as pa
 import ray.data
 
 from dedup_restore_ray.stages.cluster import (_anti_by_key, _pa_schema,
-                                              _scatter_lookup)
+                                              _scatter_lookup,
+                                              scatter_lookup_split)
 
 
 def semi_join(refs: "ray.data.Dataset", keys: "ray.data.Dataset",
@@ -51,12 +52,13 @@ def left_lookup(refs: "ray.data.Dataset", store: "ray.data.Dataset",
                 default) -> "ray.data.Dataset":
     """Left join of ``refs`` against single-row-per-key ``store``:
     matched rows get the payload, unmatched rows get ``default``.
-    Two passes over the same sort-scatter plan (hit ∪ miss)."""
+    One sort-scatter pass; hit and miss kernels share the sorted run
+    (scatter_lookup_split)."""
     out_cols = list(_pa_schema(refs).names)
     payload_type = _pa_schema(store).field(payload_col).type
-    hit = _scatter_lookup(refs, store, key_col=key_col,
-                          payload_col=payload_col, out_cols=out_cols)
-    miss = _anti_by_key(refs, store.select_columns([key_col]), key_col)
+    hit, miss = scatter_lookup_split(refs, store, key_col=key_col,
+                                     payload_col=payload_col,
+                                     out_cols=out_cols)
     miss = miss.map_batches(
         lambda b: b.append_column(
             payload_col, pa.array([default] * b.num_rows, payload_type)),
