@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -204,13 +205,15 @@ def windowed_restore_distributed(assignments: "ray.data.Dataset",
 
     - windows = contiguous ``window_size`` runs of the recipe in
       (order_cols) order, assigned distributively (``_window_ids``);
-    - ``total_container_read`` = distinct (window_id, canonical_id)
-      pairs — exactly the driver ``windowed_restore`` counter (each
-      stored row fetched once per window it appears in), computed as
-      one distributed distinct;
     - texts are gathered by ONE sort-scatter against the store
       (stages/cluster._scatter_lookup) — the per-window grouped gather
       of construct_restore_table/restore_from_table;
+    - ALL counters come out of the single per-window digest pass:
+      ``total_container_read`` = sum over windows of distinct
+      canonicals in the window (identically the distinct
+      (window_id, canonical_id) count — each stored row fetched once
+      per window it appears in), plus restored_rows / restored_bytes —
+      no extra shuffle or count barrier per counter;
     - byte-identity: ``restored_merkle`` = sha1 over per-window
       ordered digests (windows digested distributively, combined on
       the driver in window order) — parity-tested against the driver
@@ -222,7 +225,7 @@ def windowed_restore_distributed(assignments: "ray.data.Dataset",
     import hashlib
 
     from dedup_restore_ray.stages.cluster import _scatter_lookup
-    from dedup_restore_ray.stages.groups import distinct_rows
+    from dedup_restore_ray.stages.groups import flatten_blocks
 
     refs = assignments.select_columns(
         [*order_cols, "canonical_id"]).sort(list(order_cols)).materialize()
@@ -231,46 +234,44 @@ def windowed_restore_distributed(assignments: "ray.data.Dataset",
         return {"total_container_read": 0, "restored_rows": 0,
                 "restored_bytes": 0, "window_size": window_size,
                 "restored_merkle": hashlib.sha1(b"").hexdigest()}
-    refs_w = _window_ids(refs, order_cols, window_size).materialize()
+    refs_w = _window_ids(refs, order_cols, window_size)
 
-    total_container_read = distinct_rows(
-        refs_w.select_columns(["window_id", "canonical_id"]),
-        ["window_id", "canonical_id"]).count()
-
-    from dedup_restore_ray.stages.groups import flatten_blocks
     gathered = flatten_blocks(_scatter_lookup(
         refs_w, store, key_col="canonical_id", payload_col="stored_text",
-        out_cols=["window_id", *order_cols]))
-    restored_rows = gathered.count()
-    if restored_rows != n_refs:
-        raise KeyError(
-            f"{n_refs - restored_rows} recipe refs point at canonicals "
-            f"absent from the store (windowed_restore_distributed)")
-    byte_parts = gathered.map_batches(
-        lambda b: pa.table({"n": pa.array(
-            [int(pa.compute.sum(pa.compute.utf8_length(
-                b.column("stored_text"))).as_py() or 0)], pa.int64())}),
-        batch_format="pyarrow").take_all()
-    restored_bytes = sum(r["n"] for r in byte_parts)
+        out_cols=["window_id", "canonical_id", *order_cols]))
 
-    # per-window ordered digests (few windows per block; the inner
-    # loop is C-speed sha1 over the window's texts)
+    # per-window ordered digests + counters in ONE pass (few windows
+    # per block; the inner loop is C-speed sha1 over the window's texts)
     def digest_block(b: pa.Table) -> pa.Table:
+        empty = pa.table({"window_id": pa.array([], pa.int64()),
+                          "digest": pa.array([], pa.string()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "n_bytes": pa.array([], pa.int64()),
+                          "n_containers": pa.array([], pa.int64())})
         if b.num_rows == 0:
-            return pa.table({"window_id": pa.array([], pa.int64()),
-                             "digest": pa.array([], pa.string())})
+            return empty
         starts, ends = group_bounds(b, ["window_id"])
         texts = b.column("stored_text").to_pylist()
-        wids, digs = [], []
+        canon = b.column("canonical_id")
+        wids, digs, nrows, nbytes, ncont = [], [], [], [], []
         for s, e in zip(starts, ends):
             h = hashlib.sha1()
+            wb = 0
             for t in texts[s:e]:
-                h.update((t or "").encode())
+                t = t or ""
+                wb += len(t)   # characters, matching the driver
+                h.update(t.encode())   # version's len(t) counter
                 h.update(b"\x00")
             wids.append(b.column("window_id")[int(s)].as_py())
             digs.append(h.hexdigest())
+            nrows.append(int(e - s))
+            nbytes.append(wb)
+            ncont.append(len(pc.unique(canon.slice(int(s), int(e - s)))))
         return pa.table({"window_id": pa.array(wids, pa.int64()),
-                         "digest": pa.array(digs, pa.string())})
+                         "digest": pa.array(digs, pa.string()),
+                         "n_rows": pa.array(nrows, pa.int64()),
+                         "n_bytes": pa.array(nbytes, pa.int64()),
+                         "n_containers": pa.array(ncont, pa.int64())})
 
     interior, edge = sorted_split(gathered,
                                   ["window_id", *order_cols],
@@ -282,13 +283,19 @@ def windowed_restore_distributed(assignments: "ray.data.Dataset",
                         [("window_id", "ascending")]
                         + [(c, "ascending") for c in order_cols])),
                     batch_format="pyarrow"))).take_all()
+    restored_rows = sum(r["n_rows"] for r in dig_rows)
+    if restored_rows != n_refs:
+        raise KeyError(
+            f"{n_refs - restored_rows} recipe refs point at canonicals "
+            f"absent from the store (windowed_restore_distributed)")
     merkle = hashlib.sha1()
     for r in sorted(dig_rows, key=lambda r: r["window_id"]):
         merkle.update(r["digest"].encode())
     return {
-        "total_container_read": int(total_container_read),
+        "total_container_read": int(sum(r["n_containers"]
+                                        for r in dig_rows)),
         "restored_rows": int(restored_rows),
-        "restored_bytes": int(restored_bytes),
+        "restored_bytes": int(sum(r["n_bytes"] for r in dig_rows)),
         "window_size": window_size,
         "restored_merkle": merkle.hexdigest(),
     }

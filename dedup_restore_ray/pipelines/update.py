@@ -79,7 +79,8 @@ def apply_updates(assignments: "ray.data.Dataset",
                   store: "ray.data.Dataset",
                   updates: "ray.data.Dataset",
                   id_col: str = "doc_id",
-                  text_col: str = "new_text") -> UpdateResult:
+                  text_col: str = "new_text",
+                  collect_metrics: bool = True) -> UpdateResult:
     """Point-update documents in the deduplicated store.
 
     assignments: (doc_id, canonical_id, is_dup) — the recipe.
@@ -87,12 +88,15 @@ def apply_updates(assignments: "ray.data.Dataset",
     updates:     (doc_id, new_text) — the writes.
 
     Returns patched assignments + store (old rows retained; see
-    ``vacuum_store``) and the reference-style counters: n_updates,
-    dedup_hits (existing content re-pointed), new_store_rows (fresh
-    containers written), rewritten_bytes.
+    ``vacuum_store``) and, when ``collect_metrics``, the
+    reference-style counters: n_updates, dedup_hits (existing content
+    re-pointed), new_store_rows (fresh containers written),
+    rewritten_bytes.  ``collect_metrics=False`` skips the count /
+    take_all barriers those counters force (each one executes part of
+    the DAG) — the patched datasets are identical either way.
     """
     updates = updates.materialize()
-    n_updates = updates.count()
+    n_updates = updates.count() if collect_metrics else None
     id_type_ds = assignments.schema()
     id_type = dict(zip(id_type_ds.names, id_type_ds.types))[id_col]
 
@@ -105,8 +109,10 @@ def apply_updates(assignments: "ray.data.Dataset",
         up_hashed, store_hashed, key_col="content_hash",
         payload_col="canonical_id",
         out_cols=[id_col, text_col, "content_hash"])
-    hits = hits.materialize()
-    n_hits = hits.count()
+    n_hits = None
+    if collect_metrics:
+        hits = hits.materialize()
+        n_hits = hits.count()
 
     def hit_rows(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -137,14 +143,17 @@ def apply_updates(assignments: "ray.data.Dataset",
                          "stored_text": w.column(text_col)})
 
     new_store_rows = marked.map_batches(writer_rows,
-                                        batch_format="pyarrow").materialize()
-    n_new = new_store_rows.count()
-    rewritten = new_store_rows.map_batches(
-        lambda b: pa.table({"n": pa.array(
-            [int(pc.sum(pc.utf8_length(b.column("stored_text"))).as_py()
-                 or 0)], pa.int64())}),
-        batch_format="pyarrow").take_all()
-    rewritten_bytes = sum(r["n"] for r in rewritten)
+                                        batch_format="pyarrow")
+    n_new = rewritten_bytes = None
+    if collect_metrics:
+        new_store_rows = new_store_rows.materialize()
+        n_new = new_store_rows.count()
+        rewritten = new_store_rows.map_batches(
+            lambda b: pa.table({"n": pa.array(
+                [int(pc.sum(pc.utf8_length(b.column("stored_text"))).as_py()
+                     or 0)], pa.int64())}),
+            batch_format="pyarrow").take_all()
+        rewritten_bytes = sum(r["n"] for r in rewritten)
 
     def miss_assign(b: pa.Table) -> pa.Table:
         return pa.table({id_col: b.column(id_col),
@@ -154,9 +163,36 @@ def apply_updates(assignments: "ray.data.Dataset",
     patched_misses = marked.map_batches(miss_assign, batch_format="pyarrow")
 
     # --- recipe patch: replace updated docs' rows in place ------------
-    untouched = anti_join(
-        assignments.select_columns([id_col, "canonical_id", "is_dup"]),
-        updates.select_columns([id_col]), id_col)
+    # The update set is usually tiny next to the corpus: below the
+    # broadcast gate, anti-filter with a packed sorted uint64 id-hash
+    # array + searchsorted (zero-copy broadcast, no shuffle) instead of
+    # the sort-based anti_join — same gate discipline as the flagship's
+    # canonical filter (pipelines/dedup.py).
+    from dedup_restore_ray.config import PipelineConfig
+    broadcast_limit = PipelineConfig().broadcast_limit
+    asg = assignments.select_columns([id_col, "canonical_id", "is_dup"])
+    if updates.count() <= broadcast_limit:
+        import ray as _ray
+        from dedup_restore_ray.stages.verify import _id_hashes
+        parts = [_id_hashes(b.column(id_col))
+                 for b in updates.iter_batches(batch_size=65536,
+                                               batch_format="pyarrow")]
+        keys = (np.sort(np.concatenate(parts)) if parts
+                else np.empty(0, np.uint64))
+        kref = _ray.put(keys)
+
+        def not_updated(b: pa.Table) -> pa.Table:
+            k = _ray.get(kref)
+            if not len(k) or not b.num_rows:
+                return b
+            ih = _id_hashes(b.column(id_col))
+            pos = np.searchsorted(k, ih)
+            pos[pos == len(k)] = len(k) - 1
+            return b.filter(pa.array(k[pos] != ih))
+
+        untouched = asg.map_batches(not_updated, batch_format="pyarrow")
+    else:
+        untouched = anti_join(asg, updates.select_columns([id_col]), id_col)
     # coalesce the deep union-of-scatter DAG so downstream sorts
     # (restore, further updates) don't hit the tiny-block sort stall
     from dedup_restore_ray.stages.groups import flatten_blocks
@@ -164,15 +200,18 @@ def apply_updates(assignments: "ray.data.Dataset",
         untouched.union(patched_hits).union(patched_misses))
     new_store = store.union(new_store_rows)
 
-    return UpdateResult(
-        assignments=new_assignments,
-        store=new_store,
-        metrics={
+    metrics = {}
+    if collect_metrics:
+        metrics = {
             "n_updates": n_updates,
             "dedup_hits": n_hits,
             "new_store_rows": n_new,
             "rewritten_bytes": rewritten_bytes,
-        })
+        }
+    return UpdateResult(
+        assignments=new_assignments,
+        store=new_store,
+        metrics=metrics)
 
 
 def vacuum_store(assignments: "ray.data.Dataset",

@@ -509,7 +509,8 @@ def q_update_restore_docs(sf_dir: str):
 
     updates = docs.map_batches(make_update, batch_format="pyarrow")
     res = apply_updates(marked.select_columns(
-        ["doc_id", "canonical_id", "is_dup"]), store, updates)
+        ["doc_id", "canonical_id", "is_dup"]), store, updates,
+        collect_metrics=False)
     restored = restore_corpus(
         res.assignments.select_columns(["doc_id", "canonical_id"]),
         res.store, strategy="sort")
