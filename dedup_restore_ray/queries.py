@@ -631,6 +631,63 @@ def q_sessionize_events(sf_dir: str, gap_seconds: int = 1800):
                 batch_format="pyarrow")))
 
 
+def q_asof_join_events(sf_dir: str):
+    """Backward-inclusive as-of join (stages/joins.asof_join — an
+    operator Ray Data lacks): for every 'click' event, the value of
+    the same user's most recent 'purchase' at or before the click
+    (null -> -1.0 when the user never purchased before it).  The
+    right side is pre-aggregated to one row per (user, ts) so the
+    payload is deterministic under ties; the DuckDB oracle is a
+    native ASOF LEFT JOIN over the same pre-aggregate."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.joins import asof_join
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    def typed(etype: str, cols: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            sel = b.filter(pc.equal(b.column("event_type"), etype))
+            return sel.select(cols)
+        return f
+
+    clicks = ev.map_batches(typed("click", ["event_id", "user_id", "ts"]),
+                            batch_format="pyarrow")
+    purchases = grouped_aggregate(
+        ev.map_batches(typed("purchase", ["user_id", "ts", "value"]),
+                       batch_format="pyarrow"),
+        ["user_id", "ts"], {"last_purchase_value": ("value", "max")})
+    joined = asof_join(clicks, purchases, key_col="user_id",
+                       ts_col="ts", payload_col="last_purchase_value",
+                       out_cols=["event_id", "user_id"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "last_purchase_value": pc.coalesce(
+                b.column("last_purchase_value"),
+                pa.scalar(-1.0, pa.float64())),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_sliding_window_events(sf_dir: str, window_minutes: int = 30):
+    """Streaming/sliding-window aggregate (stages/windows.py): for
+    every event, how many events the same user produced in the
+    trailing 30 minutes (inclusive; equal-ts peers included — SQL
+    RANGE-frame semantics, which the DuckDB oracle uses verbatim).
+    One (user, ts) sort + vectorized offset-searchsorted kernel."""
+    from dedup_restore_ray.stages.windows import sliding_window_count
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+    counted = sliding_window_count(
+        ev, key_col="user_id", ts_col="ts",
+        window_seconds=window_minutes * 60, out_col="n_win",
+        carry_cols=["event_id", "user_id"])
+    return counted.select_columns(["event_id", "user_id", "n_win"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal decode (rows-only): deterministic REAL payloads (PPM
     image / PCM WAV / Y4M video per doc) -> actor-pool decode with the
@@ -874,6 +931,8 @@ QUERIES = {
     "trace_dedup": q_trace_dedup,
     "trace_dedup_stats": q_trace_dedup_stats,
     "sessionize_events": q_sessionize_events,
+    "asof_join_events": q_asof_join_events,
+    "sliding_window_events": q_sliding_window_events,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
     "cdc_chunks": q_cdc_chunks,
@@ -1066,6 +1125,25 @@ ORACLE_SQL = {
         SELECT user_id, count(*) AS n_events,
                (sum(new_session) + 1)::BIGINT AS n_sessions
         FROM g GROUP BY user_id
+    """,
+    "sliding_window_events": """
+        SELECT event_id, user_id,
+               (count(*) OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                  AND CURRENT ROW))::BIGINT AS n_win
+        FROM events
+    """,
+    "asof_join_events": """
+        WITH p AS (
+          SELECT user_id, ts, max(value) AS last_purchase_value
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id,
+               coalesce(r.last_purchase_value, -1.0) AS last_purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') l
+        ASOF LEFT JOIN p r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     "point_lookup": """
         SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,

@@ -47,6 +47,114 @@ def anti_join(refs: "ray.data.Dataset", keys: "ray.data.Dataset",
     return _anti_by_key(refs, keys.select_columns([key_col]), key_col)
 
 
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              key_col: str, ts_col: str, payload_col: str,
+              out_cols: list[str] | None = None) -> "ray.data.Dataset":
+    """Backward-inclusive distributed as-of join (an operator Ray Data
+    lacks): every ``left`` row gets ``payload_col`` from the LATEST
+    ``right`` row with the same key and ``right.ts <= left.ts``; rows
+    with no prior right row get null (left-outer semantics — DuckDB's
+    ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``).
+
+    One sort shuffle of (left ∪ right) on (key, ts, slot) — right rows
+    (slot -1) sort before left rows at equal ts, making the match
+    inclusive.  Per sorted block, the match is a SEGMENTED CUMMAX, all
+    numpy: index each right row by ``seg*(n+1)+i``, max-accumulate,
+    and a match from an earlier key segment falls below the current
+    segment's base, so it reads as null — no per-group Python.  Key
+    groups split across block boundaries take the residual
+    groupby path (same kernel), as in every sort-scatter stage here.
+
+    If several right rows share (key, ts), the one sorting last wins —
+    pre-aggregate the right side to one row per (key, ts) when the
+    caller needs deterministic payloads (the DuckDB oracle does the
+    same).
+
+    Partitioning assumption: the sort range-partitions by (key, ts),
+    so a single key's history lands in O(1) partitions; extremely hot
+    keys serialize within their partition (acceptable: the kernel is
+    O(rows) numpy, not Python).
+    """
+    from dedup_restore_ray.stages.groups import (flatten_blocks,
+                                                 group_bounds,
+                                                 sorted_split)
+
+    left_schema = _pa_schema(left)
+    out_cols = out_cols or [c for c in left_schema.names]
+    payload_type = _pa_schema(right).field(payload_col).type
+
+    def right_rows(b: pa.Table) -> pa.Table:
+        cols = {key_col: b.column(key_col),
+                ts_col: b.column(ts_col),
+                "__slot": pa.array(np.full(b.num_rows, -1, np.int8)),
+                payload_col: b.column(payload_col)}
+        for c in out_cols:
+            if c in (key_col, ts_col):
+                continue
+            cols[c] = (b.column(c) if c in b.schema.names
+                       else pa.nulls(b.num_rows, left_schema.field(c).type))
+        return pa.table(cols)
+
+    def left_rows(b: pa.Table) -> pa.Table:
+        cols = {key_col: b.column(key_col),
+                ts_col: b.column(ts_col),
+                "__slot": pa.array(np.ones(b.num_rows, np.int8)),
+                payload_col: pa.nulls(b.num_rows, payload_type)}
+        for c in out_cols:
+            if c in (key_col, ts_col):
+                continue
+            cols[c] = b.column(c)
+        return pa.table(cols)
+
+    rows = flatten_blocks(
+        right.map_batches(right_rows, batch_format="pyarrow")
+        .union(left.map_batches(left_rows, batch_format="pyarrow")))
+
+    emit_cols = list(dict.fromkeys([*out_cols, payload_col]))
+
+    def kernel(b: pa.Table) -> pa.Table:
+        fields = [(c, payload_type if c == payload_col
+                   else b.schema.field(c).type) for c in emit_cols]
+        out_schema = pa.schema(fields)
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, [key_col])
+        slot = np.asarray(b.column("__slot").combine_chunks())
+        idx = np.arange(n, dtype=np.int64)
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        base = seg * np.int64(n + 1)
+        v = np.where(slot == -1, base + idx, np.int64(-1))
+        acc = np.maximum.accumulate(v)
+        valid = acc >= base          # match belongs to THIS key segment
+        match = np.where(valid, acc - base, 0)
+        lrows = np.flatnonzero(slot == 1)
+        if len(lrows) == 0:
+            return out_schema.empty_table()
+        matched = valid[lrows]
+        payload = b.column(payload_col).combine_chunks().take(
+            pa.array(match[lrows]))
+        import pyarrow.compute as pc
+        payload = pc.if_else(pa.array(matched), payload,
+                             pa.scalar(None, payload_type))
+        take = pa.array(lrows)
+        cols = {}
+        for c in emit_cols:
+            cols[c] = payload if c == payload_col else b.column(c).take(take)
+        return pa.table(cols)
+
+    interior, edge = sorted_split(rows, [key_col, ts_col, "__slot"],
+                                  [key_col])
+    return (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                lambda g: kernel(g.sort_by(
+                    [(key_col, "ascending"), (ts_col, "ascending"),
+                     ("__slot", "ascending")])),
+                batch_format="pyarrow")))
+
+
 def left_lookup(refs: "ray.data.Dataset", store: "ray.data.Dataset",
                 key_col: str, payload_col: str,
                 default) -> "ray.data.Dataset":

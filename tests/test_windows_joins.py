@@ -1,0 +1,117 @@
+"""as-of join + sliding-window aggregates: parity vs pandas oracles
+and block-layout independence (the residual-pass invariant)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _events_frame(n=600, n_users=13, seed=7):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, 100_000, n)).astype("int64")
+    rng.shuffle(ts)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, n_users, n).astype(np.int64),
+        "ts": ts,
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+
+
+class TestAsofJoin:
+    @pytest.mark.parametrize("num_blocks", [1, 7])
+    def test_parity_vs_pandas_merge_asof(self, ray_session, num_blocks):
+        from dedup_restore_ray.stages.joins import asof_join
+        df = _events_frame()
+        left = df.iloc[::2][["event_id", "user_id", "ts"]]
+        right = (df.iloc[1::2][["user_id", "ts", "value"]]
+                 .groupby(["user_id", "ts"], as_index=False)["value"].max()
+                 .rename(columns={"value": "payload"}))
+
+        got = asof_join(
+            rd.from_pandas(left).repartition(num_blocks),
+            rd.from_pandas(right).repartition(max(1, num_blocks // 2)),
+            key_col="user_id", ts_col="ts", payload_col="payload",
+            out_cols=["event_id", "user_id", "ts"],
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+        exp = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="user_id", direction="backward",
+            allow_exact_matches=True,
+        ).sort_values("event_id").reset_index(drop=True)
+
+        assert len(got) == len(left)
+        pd.testing.assert_series_equal(got["payload"], exp["payload"],
+                                       check_names=False)
+
+    def test_inclusive_tie_and_no_match(self, ray_session):
+        from dedup_restore_ray.stages.joins import asof_join
+        left = pd.DataFrame({"event_id": [1, 2, 3],
+                             "user_id": [0, 0, 1],
+                             "ts": [10, 5, 10]})
+        right = pd.DataFrame({"user_id": [0, 0], "ts": [10, 3],
+                              "payload": [99.0, 7.0]})
+        got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        key_col="user_id", ts_col="ts",
+                        payload_col="payload",
+                        out_cols=["event_id", "user_id", "ts"]
+                        ).to_pandas().set_index("event_id")
+        assert got.loc[1, "payload"] == 99.0   # equal ts matches (inclusive)
+        assert got.loc[2, "payload"] == 7.0    # earlier right row
+        assert np.isnan(got.loc[3, "payload"])  # user 1: no right rows
+
+
+def _brute_window_count(df, key, ts, w):
+    out = []
+    for _, r in df.iterrows():
+        grp = df[(df[key] == r[key]) & (df[ts] >= r[ts] - w)
+                 & (df[ts] <= r[ts])]
+        out.append(len(grp))
+    return np.array(out)
+
+
+class TestSlidingWindow:
+    @pytest.mark.parametrize("num_blocks", [1, 5])
+    def test_count_parity_vs_brute(self, ray_session, num_blocks):
+        from dedup_restore_ray.stages.windows import sliding_window_count
+        df = _events_frame(n=300)
+        got = sliding_window_count(
+            rd.from_pandas(df).repartition(num_blocks),
+            key_col="user_id", ts_col="ts", window_seconds=5000,
+            out_col="n_win", carry_cols=["event_id", "user_id"],
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        exp = _brute_window_count(df, "user_id", "ts", 5000)
+        assert np.array_equal(
+            got["n_win"].to_numpy(),
+            exp[np.argsort(df["event_id"].to_numpy(), kind="stable")])
+
+    def test_sum_parity_vs_brute(self, ray_session):
+        from dedup_restore_ray.stages.windows import sliding_window_sum
+        df = _events_frame(n=200)
+        got = sliding_window_sum(
+            rd.from_pandas(df), key_col="user_id", ts_col="ts",
+            value_col="value", window_seconds=5000, out_col="w_sum",
+            carry_cols=["event_id"],
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        exp = []
+        for _, r in df.sort_values("event_id").iterrows():
+            sel = df[(df.user_id == r.user_id)
+                     & (df.ts >= r.ts - 5000) & (df.ts <= r.ts)]
+            exp.append(sel.value.sum())
+        assert np.allclose(got["w_sum"].to_numpy(), np.array(exp),
+                           rtol=1e-9, atol=1e-9)
+
+    def test_peers_included_on_equal_ts(self, ray_session):
+        from dedup_restore_ray.stages.windows import sliding_window_count
+        df = pd.DataFrame({"event_id": [0, 1, 2],
+                           "user_id": [5, 5, 5],
+                           "ts": [100, 100, 100]})
+        got = sliding_window_count(
+            rd.from_pandas(df), key_col="user_id", ts_col="ts",
+            window_seconds=1, out_col="n_win",
+            carry_cols=["event_id"]).to_pandas()
+        assert (got["n_win"] == 3).all()   # RANGE-frame peer semantics
