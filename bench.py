@@ -64,7 +64,8 @@ def run_benchmarks() -> dict:
                  "similarity_topk", "embedding_cosine_pairs",
                  "q1_lineitem", "grouped_restore", "events_hourly",
                  "update_restore_docs", "windowed_restore_docs",
-                 "ann_ivf", "sessionize_events"]:
+                 "ann_ivf", "sessionize_events",
+                 "asof_join_events", "sliding_window_events"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)
