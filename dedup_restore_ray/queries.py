@@ -688,6 +688,18 @@ def q_sliding_window_events(sf_dir: str, window_minutes: int = 30):
     return counted.select_columns(["event_id", "user_id", "n_win"])
 
 
+def q_band_join_parts(sf_dir: str, eps: float = 0.10):
+    """Numeric band (range) self-join (stages/joins.band_join_pairs):
+    all pairs of parts whose retail prices differ by <= eps.  Bucket
+    replication + per-bucket sliding window — O(output), one sort; the
+    oracle is the brute-force inequality self-join."""
+    from dedup_restore_ray.stages.joins import band_join_pairs
+    parts = read_parquet_clean(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_retailprice"])
+    return band_join_pairs(parts, id_col="p_partkey",
+                           value_col="p_retailprice", eps=eps)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal decode (rows-only): deterministic REAL payloads (PPM
     image / PCM WAV / Y4M video per doc) -> actor-pool decode with the
@@ -933,6 +945,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "asof_join_events": q_asof_join_events,
     "sliding_window_events": q_sliding_window_events,
+    "band_join_parts": q_band_join_parts,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
     "cdc_chunks": q_cdc_chunks,
@@ -1125,6 +1138,12 @@ ORACLE_SQL = {
         SELECT user_id, count(*) AS n_events,
                (sum(new_session) + 1)::BIGINT AS n_sessions
         FROM g GROUP BY user_id
+    """,
+    "band_join_parts": """
+        SELECT a.p_partkey AS u, b.p_partkey AS v
+        FROM part a JOIN part b
+          ON a.p_partkey < b.p_partkey
+         AND abs(a.p_retailprice - b.p_retailprice) <= 0.10
     """,
     "sliding_window_events": """
         SELECT event_id, user_id,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -153,6 +154,90 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                     [(key_col, "ascending"), (ts_col, "ascending"),
                      ("__slot", "ascending")])),
                 batch_format="pyarrow")))
+
+
+def band_join_pairs(ds: "ray.data.Dataset", id_col: str, value_col: str,
+                    eps: float) -> "ray.data.Dataset":
+    """Numeric band (range) self-join: all pairs (u, v), u < v, with
+    ``|value_u - value_v| <= eps`` — the 1-D analogue of the
+    embedding near-dup pair generator, and an operator Ray Data has
+    no native form for.
+
+    Distributed strategy: every row lands in buckets ``floor(v/eps)``
+    and ``floor(v/eps)+1``, so any qualifying pair shares at least one
+    bucket; ONE sort on (bucket, value) then a per-block sliding
+    window over each bucket's sorted run emits candidates in
+    O(output) (offset-searchsorted gives each row its window end —
+    no per-bucket Python).  Boundary decisions are made by an EXACT
+    ``|a-b| <= eps`` re-filter on the original values (the windowed
+    search uses a small slack), so results are bit-compatible with
+    the SQL formulation.  Pairs found in both shared buckets are
+    folded by one distinct.
+
+    Partitioning assumption: value-uniform data spreads buckets
+    evenly; a massive tie-cluster at one value serializes its bucket
+    (O(k^2) pairs there is inherent to the JOIN SEMANTICS, not the
+    algorithm).
+    """
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 group_bounds,
+                                                 sorted_split, _ramp)
+
+    id_type = _pa_schema(ds).field(id_col).type
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        vals = np.asarray(pc.cast(
+            b.column(value_col).combine_chunks(), pa.float64()))
+        bk = np.floor(vals / eps).astype(np.int64)
+        ids = b.column(id_col).combine_chunks()
+        two_ids = pa.concat_arrays([ids, ids])
+        return pa.table({
+            "bucket": pa.array(np.concatenate((bk, bk + 1))),
+            "val": pa.array(np.concatenate((vals, vals))),
+            id_col: two_ids,
+        })
+
+    rows = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def pair_block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("u", id_type), ("v", id_type)])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, ["bucket"])
+        vals = np.asarray(b.column("val").combine_chunks())
+        sizes = ends - starts
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        big = float(vals.max() - vals.min()) + 2.0 * eps + 1.0
+        adj = vals + seg * big
+        slack = eps * (1.0 + 1e-9) + 1e-12
+        hi = np.searchsorted(adj, adj + slack, side="right")
+        idx = np.arange(n, dtype=np.int64)
+        cnt = hi - idx - 1
+        if int(cnt.sum()) == 0:
+            return out_schema.empty_table()
+        ui = np.repeat(idx, cnt)
+        vi = np.repeat(idx + 1, cnt) + _ramp(cnt)
+        keep = np.abs(vals[ui] - vals[vi]) <= eps   # exact boundary
+        ui, vi = ui[keep], vi[keep]
+        ids = b.column(id_col).combine_chunks()
+        u = ids.take(pa.array(ui))
+        v = ids.take(pa.array(vi))
+        # normalize u < v; drop accidental self-pairs (same id twice
+        # only happens for duplicate (id) rows in the input)
+        lo = pc.min_element_wise(u, v)
+        hi_ = pc.max_element_wise(u, v)
+        tbl = pa.table({"u": lo, "v": hi_})
+        return tbl.filter(pc.not_equal(lo, hi_))
+
+    interior, edge = sorted_split(rows, ["bucket", "val"], ["bucket"])
+    pairs = (interior.map_batches(pair_block, batch_format="pyarrow",
+                                  batch_size=None)
+             .union(edge.groupby("bucket").map_groups(
+                 lambda g: pair_block(g.sort_by(
+                     [("bucket", "ascending"), ("val", "ascending")])),
+                 batch_format="pyarrow")))
+    return distinct_rows(pairs, ["u", "v"])
 
 
 def left_lookup(refs: "ray.data.Dataset", store: "ray.data.Dataset",

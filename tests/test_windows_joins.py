@@ -115,3 +115,32 @@ class TestSlidingWindow:
             window_seconds=1, out_col="n_win",
             carry_cols=["event_id"]).to_pandas()
         assert (got["n_win"] == 3).all()   # RANGE-frame peer semantics
+
+
+class TestBandJoin:
+    def test_band_join_parity_vs_brute(self, ray_session):
+        from dedup_restore_ray.stages.joins import band_join_pairs
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "id": np.arange(400, dtype=np.int64),
+            "val": np.round(rng.uniform(0, 40, 400), 2),
+        })
+        eps = 0.25
+        got = band_join_pairs(rd.from_pandas(df).repartition(5),
+                              id_col="id", value_col="val", eps=eps
+                              ).to_pandas()
+        vals = df.set_index("id")["val"]
+        exp = {(int(a), int(b))
+               for i, a in enumerate(df.id)
+               for b in df.id[i + 1:]
+               if abs(vals[a] - vals[b]) <= eps}
+        assert set(map(tuple, got[["u", "v"]].to_numpy())) == exp
+
+    def test_band_join_tie_cluster(self, ray_session):
+        from dedup_restore_ray.stages.joins import band_join_pairs
+        df = pd.DataFrame({"id": np.arange(6, dtype=np.int64),
+                           "val": [1.0, 1.0, 1.0, 5.0, 5.1, 9.9]})
+        got = band_join_pairs(rd.from_pandas(df), id_col="id",
+                              value_col="val", eps=0.1).to_pandas()
+        exp = {(0, 1), (0, 2), (1, 2), (3, 4)}
+        assert set(map(tuple, got[["u", "v"]].to_numpy())) == exp
