@@ -225,10 +225,10 @@ def windowed_restore_distributed(assignments: "ray.data.Dataset",
     import hashlib
 
     from dedup_restore_ray.stages.cluster import _scatter_lookup
-    from dedup_restore_ray.stages.groups import flatten_blocks
+    from dedup_restore_ray.stages.groups import presort_coalesce
 
-    refs = assignments.select_columns(
-        [*order_cols, "canonical_id"]).sort(list(order_cols)).materialize()
+    refs = presort_coalesce(assignments.select_columns(
+        [*order_cols, "canonical_id"])).sort(list(order_cols)).materialize()
     n_refs = refs.count()
     if n_refs == 0:
         return {"total_container_read": 0, "restored_rows": 0,
@@ -236,9 +236,9 @@ def windowed_restore_distributed(assignments: "ray.data.Dataset",
                 "restored_merkle": hashlib.sha1(b"").hexdigest()}
     refs_w = _window_ids(refs, order_cols, window_size)
 
-    gathered = flatten_blocks(_scatter_lookup(
+    gathered = _scatter_lookup(
         refs_w, store, key_col="canonical_id", payload_col="stored_text",
-        out_cols=["window_id", "canonical_id", *order_cols]))
+        out_cols=["window_id", "canonical_id", *order_cols])
 
     # per-window ordered digests + counters in ONE pass (few windows
     # per block; the inner loop is C-speed sha1 over the window's texts)
@@ -347,8 +347,9 @@ def windowed_restore_cached(assignments: "ray.data.Dataset",
     cache_size -> infinity reproduces the one-shot restore (every
     container read exactly once); cache_size = 0 degenerates to one
     read per ref (regular_assemble, src/look_ahead.c:149-179)."""
-    refs = assignments.select_columns(
-        [*order_cols, "canonical_id"]).sort(list(order_cols))
+    from dedup_restore_ray.stages.groups import presort_coalesce
+    refs = presort_coalesce(assignments.select_columns(
+        [*order_cols, "canonical_id"])).sort(list(order_cols))
     rows = refs.map_batches(
         CachedWindowGather, batch_format="pyarrow",
         concurrency=1,
@@ -411,11 +412,9 @@ def restore_corpus(assignments: "ray.data.Dataset",
                 "text": pa.array([None] * n, pa.string()),
             })
 
-        from dedup_restore_ray.stages.groups import flatten_blocks
-        rows = flatten_blocks(
-            store.map_batches(store_rows, batch_format="pyarrow")
-            .union(assignments.select_columns(["doc_id", "canonical_id"])
-                   .map_batches(ref_rows, batch_format="pyarrow")))
+        rows = (store.map_batches(store_rows, batch_format="pyarrow")
+                .union(assignments.select_columns(["doc_id", "canonical_id"])
+                       .map_batches(ref_rows, batch_format="pyarrow")))
 
         def scatter(b: pa.Table) -> pa.Table:
             out_schema = pa.schema([

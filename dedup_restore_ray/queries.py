@@ -223,10 +223,12 @@ def q_grouped_restore(sf_dir: str):
 
 def q_sort_topk_orders(sf_dir: str):
     """Global sort + limit."""
+    from dedup_restore_ray.stages.groups import presort_coalesce
     orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_totalprice"])
-    top = orders.sort(["o_totalprice", "o_orderkey"],
-                      descending=[True, False]).limit(20).to_pandas()
+    top = presort_coalesce(orders).sort(
+        ["o_totalprice", "o_orderkey"],
+        descending=[True, False]).limit(20).to_pandas()
     top["o_totalprice"] = top["o_totalprice"].round(2)
     return top
 
@@ -635,30 +637,40 @@ def q_asof_join_events(sf_dir: str):
     """Backward-inclusive as-of join (stages/joins.asof_join — an
     operator Ray Data lacks): for every 'click' event, the value of
     the same user's most recent 'purchase' at or before the click
-    (null -> -1.0 when the user never purchased before it).  The
-    right side is pre-aggregated to one row per (user, ts) so the
-    payload is deterministic under ties; the DuckDB oracle is a
-    native ASOF LEFT JOIN over the same pre-aggregate."""
-    from dedup_restore_ray.stages.groups import grouped_aggregate
-    from dedup_restore_ray.stages.joins import asof_join
+    (null -> -1.0 when the user never purchased before it).  Ties —
+    several purchases at one (user, ts) — resolve to the MAX value via
+    the join's sort-folded tie-break, exactly matching the DuckDB
+    oracle's ASOF LEFT JOIN over a (user, ts) max pre-aggregate.
+
+    Fused plan: ONE scan of events tags both sides in a single
+    map_batches (no second read, no pre-aggregation shuffle, no
+    union), then the one as-of sort."""
+    from dedup_restore_ray.stages.joins import asof_join_tagged, tag_asof_rows
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["event_id", "ts", "user_id",
                                      "event_type", "value"])
-    def typed(etype: str, cols: list[str]):
-        def f(b: pa.Table) -> pa.Table:
-            sel = b.filter(pc.equal(b.column("event_type"), etype))
-            return sel.select(cols)
-        return f
+    out_cols = ["event_id", "user_id", "ts"]
+    payload_type = pa.float64()
 
-    clicks = ev.map_batches(typed("click", ["event_id", "user_id", "ts"]),
-                            batch_format="pyarrow")
-    purchases = grouped_aggregate(
-        ev.map_batches(typed("purchase", ["user_id", "ts", "value"]),
-                       batch_format="pyarrow"),
-        ["user_id", "ts"], {"last_purchase_value": ("value", "max")})
-    joined = asof_join(clicks, purchases, key_col="user_id",
-                       ts_col="ts", payload_col="last_purchase_value",
-                       out_cols=["event_id", "user_id"])
+    def tag_both(b: pa.Table) -> pa.Table:
+        clicks = b.filter(pc.equal(b.column("event_type"), "click"))
+        purchases = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        left = tag_asof_rows(
+            clicks.select(["event_id", "user_id", "ts"]),
+            "user_id", "ts", "last_purchase_value", out_cols,
+            "left", payload_type=payload_type)
+        right = tag_asof_rows(
+            purchases.select(["user_id", "ts", "value"]).rename_columns(
+                ["user_id", "ts", "last_purchase_value"]),
+            "user_id", "ts", "last_purchase_value", out_cols,
+            "right", left_schema=left.schema)
+        return pa.concat_tables([left, right], promote_options="default")
+
+    joined = asof_join_tagged(
+        ev.map_batches(tag_both, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts",
+        payload_col="last_purchase_value", out_cols=out_cols,
+        payload_type=payload_type)
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({

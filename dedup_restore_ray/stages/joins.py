@@ -48,6 +48,49 @@ def anti_join(refs: "ray.data.Dataset", keys: "ray.data.Dataset",
     return _anti_by_key(refs, keys.select_columns([key_col]), key_col)
 
 
+def tag_asof_rows(b: pa.Table, key_col: str, ts_col: str,
+                  payload_col: str, out_cols: list[str],
+                  side: str, left_schema: pa.Schema | None = None,
+                  payload_type: pa.DataType | None = None) -> pa.Table:
+    """Build the tagged row layout ``asof_join_tagged`` consumes from
+    one side's batch.  ``side`` is "left" or "right".  A fused caller
+    (one scan feeding both sides) concatenates the two tables.
+
+    The ``__tb`` tie-break column folds MAX-payload semantics into the
+    sort itself: right rows carry the payload as float64 (nulls ->
+    -inf, so any non-null shadows them), left rows 0.0 — so among
+    right rows sharing (key, ts) the LARGEST payload sorts last and
+    wins the segmented cummax, and the right side needs NO
+    pre-aggregation shuffle.
+    """
+    if side == "right":
+        payload = b.column(payload_col).combine_chunks()
+        tb = np.asarray(pc.coalesce(
+            pc.cast(payload, pa.float64()),
+            pa.scalar(-np.inf, pa.float64())))
+        cols = {key_col: b.column(key_col),
+                ts_col: b.column(ts_col),
+                "__slot": pa.array(np.full(b.num_rows, -1, np.int8)),
+                "__tb": pa.array(tb),
+                payload_col: payload}
+        for c in out_cols:
+            if c in (key_col, ts_col):
+                continue
+            cols[c] = (b.column(c) if c in b.schema.names
+                       else pa.nulls(b.num_rows, left_schema.field(c).type))
+    else:
+        cols = {key_col: b.column(key_col),
+                ts_col: b.column(ts_col),
+                "__slot": pa.array(np.ones(b.num_rows, np.int8)),
+                "__tb": pa.array(np.zeros(b.num_rows, np.float64)),
+                payload_col: pa.nulls(b.num_rows, payload_type)}
+        for c in out_cols:
+            if c in (key_col, ts_col):
+                continue
+            cols[c] = b.column(c)
+    return pa.table(cols)
+
+
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key_col: str, ts_col: str, payload_col: str,
               out_cols: list[str] | None = None) -> "ray.data.Dataset":
@@ -57,59 +100,50 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     with no prior right row get null (left-outer semantics — DuckDB's
     ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``).
 
-    One sort shuffle of (left ∪ right) on (key, ts, slot) — right rows
-    (slot -1) sort before left rows at equal ts, making the match
-    inclusive.  Per sorted block, the match is a SEGMENTED CUMMAX, all
-    numpy: index each right row by ``seg*(n+1)+i``, max-accumulate,
-    and a match from an earlier key segment falls below the current
-    segment's base, so it reads as null — no per-group Python.  Key
-    groups split across block boundaries take the residual
-    groupby path (same kernel), as in every sort-scatter stage here.
-
-    If several right rows share (key, ts), the one sorting last wins —
-    pre-aggregate the right side to one row per (key, ts) when the
-    caller needs deterministic payloads (the DuckDB oracle does the
-    same).
+    One sort shuffle of (left ∪ right) on (key, ts, slot, tb) — right
+    rows (slot -1) sort before left rows at equal ts, making the match
+    inclusive, and the ``__tb`` tie-break makes several right rows at
+    one (key, ts) resolve to the MAX payload with no pre-aggregation
+    pass (see ``tag_asof_rows``).  Callers that derive both sides from
+    ONE scan should tag batches themselves and call
+    ``asof_join_tagged`` directly — one read, one map, one shuffle.
 
     Partitioning assumption: the sort range-partitions by (key, ts),
     so a single key's history lands in O(1) partitions; extremely hot
     keys serialize within their partition (acceptable: the kernel is
     O(rows) numpy, not Python).
     """
-    from dedup_restore_ray.stages.groups import (flatten_blocks,
-                                                 group_bounds,
-                                                 sorted_split)
-
     left_schema = _pa_schema(left)
     out_cols = out_cols or [c for c in left_schema.names]
     payload_type = _pa_schema(right).field(payload_col).type
 
     def right_rows(b: pa.Table) -> pa.Table:
-        cols = {key_col: b.column(key_col),
-                ts_col: b.column(ts_col),
-                "__slot": pa.array(np.full(b.num_rows, -1, np.int8)),
-                payload_col: b.column(payload_col)}
-        for c in out_cols:
-            if c in (key_col, ts_col):
-                continue
-            cols[c] = (b.column(c) if c in b.schema.names
-                       else pa.nulls(b.num_rows, left_schema.field(c).type))
-        return pa.table(cols)
+        return tag_asof_rows(b, key_col, ts_col, payload_col, out_cols,
+                             "right", left_schema=left_schema)
 
     def left_rows(b: pa.Table) -> pa.Table:
-        cols = {key_col: b.column(key_col),
-                ts_col: b.column(ts_col),
-                "__slot": pa.array(np.ones(b.num_rows, np.int8)),
-                payload_col: pa.nulls(b.num_rows, payload_type)}
-        for c in out_cols:
-            if c in (key_col, ts_col):
-                continue
-            cols[c] = b.column(c)
-        return pa.table(cols)
+        return tag_asof_rows(b, key_col, ts_col, payload_col, out_cols,
+                             "left", payload_type=payload_type)
 
-    rows = flatten_blocks(
-        right.map_batches(right_rows, batch_format="pyarrow")
-        .union(left.map_batches(left_rows, batch_format="pyarrow")))
+    rows = (right.map_batches(right_rows, batch_format="pyarrow")
+            .union(left.map_batches(left_rows, batch_format="pyarrow")))
+    return asof_join_tagged(rows, key_col=key_col, ts_col=ts_col,
+                            payload_col=payload_col, out_cols=out_cols,
+                            payload_type=payload_type)
+
+
+def asof_join_tagged(rows: "ray.data.Dataset", key_col: str, ts_col: str,
+                     payload_col: str, out_cols: list[str],
+                     payload_type: pa.DataType) -> "ray.data.Dataset":
+    """Core of the as-of join over pre-tagged rows (``tag_asof_rows``
+    layout).  Per sorted block, the match is a SEGMENTED CUMMAX, all
+    numpy: index each right row by ``seg*(n+1)+i``, max-accumulate,
+    and a match from an earlier key segment falls below the current
+    segment's base, so it reads as null — no per-group Python.  Key
+    groups split across block boundaries take the residual groupby
+    path (same kernel), as in every sort-scatter stage here.
+    """
+    from dedup_restore_ray.stages.groups import group_bounds, sorted_split
 
     emit_cols = list(dict.fromkeys([*out_cols, payload_col]))
 
@@ -145,14 +179,14 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             cols[c] = payload if c == payload_col else b.column(c).take(take)
         return pa.table(cols)
 
-    interior, edge = sorted_split(rows, [key_col, ts_col, "__slot"],
+    interior, edge = sorted_split(rows, [key_col, ts_col, "__slot", "__tb"],
                                   [key_col])
     return (interior.map_batches(kernel, batch_format="pyarrow",
                                  batch_size=None)
             .union(edge.groupby(key_col).map_groups(
                 lambda g: kernel(g.sort_by(
                     [(key_col, "ascending"), (ts_col, "ascending"),
-                     ("__slot", "ascending")])),
+                     ("__slot", "ascending"), ("__tb", "ascending")])),
                 batch_format="pyarrow")))
 
 
