@@ -926,6 +926,125 @@ def q_top_orders_per_customer(sf_dir: str):
     return top
 
 
+def q_lag_lead_events(sf_dir: str):
+    """LAG/LEAD window navigation (stages/windows.lag_lead): each
+    event's previous and next value within the same user's stream,
+    ordered by (ts, event_id) — the deterministic-tiebreak form of
+    ``lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)``.
+    One sort + per-block adjacent-row shift; stream boundaries map to
+    -1.0 (coalesced so the hash compare is null-free)."""
+    from dedup_restore_ray.stages.windows import lag_lead
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+    out = lag_lead(ev, key_col="user_id", order_cols=["ts", "event_id"],
+                   value_col="value", lag_col="prev_value",
+                   lead_col="next_value",
+                   carry_cols=["event_id", "user_id"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        neg = pa.scalar(-1.0, pa.float64())
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "prev_value": pc.coalesce(b.column("prev_value"), neg),
+            "next_value": pc.coalesce(b.column("next_value"), neg),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_quantile_parts(sf_dir: str):
+    """Exact grouped quantiles (stages/groups.grouped_quantile —
+    ``quantile_cont`` semantics, bit-exact interpolation): per part,
+    the median and p90 of its lineitem extended prices plus the ref
+    count.  ~2k groups over 60k rows at sf0.01 — the many-group shape
+    map_groups would serialize on."""
+    from dedup_restore_ray.stages.groups import grouped_quantile
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice"])
+    out = grouped_quantile(li, ["l_partkey"], "l_extendedprice",
+                           [0.5, 0.9], ["p50", "p90"],
+                           count_alias="n_refs").to_pandas()
+    out["p50"] = round_half_up(out["p50"], 4)
+    out["p90"] = round_half_up(out["p90"], 4)
+    return out
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped three-table pipeline (customer ⋈ orders ⋈
+    lineitem), all on the in-repo shuffle machinery — no Dataset.join,
+    no driver-side key sets:
+
+      1. building-segment customers -> key rows (tiny projection);
+      2. date-filtered orders semi-joined to them (one sort-scatter);
+      3. lineitem filtered + per-batch combiner pre-aggregates
+         revenue per order (the shuffle moves one row per (batch,
+         order), not one per lineitem);
+      4. one sort-scatter attaches o_orderdate while inner-joining
+         partials to the qualifying orders;
+      5. grouped sum + top-10 sort.
+
+    Scale: three column-pruned reads, two sort-scatters, one grouped
+    sort — each over already-reduced projections."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import (grouped_aggregate,
+                                                 presort_coalesce)
+    from dedup_restore_ray.stages.joins import semi_join
+    cutoff = pa.scalar(pd.Timestamp("1998-06-01"), pa.timestamp("us"))
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    bkeys = cust.map_batches(
+        lambda b: pa.table({"o_custkey": b.filter(
+            pc.equal(b.column("c_mktsegment"), "BUILDING"))
+            .column("c_custkey")}),
+        batch_format="pyarrow")
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+
+    def sel_orders(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b.column("o_orderdate"), cutoff))
+        ep = pc.cast(pc.cast(t.column("o_orderdate"), pa.timestamp("s")),
+                     pa.int64())
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey"),
+                         "order_epoch": ep})
+
+    osel = semi_join(orders.map_batches(sel_orders, batch_format="pyarrow"),
+                     bkeys, "o_custkey")
+    store = osel.map_batches(
+        lambda b: pa.table({"l_orderkey": b.column("o_orderkey"),
+                            "order_epoch": b.column("order_epoch")}),
+        batch_format="pyarrow")
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice",
+                                     "l_discount", "l_shipdate"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("l_shipdate"), cutoff))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        g = (pa.table({"l_orderkey": t.column("l_orderkey"), "pr": rev})
+             .group_by(["l_orderkey"]).aggregate([("pr", "sum")]))
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "pr": g.column("pr_sum")})
+
+    partials = li.map_batches(li_partial, batch_format="pyarrow")
+    hits = _scatter_lookup(partials, store, key_col="l_orderkey",
+                           payload_col="order_epoch",
+                           out_cols=["l_orderkey", "pr"])
+    agg = grouped_aggregate(hits, ["l_orderkey", "order_epoch"],
+                            {"revenue": ("pr", "sum")})
+    top = (presort_coalesce(agg)
+           .sort(["revenue", "l_orderkey"], descending=[True, False])
+           .limit(10).to_pandas())
+    top["revenue"] = round_half_up(top["revenue"], 2)
+    return top[["l_orderkey", "order_epoch", "revenue"]]
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_stats_docs": q_dedup_stats_docs,
@@ -971,6 +1090,9 @@ QUERIES = {
     "customer_order_counts": q_customer_order_counts,
     "extract_text_docs": q_extract_text_docs,
     "top_orders_per_customer": q_top_orders_per_customer,
+    "lag_lead_events": q_lag_lead_events,
+    "quantile_parts": q_quantile_parts,
+    "shipping_priority": q_shipping_priority,
 }
 
 
@@ -1234,5 +1356,33 @@ ORACLE_SQL = {
           AND length(list_intersect(a.s, b.s)) * 1.0 /
               (length(a.s) + length(b.s)
                - length(list_intersect(a.s, b.s))) >= 0.8
+    """,
+    "lag_lead_events": """
+        SELECT event_id, user_id,
+               coalesce(lag(value) OVER w, -1.0) AS prev_value,
+               coalesce(lead(value) OVER w, -1.0) AS next_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "quantile_parts": """
+        SELECT l_partkey,
+               count(*) AS n_refs,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        FROM lineitem GROUP BY l_partkey
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey,
+               epoch(o_orderdate)::BIGINT AS order_epoch,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+        LIMIT 10
     """,
 }

@@ -313,6 +313,64 @@ def grouped_aggregate(ds: "ray.data.Dataset", keys: list[str],
                 residual_agg, batch_format="pyarrow")))
 
 
+def grouped_quantile(ds: "ray.data.Dataset", keys: list[str],
+                     value_col: str, qs: list[float],
+                     out_cols: list[str],
+                     count_alias: str | None = None) -> "ray.data.Dataset":
+    """Exact continuous quantiles per key group (the
+    ``quantile_cont`` / ``percentile_cont`` window shape Ray Data has
+    no aggregate for) — one sort on (keys..., value) + a per-block
+    vectorized kernel: with group bounds in hand, EVERY group's
+    quantile is two gathers and a fused multiply-add over the block
+    (no per-group Python).  Interpolation is DuckDB's weighted form
+    ``v[floor]*(ceil-rn) + v[ceil]*(rn-floor)`` with the
+    integer-index special case — verified bit-exact against
+    ``quantile_cont`` over randomized inputs.  Null values are not
+    supported (pre-filter them; SQL aggregates skip nulls).
+
+    Scale note: per-group state is O(1); the only data movement is the
+    one range-partition sort, and the output is one row per group —
+    the same shuffle discipline as grouped_aggregate."""
+    assert len(qs) == len(out_cols)
+    interior, edge = sorted_split(ds, keys + [value_col], keys)
+
+    def block_quantiles(b: pa.Table) -> pa.Table:
+        fields = [(k, b.schema.field(k).type) for k in keys]
+        if b.num_rows == 0:
+            cols = {k: pa.array([], t) for k, t in fields}
+            for out in out_cols:
+                cols[out] = pa.array([], pa.float64())
+            if count_alias:
+                cols[count_alias] = pa.array([], pa.int64())
+            return pa.table(cols)
+        starts, ends = group_bounds(b, keys)
+        sizes = ends - starts
+        v = np.asarray(pc.cast(b.column(value_col).combine_chunks(),
+                               pa.float64()))
+        cols = {k: b.column(k).take(pa.array(starts)) for k in keys}
+        for q, out in zip(qs, out_cols):
+            rn = (sizes - 1).astype(np.float64) * q
+            frn = np.floor(rn).astype(np.int64)
+            crn = np.ceil(rn).astype(np.int64)
+            lo = v[starts + frn]
+            hi = v[starts + crn]
+            res = np.where(frn == crn, lo,
+                           lo * (crn - rn) + hi * (rn - frn))
+            cols[out] = pa.array(res)
+        if count_alias:
+            cols[count_alias] = pa.array(sizes.astype(np.int64))
+        return pa.table(cols)
+
+    def residual_quantiles(g: pa.Table) -> pa.Table:
+        return block_quantiles(g.sort_by(
+            [(k, "ascending") for k in keys + [value_col]]))
+
+    return (interior.map_batches(block_quantiles, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(keys).map_groups(
+                residual_quantiles, batch_format="pyarrow")))
+
+
 def grouped_topk(ds: "ray.data.Dataset", keys: list[str],
                  order_by: list[tuple[str, bool]], k: int
                  ) -> "ray.data.Dataset":

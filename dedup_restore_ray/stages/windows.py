@@ -84,6 +84,61 @@ def sliding_window_count(ds: "ray.data.Dataset", key_col: str,
                 batch_format="pyarrow")))
 
 
+def lag_lead(ds: "ray.data.Dataset", key_col: str,
+             order_cols: list[str], value_col: str,
+             lag_col: str = "lag_value", lead_col: str = "lead_value",
+             carry_cols: list[str] | None = None) -> "ray.data.Dataset":
+    """Per-key LAG/LEAD window navigation (``lag(value) OVER
+    (PARTITION BY key ORDER BY ...)``) — an operator Ray Data has no
+    window form for.  One sort on (key, order_cols...) + a per-block
+    shift: interior blocks hold whole key groups, so the previous/next
+    row is simply the adjacent row, with group-first rows nulled for
+    lag and group-last rows nulled for lead (one boolean mask each —
+    no per-group Python).  Block-edge groups take the residual pass
+    with the same kernel, as in every sort stage here.
+
+    ``order_cols`` should end in a unique tiebreak column so the
+    result is deterministic under order-key ties (the same requirement
+    SQL window frames have).
+
+    Output: carry_cols (default: key + order_cols) + lag_col +
+    lead_col; boundary rows carry null."""
+    carry = carry_cols or [key_col, *order_cols]
+    sort_keys = [key_col, *order_cols]
+
+    def kernel(b: pa.Table) -> pa.Table:
+        vtype = b.schema.field(value_col).type
+        fields = [(c, b.schema.field(c).type) for c in carry]
+        out_schema = pa.schema(fields + [(lag_col, vtype),
+                                         (lead_col, vtype)])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, [key_col])
+        vals = b.column(value_col).combine_chunks()
+        idx = np.arange(n, dtype=np.int64)
+        is_first = np.zeros(n, dtype=bool)
+        is_first[starts] = True
+        is_last = np.zeros(n, dtype=bool)
+        is_last[ends - 1] = True
+        lagv = pc.if_else(pa.array(is_first), pa.scalar(None, vtype),
+                          vals.take(pa.array(np.maximum(idx - 1, 0))))
+        leadv = pc.if_else(pa.array(is_last), pa.scalar(None, vtype),
+                           vals.take(pa.array(np.minimum(idx + 1, n - 1))))
+        cols = {c: b.column(c) for c in carry}
+        cols[lag_col] = lagv
+        cols[lead_col] = leadv
+        return pa.table(cols)
+
+    interior, edge = sorted_split(ds, sort_keys, [key_col])
+    return (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                lambda g: kernel(g.sort_by(
+                    [(c, "ascending") for c in sort_keys])),
+                batch_format="pyarrow")))
+
+
 def sliding_window_sum(ds: "ray.data.Dataset", key_col: str,
                        ts_col: str, value_col: str, window_seconds: int,
                        out_col: str = "window_sum",

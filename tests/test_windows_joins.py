@@ -117,6 +117,68 @@ class TestSlidingWindow:
         assert (got["n_win"] == 3).all()   # RANGE-frame peer semantics
 
 
+class TestLagLead:
+    @pytest.mark.parametrize("num_blocks", [1, 7])
+    def test_parity_vs_pandas_shift(self, ray_session, num_blocks):
+        from dedup_restore_ray.stages.windows import lag_lead
+        df = _events_frame(n=400)
+        got = lag_lead(
+            rd.from_pandas(df).repartition(num_blocks),
+            key_col="user_id", order_cols=["ts", "event_id"],
+            value_col="value", lag_col="prev", lead_col="next",
+            carry_cols=["event_id"],
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        s = df.sort_values(["user_id", "ts", "event_id"])
+        exp = pd.DataFrame({
+            "event_id": s["event_id"],
+            "prev": s.groupby("user_id")["value"].shift(1),
+            "next": s.groupby("user_id")["value"].shift(-1),
+        }).sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["event_id", "prev", "next"]],
+                                      exp, check_dtype=False)
+
+    def test_singleton_groups_null_both_ways(self, ray_session):
+        from dedup_restore_ray.stages.windows import lag_lead
+        df = pd.DataFrame({"user_id": [1, 2, 3], "ts": [5, 5, 5],
+                           "value": [1.0, 2.0, 3.0]})
+        got = lag_lead(rd.from_pandas(df), key_col="user_id",
+                       order_cols=["ts"], value_col="value"
+                       ).to_pandas()
+        assert got["lag_value"].isna().all()
+        assert got["lead_value"].isna().all()
+
+
+class TestGroupedQuantile:
+    @pytest.mark.parametrize("num_blocks", [1, 6])
+    def test_parity_vs_duckdb_quantile_cont(self, ray_session, num_blocks):
+        import duckdb
+        from dedup_restore_ray.stages.groups import grouped_quantile
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 37, 900).astype(np.int64),
+            "v": rng.uniform(0, 1000, 900),
+        })
+        got = grouped_quantile(
+            rd.from_pandas(df).repartition(num_blocks),
+            ["k"], "v", [0.5, 0.9], ["p50", "p90"], count_alias="n",
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        exp = duckdb.sql(
+            "SELECT k, quantile_cont(v, 0.5) AS p50,"
+            " quantile_cont(v, 0.9) AS p90, count(*) AS n"
+            " FROM df GROUP BY k ORDER BY k").df()
+        # bit-exact interpolation (verified formula) — no tolerance
+        assert np.array_equal(got["p50"].to_numpy(), exp["p50"].to_numpy())
+        assert np.array_equal(got["p90"].to_numpy(), exp["p90"].to_numpy())
+        assert np.array_equal(got["n"].to_numpy(), exp["n"].to_numpy())
+
+    def test_single_row_groups(self, ray_session):
+        from dedup_restore_ray.stages.groups import grouped_quantile
+        df = pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]})
+        got = grouped_quantile(rd.from_pandas(df), ["k"], "v",
+                               [0.5], ["p50"]).to_pandas().sort_values("k")
+        assert np.array_equal(got["p50"].to_numpy(), [10.0, 20.0, 30.0])
+
+
 class TestBandJoin:
     def test_band_join_parity_vs_brute(self, ray_session):
         from dedup_restore_ray.stages.joins import band_join_pairs
