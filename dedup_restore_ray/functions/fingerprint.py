@@ -69,6 +69,45 @@ _BASE_INV = np.uint64(pow(int(_BASE), -1, 1 << 64))  # P odd => invertible
 _MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def batch_lgram_hashes(texts: list[str], L: int) -> list[np.ndarray]:
+    """Sorted-unique uint64 rolling hashes of every L-*character* gram,
+    per document, in one O(total chars) pass (same modular-inverse
+    prefix-sum trick as the winnowing path, over the UTF-32 code-point
+    stream so gram length counts CHARACTERS, matching SQL
+    ``substr(s, i, L)`` semantics exactly).
+
+    Two docs share an L-char substring iff their hash sets intersect
+    (up to 64-bit collisions, ~2^-64 per cross pair) — the exact-verify
+    primitive for the substring-dedup pass: shared normalized run
+    >= L chars ⟺ shared L-gram.
+    """
+    enc = [t.encode("utf-32-le") for t in texts]
+    lens = np.fromiter((len(e) >> 2 for e in enc), dtype=np.int64,
+                       count=len(enc))
+    n = int(lens.sum())
+    if n == 0 or n < L:
+        out = []
+        for i, t in enumerate(texts):
+            if lens[i] < L:
+                out.append(np.empty(0, dtype=U64))
+            else:
+                data = np.frombuffer(enc[i], dtype=np.uint32)
+                out.append(np.unique(mix64(_global_kgram_hashes(data, L))))
+        return out
+    data = np.frombuffer(b"".join(enc), dtype=np.uint32)
+    acc = mix64(_global_kgram_hashes(data, L))
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    hlens = np.maximum(lens - L + 1, 0)
+    out = []
+    for i in range(len(texts)):
+        if hlens[i] <= 0:
+            out.append(np.empty(0, dtype=U64))
+        else:
+            s = starts[i]
+            out.append(np.unique(acc[s:s + hlens[i]]))
+    return out
+
+
 def _global_kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
     """O(n) rolling polynomial hash of every k-window via modular-
     inverse prefix sums:  h[i] = P^{i+k-1} * (S[i+k] - S[i])  with

@@ -77,7 +77,16 @@ def _encode_concat(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
 
 
 def substring_pairs(texts: list[str], min_len: int, chunk: int = 65536) -> set[tuple[int, int]]:
-    """{(i, j) i<j} doc-index pairs sharing an exact >= min_len-char run."""
+    """{(i, j) i<j} doc-index pairs sharing an exact >= min_len-char run.
+
+    Complete over cliques: suffixes sharing a >= min_len prefix form a
+    maximal CONSECUTIVE run in the suffix array, so each such run is a
+    clique of docs and every in-run doc pair is emitted — adjacent-only
+    pairing would drop (A, C) whenever B's suffixes always sit between
+    A's and C's (e.g. three exact copies of the same passage).
+    """
+    from itertools import combinations
+
     codes, doc_of = _encode_concat(texts)
     n = len(codes)
     if n == 0:
@@ -91,16 +100,42 @@ def substring_pairs(texts: list[str], min_len: int, chunk: int = 65536) -> set[t
     d = doc_of[sa]
     prev_pos = sa[:-1]
     next_pos = sa[1:]
-    cand = (d[:-1] >= 0) & (d[1:] >= 0) & (d[:-1] != d[1:])
-    idx = np.flatnonzero(cand)
-    pairs: set[tuple[int, int]] = set()
+    # adjacent LCP >= min_len, for ALL adjacent suffix pairs (cheap
+    # 4-char prefilter, full window compare on survivors only)
+    m = n - 1
+    ok_adj = np.zeros(m, dtype=bool)
+    pre = min(4, min_len)
+    offs_pre = np.arange(pre, dtype=np.int64)
+    cand_mask = np.zeros(m, dtype=bool)
+    pchunk = max(chunk * 16, 1)
+    for c0 in range(0, m, pchunk):
+        pp = prev_pos[c0 : c0 + pchunk]
+        nn = next_pos[c0 : c0 + pchunk]
+        cand_mask[c0 : c0 + pchunk] = (
+            ext[pp[:, None] + offs_pre[None, :]]
+            == ext[nn[:, None] + offs_pre[None, :]]).all(axis=1)
+    idx = np.flatnonzero(cand_mask)
     offs = np.arange(min_len, dtype=np.int64)
     for c0 in range(0, len(idx), chunk):
         sel = idx[c0 : c0 + chunk]
         wa = ext[prev_pos[sel][:, None] + offs[None, :]]
         wb = ext[next_pos[sel][:, None] + offs[None, :]]
-        ok = (wa == wb).all(axis=1)
-        for t in sel[ok]:
-            a, b = int(d[t]), int(d[t + 1])
-            pairs.add((a, b) if a < b else (b, a))
+        ok_adj[sel[(wa == wb).all(axis=1)]] = True
+    pairs: set[tuple[int, int]] = set()
+    if not ok_adj.any():
+        return pairs
+    # maximal runs of ok_adj → suffix groups [s, e+1]; all doc pairs
+    # within a group share the (>= min_len) group prefix
+    edges = np.diff(ok_adj.astype(np.int8))
+    starts = np.flatnonzero(edges == 1) + 1
+    ends = np.flatnonzero(edges == -1) + 1
+    if ok_adj[0]:
+        starts = np.concatenate(([0], starts))
+    if ok_adj[-1]:
+        ends = np.concatenate((ends, [m]))
+    for s, e in zip(starts, ends):
+        group_docs = np.unique(d[s : e + 1])
+        group_docs = group_docs[group_docs >= 0]
+        for a, b in combinations(group_docs.tolist(), 2):
+            pairs.add((a, b))
     return pairs

@@ -443,21 +443,22 @@ def q_dedup_clusters_docs(sf_dir: str):
 
 
 def q_substring_pairs_docs(sf_dir: str):
-    """Substring-dedup pass over documents (rows-only): the DISTRIBUTED
-    winnowed-fingerprint formulation — one groupby(fingerprint)
-    shuffle, no single-task suffix array (the exact per-partition
-    suffix-array form is the small-scale parity check, kept in
-    tests/test_pipeline.py::TestSubstringParity).  Winnowing guarantee:
-    every pair the suffix array finds (shared run >= substring_min_len
-    normalized chars) shares a selected fingerprint, so this is a
-    superset at full recall."""
-    from dedup_restore_ray.stages.substring import fingerprint_pairs
+    """Substring-dedup pass over documents, EXACT: pairs sharing a
+    normalized run >= substring_min_len (100) chars.  Distributed
+    winnowed-fingerprint shuffle for candidates (guaranteed superset;
+    no single-task suffix array — the per-partition suffix-array form
+    is the parity check in tests/test_pipeline.py::TestSubstringParity)
+    + L-gram hash-set intersection verify, so the result is
+    hash-checkable against the DuckDB 100-gram self-join oracle.
+    max_bucket_pairs is lifted here because the oracle needs the FULL
+    pairwise set even inside hot buckets (the flagship keeps the cap
+    and lets clustering close the transitive gap)."""
+    import dataclasses
+    from dedup_restore_ray.stages.substring import verified_substring_pairs
     ds = _docs(sf_dir, ["doc_id", "text"])
-    sigs = ds.map_batches(
-        SignatureStage(CFG, emit_minhash=False, emit_bucket_keys=False),
-        batch_format="pyarrow", batch_size=CFG.batch_size)
-    return fingerprint_pairs(
-        sigs.select_columns(["doc_id", "fingerprints"]), CFG)
+    cfg = dataclasses.replace(CFG, max_bucket_pairs=10_000_000)
+    df = verified_substring_pairs(ds, cfg).to_pandas()
+    return df.sort_values(["u", "v"]).reset_index(drop=True)
 
 
 # ----------------------------------------------------------------------
@@ -1356,6 +1357,21 @@ ORACLE_SQL = {
           AND length(list_intersect(a.s, b.s)) * 1.0 /
               (length(a.s) + length(b.s)
                - length(list_intersect(a.s, b.s))) >= 0.8
+    """,
+    "substring_pairs_docs": r"""
+        WITH n AS (
+          SELECT doc_id,
+                 array_to_string(regexp_extract_all(lower(text), '\w+'),
+                                 ' ') AS s
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(length(s) - 99, 0) + 1),
+                   i -> substr(s, i, 100)))) AS gram
+          FROM n WHERE length(s) >= 100)
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM g a JOIN g b USING (gram)
+        WHERE a.doc_id < b.doc_id
     """,
     "lag_lead_events": """
         SELECT event_id, user_id,

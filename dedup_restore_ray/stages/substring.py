@@ -109,3 +109,71 @@ def suffix_array_pairs(docs: "ray.data.Dataset",
         SuffixArrayPairs(cfg, id_col=id_col, text_col=text_col),
         batch_format="pyarrow", batch_size=8192, num_cpus=1)
     return distinct_rows(pairs, ["u", "v"])
+
+
+def lgram_table(docs: "ray.data.Dataset",
+                cfg: PipelineConfig | None = None,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> "ray.data.Dataset":
+    """(id, shingles = sorted-unique uint64 hashes of every
+    substring_min_len-CHAR gram of the normalized text).
+
+    Character-exact (UTF-32 stream, functions/fingerprint.py
+    batch_lgram_hashes): two docs share an L-char normalized run iff
+    their gram sets intersect, which is the exact membership test SQL
+    ``substr(norm, i, L)`` computes — so the verified pair set is
+    hash-checkable against a DuckDB L-gram self-join oracle.
+    """
+    cfg = cfg or PipelineConfig()
+    L = cfg.substring_min_len
+
+    def grams(batch: pa.Table) -> pa.Table:
+        from dedup_restore_ray.functions.fingerprint import batch_lgram_hashes
+        from dedup_restore_ray.functions.shingle import normalize_text
+        norm = [normalize_text(t)
+                for t in batch.column(text_col).to_pylist()]
+        gs = batch_lgram_hashes(norm, L)
+        offs = np.zeros(len(gs) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum([len(g) for g in gs])
+        flat = (np.concatenate(gs) if gs
+                else np.empty(0, dtype=np.uint64))
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(flat, pa.uint64()))
+        return pa.table({"doc_id": batch.column(id_col), "shingles": lst})
+
+    return docs.map_batches(grams, batch_format="pyarrow")
+
+
+def verified_substring_pairs(docs: "ray.data.Dataset",
+                             cfg: PipelineConfig | None = None,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             strategy: str = "broadcast"
+                             ) -> "ray.data.Dataset":
+    """Exact substring-dedup pairs: docs sharing a normalized run of
+    >= substring_min_len chars.  Candidates from the winnowed-
+    fingerprint shuffle (guaranteed superset — winnowing detects every
+    shared run >= winnow_kgram + window - 1 = substring_min_len);
+    verification = L-gram hash-set intersection via the same pair
+    machinery as Jaccard verify (threshold epsilon: any non-empty
+    intersection passes).  strategy='scatter' is the fully distributed
+    form for corpora beyond the broadcast pack limit.
+    """
+    import dataclasses
+
+    from dedup_restore_ray.stages.signatures import SignatureStage
+    from dedup_restore_ray.stages.verify import verify_pairs
+
+    cfg = cfg or PipelineConfig()
+    sigs = docs.map_batches(
+        SignatureStage(cfg, id_col=id_col, text_col=text_col,
+                       emit_minhash=False, emit_bucket_keys=False),
+        batch_format="pyarrow", batch_size=cfg.batch_size)
+    cands = fingerprint_pairs(
+        sigs.select_columns(["doc_id", "fingerprints"]), cfg)
+    grams = lgram_table(docs, cfg, id_col=id_col, text_col=text_col)
+    # jaccard>0 <=> shared L-gram; smallest positive jaccard is
+    # 1/(|A|+|B|) so any epsilon below that keeps exactly the hits
+    eps_cfg = dataclasses.replace(cfg, jaccard_threshold=1e-12)
+    out = verify_pairs(cands, grams, eps_cfg, strategy=strategy)
+    return out.select_columns(["u", "v"])

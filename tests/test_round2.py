@@ -211,6 +211,58 @@ class TestSubstringParity:
         assert sa_set <= fp_set
         assert len(sa_set) > 0
 
+    def test_verified_pairs_exact_vs_suffix_array(self, pages_corpus):
+        """verified_substring_pairs == the suffix-array ground truth:
+        candidates (winnowed superset) filtered by L-gram hash-set
+        intersection must yield EXACTLY the pairs sharing a normalized
+        run >= substring_min_len chars."""
+        import dataclasses
+
+        import ray.data as rd
+        from dedup_restore_ray.functions.shingle import normalize_text
+        from dedup_restore_ray.stages.substring import (
+            suffix_array_pairs, verified_substring_pairs)
+        pages, _ = pages_corpus
+        cfg = dataclasses.replace(PipelineConfig(),
+                                  max_bucket_pairs=10_000_000)
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pages["url"],
+            "text": pages["text"]}))
+
+        def norm(b):
+            nt = [normalize_text(t) for t in b.column("text").to_pylist()]
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "norm_text": pa.array(nt, pa.string())})
+
+        sa = suffix_array_pairs(
+            docs.map_batches(norm, batch_format="pyarrow").repartition(1),
+            cfg).to_pandas()
+        ver = verified_substring_pairs(docs, cfg).to_pandas()
+        sa_set = {tuple(sorted(t)) for t in zip(sa.u, sa.v)}
+        ver_set = {tuple(sorted(t)) for t in zip(ver.u, ver.v)}
+        assert ver_set == sa_set
+        assert len(sa_set) > 0
+
+    def test_verified_pairs_scatter_matches_broadcast(self, pages_corpus):
+        import dataclasses
+
+        import ray.data as rd
+        from dedup_restore_ray.stages.substring import \
+            verified_substring_pairs
+        pages, _ = pages_corpus
+        cfg = dataclasses.replace(PipelineConfig(),
+                                  max_bucket_pairs=10_000_000)
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pages["url"],
+            "text": pages["text"]}))
+        b = verified_substring_pairs(docs, cfg,
+                                     strategy="broadcast").to_pandas()
+        s = verified_substring_pairs(docs, cfg,
+                                     strategy="scatter").to_pandas()
+        bs = {tuple(sorted(t)) for t in zip(b.u, b.v)}
+        ss = {tuple(sorted(t)) for t in zip(s.u, s.v)}
+        assert bs == ss
+
 
 # ----------------------------------------------------------------------
 # Restore strictness: missing canonical fails loudly
