@@ -435,11 +435,35 @@ def q_near_dup_pairs_docs(sf_dir: str):
 
 
 def q_dedup_clusters_docs(sf_dir: str):
-    """Flagship cluster assignment over documents (rows-only)."""
+    """Flagship cluster assignment over documents, hash-checked against
+    a DuckDB recursive-CTE connected-components oracle: cluster_id =
+    min doc_id in the component of the graph whose edges are
+    {exact-text-equal} ∪ {5-gram Jaccard >= 0.8} ∪ {both 0 tokens}
+    (the last because jaccard(∅,∅)=1 and the norm rail pairs
+    empty-normalized docs).  Valid because the candidate union has
+    full recall of >= 0.8 pairs on this corpus (asserted by
+    near_dup_pairs_docs hash-matching its brute-force oracle)."""
     from dedup_restore_ray.pipelines.dedup import dedup_pipeline
     ds = _docs(sf_dir, ["doc_id", "text"])
     res = dedup_pipeline(ds, CFG)
     return res.assignments
+
+
+def q_split_docs(sf_dir: str):
+    """Deterministic train/val/test assignment by hashed doc_id
+    (stages/split.py): pure per-row md5 map, no shuffle, reproducible
+    by any engine — oracle = the same md5 arithmetic in DuckDB."""
+    from dedup_restore_ray.stages.split import hash_split
+    ds = _docs(sf_dir, ["doc_id"])
+    return hash_split(ds, key_col="doc_id")
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic 25 % Bernoulli sample by hashed doc_id — stable
+    across runs/partitionings (unlike Dataset.random_sample)."""
+    from dedup_restore_ray.stages.split import hash_sample
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return hash_sample(ds, 0.25, key_col="doc_id")
 
 
 def q_substring_pairs_docs(sf_dir: str):
@@ -1068,6 +1092,8 @@ QUERIES = {
     "minhash_signatures_docs": q_minhash_signatures_docs,
     "near_dup_pairs_docs": q_near_dup_pairs_docs,
     "dedup_clusters_docs": q_dedup_clusters_docs,
+    "split_docs": q_split_docs,
+    "sample_docs": q_sample_docs,
     "substring_pairs_docs": q_substring_pairs_docs,
     "restore_docs": q_restore_docs,
     "update_restore_docs": q_update_restore_docs,
@@ -1357,6 +1383,72 @@ ORACLE_SQL = {
           AND length(list_intersect(a.s, b.s)) * 1.0 /
               (length(a.s) + length(b.s)
                - length(list_intersect(a.s, b.s))) >= 0.8
+    """,
+    "split_docs": """
+        SELECT doc_id,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     )::UBIGINT % 10000 AS b
+              FROM documents)
+    """,
+    "sample_docs": """
+        SELECT doc_id, text
+        FROM (SELECT doc_id, text,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     )::UBIGINT % 10000 AS b
+              FROM documents)
+        WHERE b < 2500
+    """,
+    "dedup_clusters_docs": r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN []
+                      ELSE list_distinct(list_transform(
+                           range(1, greatest(length(t) - 4, 1) + 1),
+                           i -> array_to_string(t[i:i+4], ' '))) END AS s
+          FROM toks),
+        jp AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND length(a.s) > 0 AND length(b.s) > 0
+            AND 5 * length(list_intersect(a.s, b.s))
+                >= 4 * (length(a.s) + length(b.s)
+                        - length(list_intersect(a.s, b.s)))),
+        ep AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM documents a JOIN documents b ON a.text = b.text
+          WHERE a.doc_id < b.doc_id),
+        zp AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND length(a.s) = 0 AND length(b.s) = 0),
+        edges AS (
+          SELECT u, v FROM jp UNION SELECT v, u FROM jp
+          UNION SELECT u, v FROM ep UNION SELECT v, u FROM ep
+          UNION SELECT u, v FROM zp UNION SELECT v, u FROM zp),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+        comp AS (
+          SELECT node AS doc_id, min(reach) AS cluster_id
+          FROM walk GROUP BY node),
+        canon AS (
+          SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY text) AS canonical_id
+          FROM documents)
+        SELECT c.doc_id, canon.canonical_id,
+               c.doc_id <> canon.canonical_id AS is_dup,
+               c.cluster_id
+        FROM comp c JOIN canon USING (doc_id)
     """,
     "substring_pairs_docs": r"""
         WITH n AS (

@@ -713,3 +713,52 @@ class TestSessionizeKernel:
             got[["user_id", "n_events", "n_sessions"]].astype(
                 {"n_events": "int64", "n_sessions": "int64"}),
             expect.astype({"n_events": "int64", "n_sessions": "int64"}))
+
+
+# ----------------------------------------------------------------------
+# Deterministic hash split / sample (stages/split.py)
+# ----------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashSplit:
+    def _docs(self, n=400):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(n)], pa.string()),
+        }))
+
+    def test_split_partitions_and_determinism(self):
+        from dedup_restore_ray.stages.split import hash_split
+        ds = self._docs()
+        a = hash_split(ds, key_col="doc_id").to_pandas()
+        b = hash_split(self._docs().repartition(7),
+                       key_col="doc_id").to_pandas()
+        # every row exactly one split; layout-independent assignment
+        assert set(a["split"]) <= {"train", "val", "test"}
+        am = dict(zip(a.doc_id, a.split))
+        bm = dict(zip(b.doc_id, b.split))
+        assert am == bm
+        # fractions roughly honoured (md5 is uniform)
+        frac = (a["split"] == "train").mean()
+        assert 0.7 < frac < 0.9
+
+    def test_sample_nested_and_stable(self):
+        from dedup_restore_ray.stages.split import hash_sample
+        ds = self._docs()
+        s10 = set(hash_sample(ds, 0.10).to_pandas().doc_id)
+        s25 = set(hash_sample(self._docs(), 0.25).to_pandas().doc_id)
+        assert s10 <= s25          # nested by construction
+        assert 0.03 < len(s10) / 400 < 0.20
+        # salt changes the sample
+        s25b = set(hash_sample(self._docs(), 0.25, salt="x").to_pandas().doc_id)
+        assert s25 != s25b
+
+    def test_matches_sql_md5(self):
+        import hashlib
+        from dedup_restore_ray.stages.split import BASIS, _buckets
+        ks = [0, 1, 42, "url-a", 999999]
+        got = _buckets(ks, "")
+        exp = [int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % BASIS
+               for k in ks]
+        assert got.tolist() == exp
