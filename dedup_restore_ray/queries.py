@@ -908,10 +908,12 @@ def q_customer_order_counts(sf_dir: str):
 
 
 def q_extract_text_docs(sf_dir: str):
-    """HTML->text extraction plumbing (rows-only): deterministic html
+    """HTML->text extraction, hash-checked: deterministic html
     synthesized from each doc, extracted by the actor stage; output is
-    the SHA-1 of the extracted text — the per-url byte-identity
-    invariant (BASELINE.json input_hint) as data."""
+    the md5 of the extracted text — the per-url byte-identity invariant
+    (BASELINE.json input_hint) as data, reproducible in SQL because the
+    extractor is tag-strip + whitespace-collapse + trim (regexes any
+    engine can run)."""
     import hashlib
     from dedup_restore_ray.pipelines.dedup import ExtractText
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -928,10 +930,10 @@ def q_extract_text_docs(sf_dir: str):
         ExtractText(), batch_format="pyarrow")
 
     def digest(batch: pa.Table) -> pa.Table:
-        h = [hashlib.sha1((t or "").encode()).hexdigest()
+        h = [hashlib.md5((t or "").encode()).hexdigest()
              for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "extracted_sha1": pa.array(h, pa.string())})
+                         "extracted_md5": pa.array(h, pa.string())})
 
     return ex.map_batches(digest, batch_format="pyarrow")
 
@@ -1241,6 +1243,70 @@ ORACLE_SQL = {
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(a.embedding::DOUBLE[],
                                      b.embedding::DOUBLE[]) >= 0.3
+    """,
+    "langid_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, lang, text,
+                 coalesce(regexp_extract_all(lower(coalesce(text, '')),
+                                             '\w+'), []) AS t
+          FROM documents),
+        hits AS (
+          SELECT doc_id, lang, text, t,
+            len(list_filter(t, x -> list_contains(
+              ['a','and','are','as','at','be','for','he','his','i','in',
+               'is','it','of','on','that','the','they','to','was','with',
+               'you'], x))) AS h_en,
+            len(list_filter(t, x -> list_contains(
+              ['als','auf','das','dem','den','der','des','die','ein',
+               'eine','für','im','in','ist','mit','nicht','sich','und',
+               'von','zu'], x))) AS h_de,
+            len(list_filter(t, x -> list_contains(
+              ['au','dans','de','des','du','en','est','et','la','le',
+               'les','par','pas','plus','pour','que','qui','sur','un',
+               'une'], x))) AS h_fr,
+            len(list_filter(t, x -> list_contains(
+              ['a','al','con','de','del','el','en','es','la','las','lo',
+               'los','no','para','por','que','se','su','un','una','y'],
+              x))) AS h_es,
+            len(regexp_extract_all(coalesce(text, ''), '[一-鿿]'))
+              AS n_cjk
+          FROM toks)
+        SELECT doc_id, lang,
+               CASE
+                 WHEN text IS NULL OR text = '' THEN 'und'
+                 WHEN n_cjk >= 3 AND n_cjk * 10 >= length(text) THEN 'zh'
+                 WHEN len(t) = 0 THEN 'und'
+                 WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                 WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                 WHEN h_de = greatest(h_de, h_fr, h_es) THEN 'de'
+                 WHEN h_fr = greatest(h_fr, h_es) THEN 'fr'
+                 ELSE 'es'
+               END AS pred_lang
+        FROM hits
+    """,
+    "extract_text_docs": r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                     regexp_replace(
+                       '<html><body><main>' || text || '</main></body></html>',
+                       '<[^>]+>', ' ', 'g'),
+                     '\s+', ' ', 'g'))) AS extracted_md5
+        FROM documents
+    """,
+    "embedding_dup_clusters": """
+        WITH RECURSIVE cp AS (
+          SELECT a.vec_id AS u, b.vec_id AS v
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]) >= 0.3),
+        edges AS (SELECT u, v FROM cp UNION SELECT v, u FROM cp),
+        walk(node, reach) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)
+        SELECT node AS vec_id, min(reach) AS cluster_id
+        FROM walk GROUP BY node
     """,
     "restore_docs": """
         SELECT doc_id, md5(text) AS restored_md5 FROM documents
