@@ -42,7 +42,41 @@ def _clean_schema(path, columns=None) -> "pa.Schema | None":
     return pa.schema([pa.field(f.name, f.type) for f in fields])
 
 
+def _size_hint_blocks(path) -> "int | None":
+    """Block-count override for SMALL local inputs only: Ray splits
+    even a 100 KB file into ~2x-cpu blocks, and every downstream
+    stage then pays per-block scheduling.  Returns ceil(file bytes /
+    8 MiB) when that is below Ray's default width; None (no override)
+    otherwise — large corpora keep Ray's own file-based splitting."""
+    import os
+
+    import ray
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    total = 0
+    for p in paths:
+        try:
+            p = os.fspath(p)
+            if os.path.isdir(p):
+                for root, _, files in os.walk(p):
+                    total += sum(os.path.getsize(os.path.join(root, f))
+                                 for f in files)
+            else:
+                total += os.path.getsize(p)
+        except (OSError, TypeError):
+            return None
+    try:
+        cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        cpus = 8
+    want = max(1, -(-total // (8 << 20)))
+    return want if want < cpus * 2 else None
+
+
 def read_parquet_clean(path, **kwargs) -> "rd.Dataset":
+    if "override_num_blocks" not in kwargs:
+        hint = _size_hint_blocks(path)
+        if hint is not None:
+            kwargs["override_num_blocks"] = hint
     # A row filter may reference columns outside the projection, and
     # pyarrow validates it against the passed schema — use the
     # post-read strip for filtered reads.

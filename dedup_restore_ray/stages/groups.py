@@ -42,6 +42,13 @@ def flatten_blocks(ds: "ray.data.Dataset",
             width = max(8, int(ray.cluster_resources().get("CPU", 8)))
         except Exception:
             width = 8
+        # shrink for tiny datasets: cpu-count blocks of a few KB each
+        # only buy scheduling overhead (size-gated, like
+        # presort_coalesce — a real corpus keeps the cpu width)
+        m = ds.materialize()
+        size = m.size_bytes() or 0
+        width = min(width, max(1, -(-size // (1 << 20))))
+        return m.repartition(width).materialize()
     return ds.repartition(width).materialize()
 
 
@@ -90,6 +97,11 @@ def presort_coalesce(ds: "ray.data.Dataset",
         cpus = 8
     size = m.size_bytes() or 0
     width = max(cpus, -(-size // target_block_bytes))
+    # tiny-data floor: don't hand the sort cpu-count near-empty blocks
+    # (a 140 KB table in 32 blocks pays ~1s of pure scheduling); at
+    # >= ~1 MB/cpu of data the min() is inert and width stays cpu/size
+    # driven, so large corpora are never squeezed.
+    width = min(width, max(1, -(-size // (1 << 20))))
     if nb > width:
         return m.repartition(width).materialize()
     return m
