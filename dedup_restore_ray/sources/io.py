@@ -68,8 +68,13 @@ def _size_hint_blocks(path) -> "int | None":
         cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         cpus = 8
-    want = max(1, -(-total // (8 << 20)))
-    return want if want < cpus * 2 else None
+    # only tiny inputs (< ~1 MiB of file per cpu) get coalesced reads;
+    # medium files keep Ray's default split — parquet DECODE is the
+    # parallel work and wants all cpus (measured: a 40 MB lineitem
+    # read got 3x slower at 5 blocks than at 64)
+    if total >= cpus << 20:
+        return None
+    return max(1, -(-total // (1 << 20)))
 
 
 def read_parquet_clean(path, **kwargs) -> "rd.Dataset":
