@@ -44,6 +44,7 @@ class SignatureStage:
                  keep_cols: tuple = (),
                  emit_minhash: bool = True,
                  emit_bucket_keys: bool = False,
+                 emit_lgrams: bool = False,
                  bucket_simhash: bool = True,
                  bucket_fingerprints: bool = True,
                  bucket_norm: bool = True):
@@ -53,6 +54,7 @@ class SignatureStage:
         self.keep_cols = keep_cols
         self.emit_minhash = emit_minhash
         self.emit_bucket_keys = emit_bucket_keys
+        self.emit_lgrams = emit_lgrams
         self.bucket_simhash = bucket_simhash
         self.bucket_fingerprints = bucket_fingerprints
         self.bucket_norm = bucket_norm
@@ -69,7 +71,10 @@ class SignatureStage:
         from dedup_restore_ray.functions.shingle import tokenize
         token_lists = [tokenize(t) for t in texts]
         flat, offsets = self.encoder.encode_tokens(token_lists)
-        sig = minhash_signatures(flat, offsets, self.perm_a, self.perm_b)
+        # the 128-perm minhash matrix is the most expensive signature;
+        # skip it when neither the column nor the bucket keys need it
+        sig = (minhash_signatures(flat, offsets, self.perm_a, self.perm_b)
+               if self.emit_minhash or self.emit_bucket_keys else None)
         sh = simhash_signatures(flat, offsets)
         chashes = content_hashes([t if t is not None else "" for t in texts])
         norm = [" ".join(toks) for toks in token_lists]
@@ -81,9 +86,6 @@ class SignatureStage:
 
         shingle_list = pa.ListArray.from_arrays(
             pa.array(offsets.astype(np.int32)), pa.array(flat, pa.uint64()))
-        mh_offsets = np.arange(len(texts) + 1, dtype=np.int32) * cfg.num_perm
-        minhash_list = pa.ListArray.from_arrays(
-            pa.array(mh_offsets), pa.array(sig.reshape(-1), pa.uint64()))
         fp_offsets = np.zeros(len(texts) + 1, dtype=np.int32)
         fp_offsets[1:] = np.cumsum([len(f) for f in fps], dtype=np.int64)
         fp_flat = np.concatenate(fps) if fps else np.empty(0, dtype=np.uint64)
@@ -100,7 +102,19 @@ class SignatureStage:
             "simhash": pa.array(sh, pa.uint64()),
         }
         if self.emit_minhash:
-            cols["minhash"] = minhash_list
+            mh_offsets = np.arange(len(texts) + 1, dtype=np.int32) * cfg.num_perm
+            cols["minhash"] = pa.ListArray.from_arrays(
+                pa.array(mh_offsets), pa.array(sig.reshape(-1), pa.uint64()))
+        if self.emit_lgrams:
+            from dedup_restore_ray.functions.fingerprint import batch_lgram_hashes
+            gs = batch_lgram_hashes(norm, cfg.substring_min_len)
+            goffs = np.zeros(len(gs) + 1, dtype=np.int64)
+            goffs[1:] = np.cumsum([len(g) for g in gs])
+            gflat = (np.concatenate(gs) if gs
+                     else np.empty(0, dtype=np.uint64))
+            cols["lgrams"] = pa.ListArray.from_arrays(
+                pa.array(goffs.astype(np.int32), pa.int32()),
+                pa.array(gflat, pa.uint64()))
         if self.bucket_fingerprints or not self.emit_bucket_keys:
             cols["fingerprints"] = fp_list
         if self.emit_bucket_keys:

@@ -165,13 +165,20 @@ def verified_substring_pairs(docs: "ray.data.Dataset",
     from dedup_restore_ray.stages.verify import verify_pairs
 
     cfg = cfg or PipelineConfig()
+    # ONE corpus pass: the signature stage tokenizes/normalizes once and
+    # emits both the winnowed fingerprints (candidate source) and the
+    # L-gram hash sets (verify payload); materialized so the two
+    # consumers below don't re-execute the scan
     sigs = docs.map_batches(
         SignatureStage(cfg, id_col=id_col, text_col=text_col,
-                       emit_minhash=False, emit_bucket_keys=False),
-        batch_format="pyarrow", batch_size=cfg.batch_size)
+                       emit_minhash=False, emit_bucket_keys=False,
+                       emit_lgrams=True),
+        batch_format="pyarrow", batch_size=cfg.batch_size
+    ).select_columns(["doc_id", "fingerprints", "lgrams"]).materialize()
     cands = fingerprint_pairs(
         sigs.select_columns(["doc_id", "fingerprints"]), cfg)
-    grams = lgram_table(docs, cfg, id_col=id_col, text_col=text_col)
+    grams = sigs.select_columns(["doc_id", "lgrams"]) \
+                .rename_columns({"lgrams": "shingles"})
     # jaccard>0 <=> shared L-gram; smallest positive jaccard is
     # 1/(|A|+|B|) so any epsilon below that keeps exactly the hits
     eps_cfg = dataclasses.replace(cfg, jaccard_threshold=1e-12)
