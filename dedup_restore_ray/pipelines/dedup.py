@@ -114,18 +114,20 @@ def dedup_pipeline(docs: "ray.data.Dataset",
             num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
         except Exception:
             num_blocks = 16
+    # scale gate: broadcast formulations (packed id-hash filters,
+    # driver union-find, in-memory shingle pack) hold per-doc state on
+    # one machine; beyond cfg.broadcast_limit docs the pipeline
+    # auto-switches to the all-shuffle formulations (exact_dedup_mark,
+    # sort-scatter verify, distributed label propagation).
+    # (count BEFORE adding any map so a bare parquet read keeps its
+    # metadata-only count fast path)
+    n_docs_in = docs.count()
     # schemas carrying (pandas) metadata are unhashable in pyarrow 16,
     # which defeats Ray's schema-dedup fast path in every downstream
     # sort/union; strip at the boundary (zero-copy) so inputs from a
     # plain rd.read_parquet behave like sources/io.read_parquet_clean
     docs = docs.map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
-    # scale gate: broadcast formulations (packed id-hash filters,
-    # driver union-find, in-memory shingle pack) hold per-doc state on
-    # one machine; beyond cfg.broadcast_limit docs the pipeline
-    # auto-switches to the all-shuffle formulations (exact_dedup_mark,
-    # sort-scatter verify, distributed label propagation).
-    n_docs_in = docs.count()
     scale_mode = n_docs_in > cfg.broadcast_limit
     metrics["scale_mode"] = scale_mode
     if scale_mode and verify_strategy == "broadcast":
