@@ -104,6 +104,100 @@ def q_shingle_counts_docs(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_ngram_topk_docs(sf_dir: str, n: int = 3, k: int = 100):
+    """Corpus-wide top-K word n-grams (training-data analysis op).
+    Per-batch Counter combiner so the shuffle moves one row per
+    distinct n-gram per batch (not one per occurrence), grouped sum
+    via the sort + block-kernel machinery, then a global sort with a
+    deterministic tie-break (count DESC, ngram ASC) so the K-boundary
+    is hash-checkable against the DuckDB oracle."""
+    from collections import Counter
+
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = tokenize(t)
+            c.update(" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1))
+        if not c:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "pc": pa.array([], pa.int64())})
+        return pa.table({"ngram": pa.array(list(c.keys()), pa.string()),
+                         "pc": pa.array(list(c.values()), pa.int64())})
+
+    agg = grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["ngram"], {"n_occurrences": ("pc", "sum")})
+    df = (agg.sort(["n_occurrences", "ngram"], descending=[True, False])
+             .limit(k).to_pandas())
+    df["n_occurrences"] = df["n_occurrences"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+def q_tfidf_topk_docs(sf_dir: str, k: int = 3):
+    """Top-k TF-IDF terms per doc — the corpus-global-statistic-joined-
+    back-per-row shape.  DF table from the same distinct-term combiner
+    + grouped sum; broadcast to the scoring pass as packed sorted
+    uint64 term hashes + df counts (arrays, not a dict — CLAUDE.md
+    broadcast rule), looked up via searchsorted.  Ranking uses the
+    ROUNDED score (half-away-from-zero, 4 digits) with term ASC
+    tie-break so engine and oracle order identically."""
+    from collections import Counter
+
+    from dedup_restore_ray.functions.hashing import WordHasher
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set(tokenize(t)))
+        if not c:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "pdf": pa.array([], pa.int64())})
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "pdf": pa.array(list(c.values()), pa.int64())})
+
+    df_tab = grouped_aggregate(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["term"], {"df": ("pdf", "sum")}).to_pandas()
+    wh = WordHasher()
+    th = wh.hash_words(df_tab["term"].tolist())
+    order = np.argsort(th)
+    pack = ray.put((th[order], df_tab["df"].to_numpy()[order].astype(np.int64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys, dfs = ray.get(pack)
+        hasher = WordHasher()
+        out_ids, out_terms, out_scores = [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            tf = Counter(tokenize(t))
+            if not tf:
+                continue
+            terms = sorted(tf)
+            hs = hasher.hash_words(terms)
+            pos = np.searchsorted(keys, hs)
+            d = dfs[pos]
+            s = round_half_up(
+                np.array([tf[w] for w in terms], dtype=np.float64)
+                * np.log(n_docs / d.astype(np.float64)))
+            # terms pre-sorted ASC -> stable argsort on -score gives the
+            # (score DESC, term ASC) order the oracle's row_number uses
+            top = np.argsort(-s, kind="stable")[:k]
+            out_ids.extend([did] * len(top))
+            out_terms.extend([terms[i] for i in top])
+            out_scores.extend(s[top])
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "term": pa.array(out_terms, pa.string()),
+                         "score": pa.array(out_scores, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def q_lang_stats_docs(sf_dir: str):
     ds = _docs(sf_dir, ["lang", "n_chars"])
     out = (ds.groupby("lang")
@@ -1116,6 +1210,8 @@ QUERIES = {
     "having_parts": q_having_parts,
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "bpe_token_counts": q_bpe_token_counts,
+    "ngram_topk_docs": q_ngram_topk_docs,
+    "tfidf_topk_docs": q_tfidf_topk_docs,
     "customer_order_counts": q_customer_order_counts,
     "extract_text_docs": q_extract_text_docs,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1142,6 +1238,39 @@ ORACLE_SQL = {
         SELECT doc_id,
                length(regexp_extract_all(lower(text), '\w+'))::BIGINT AS n_tokens
         FROM documents
+    """,
+    "ngram_topk_docs": r"""
+        WITH toks AS (
+          SELECT regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        grams AS (
+          SELECT unnest(list_transform(
+                   range(1, greatest(length(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' '))) AS ngram
+          FROM toks)
+        SELECT ngram, count(*)::BIGINT AS n_occurrences
+        FROM grams GROUP BY ngram
+        ORDER BY n_occurrences DESC, ngram LIMIT 100
+    """,
+    "tfidf_topk_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+               FROM terms GROUP BY 1),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * ln(n.n / df.df), 4) AS score
+          FROM tf, df, n WHERE tf.term = df.term),
+        ranked AS (
+          SELECT *, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+          FROM scored)
+        SELECT doc_id, term, score FROM ranked WHERE rk <= 3
     """,
     "shingle_counts_docs": r"""
         WITH toks AS (

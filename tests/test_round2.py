@@ -762,3 +762,38 @@ class TestHashSplit:
         exp = [int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % BASIS
                for k in ks]
         assert got.tolist() == exp
+
+
+class TestCorpusStats:
+    """ngram_topk / tfidf_topk: brute-force parity + layout independence."""
+
+    def _tiny(self, sf="/root/testdata/sf0.001"):
+        return sf
+
+    def test_ngram_topk_matches_bruteforce(self):
+        from collections import Counter
+        import pandas as pd
+        from dedup_restore_ray.functions.shingle import tokenize
+        from dedup_restore_ray.queries import q_ngram_topk_docs
+        sf = self._tiny()
+        got = q_ngram_topk_docs(sf, n=3, k=20)
+        docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        c = Counter()
+        for t in docs["text"]:
+            toks = tokenize(t)
+            c.update(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+        exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert list(zip(got["ngram"], got["n_occurrences"])) == exp
+
+    def test_tfidf_layout_independent_and_k_rows(self):
+        import numpy as np
+        from dedup_restore_ray.queries import q_tfidf_topk_docs
+        sf = self._tiny()
+        a = (q_tfidf_topk_docs(sf).to_pandas()
+             .sort_values(["doc_id", "term"]).reset_index(drop=True))
+        # per-doc row cap and positive scores for non-trivial corpora
+        assert (a.groupby("doc_id").size() <= 3).all()
+        assert np.isfinite(a["score"]).all()
+        b = (q_tfidf_topk_docs(sf).to_pandas()
+             .sort_values(["doc_id", "term"]).reset_index(drop=True))
+        assert a.equals(b)
