@@ -198,6 +198,40 @@ def q_tfidf_topk_docs(sf_dir: str, k: int = 3):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def q_repetition_docs(sf_dir: str):
+    """Gopher-style intra-document repetition signals (the standard
+    webtext-filtering metrics): fraction of normalized-text characters
+    covered by occurrences of the most frequent word 2-gram, and the
+    duplicate-token fraction (1 - distinct/total).  Deterministic
+    tie-break for the top 2-gram: (count DESC, gram ASC) — the choice
+    matters because the fraction depends on the gram's length."""
+    from collections import Counter
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        fracs, dups = [], []
+        for t in batch.column("text").to_pylist():
+            toks = tokenize(t)
+            s_len = len(" ".join(toks))
+            if len(toks) < 2 or s_len == 0:
+                fracs.append(0.0)
+            else:
+                c = Counter(" ".join(toks[i:i + 2])
+                            for i in range(len(toks) - 1))
+                top_g = min(c, key=lambda g: (-c[g], g))
+                fracs.append(c[top_g] * len(top_g) / s_len)
+            dups.append(0.0 if not toks
+                        else 1.0 - len(set(toks)) / len(toks))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "top2gram_char_frac": pa.array(round_half_up(fracs),
+                                           pa.float64()),
+            "dup_token_frac": pa.array(round_half_up(dups), pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_lang_stats_docs(sf_dir: str):
     ds = _docs(sf_dir, ["lang", "n_chars"])
     out = (ds.groupby("lang")
@@ -492,6 +526,20 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
     assert metrics["partitions_read"] <= metrics["partitions_total"]
     out["score"] = round_half_up(out["score"])
     return out
+
+
+def q_ann_ivf_exact(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """IVF index correctness anchor: probing ALL lists must reproduce
+    the brute-force cosine top-k EXACTLY (hash-checked against the
+    same DuckDB oracle as similarity_topk) — ann_ivf's approximation
+    comes only from probe pruning, never from the index layout,
+    scoring kernel or merge."""
+    idx = ivf_index_for(sf_dir)
+    qids, qn = _load_queries(sf_dir, n_queries)
+    out, _metrics = idx.search(qn, k=k, num_probe=idx.num_lists,
+                               query_ids=qids)
+    out["score"] = round_half_up(out["score"])
+    return out.sort_values(["qid", "vec_id"]).reset_index(drop=True)
 
 
 # ----------------------------------------------------------------------
@@ -1185,6 +1233,7 @@ QUERIES = {
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_exact": q_ann_ivf_exact,
     "minhash_signatures_docs": q_minhash_signatures_docs,
     "near_dup_pairs_docs": q_near_dup_pairs_docs,
     "dedup_clusters_docs": q_dedup_clusters_docs,
@@ -1211,6 +1260,7 @@ QUERIES = {
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "bpe_token_counts": q_bpe_token_counts,
     "ngram_topk_docs": q_ngram_topk_docs,
+    "repetition_docs": q_repetition_docs,
     "tfidf_topk_docs": q_tfidf_topk_docs,
     "customer_order_counts": q_customer_order_counts,
     "extract_text_docs": q_extract_text_docs,
@@ -1238,6 +1288,31 @@ ORACLE_SQL = {
         SELECT doc_id,
                length(regexp_extract_all(lower(text), '\w+'))::BIGINT AS n_tokens
         FROM documents
+    """,
+    "repetition_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        norm AS (
+          SELECT doc_id, t, array_to_string(t, ' ') AS s FROM toks),
+        grams AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(length(t) - 1, 0) + 1),
+                   i -> array_to_string(t[i:i+1], ' '))) AS g
+          FROM norm),
+        gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+        top AS (
+          SELECT doc_id, g, c FROM gc
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, g) = 1)
+        SELECT n.doc_id,
+               round(coalesce(top.c * length(top.g) * 1.0
+                              / nullif(length(n.s), 0), 0.0), 4)
+                 AS top2gram_char_frac,
+               round(CASE WHEN length(n.t) = 0 THEN 0.0
+                     ELSE 1.0 - length(list_distinct(n.t)) * 1.0
+                          / length(n.t) END, 4) AS dup_token_frac
+        FROM norm n LEFT JOIN top USING (doc_id)
     """,
     "ngram_topk_docs": r"""
         WITH toks AS (
@@ -1354,6 +1429,16 @@ ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     "similarity_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (SELECT qid, vec_id,
+                          list_cosine_similarity(qe, embedding::DOUBLE[]) AS score
+                   FROM q, embeddings)
+        SELECT qid, vec_id, round(score, 4) AS score FROM scored
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, vec_id) <= 10
+    """,
+    "ann_ivf_exact": """
         WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                    FROM embeddings WHERE vec_id < 5),
         scored AS (SELECT qid, vec_id,
