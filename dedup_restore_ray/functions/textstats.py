@@ -96,6 +96,49 @@ def quality_features(texts) -> dict[str, np.ndarray]:
     }
 
 
+_UPPER_RE = re.compile(r"[A-Z]")
+
+# Gopher-style filter thresholds (in the spirit of the published Gopher
+# rules, arXiv:2112.11446 table A1), expressed so every rule is an
+# exact INTEGER comparison — no float ratios, hence bit-identical to
+# the DuckDB oracle regardless of summation order:
+#   5 <= n_tokens <= 50000
+#   2 <= mean token length <= 12   ->  2*n_tokens <= sum_len <= 12*n_tokens
+#   stopword fraction >= 0.05      ->  20*stop_hits >= n_tokens
+#   punctuation ratio <= 0.2       ->  5*n_punct <= n_chars
+#   uppercase ratio <= 0.3         ->  10*n_upper <= 3*n_chars
+def quality_filter_counts(texts) -> dict[str, np.ndarray]:
+    """Integer inputs for the Gopher-style keep/drop filter: token
+    count, summed token length, EN-stopword hits, punctuation chars
+    (``[^\\w\\s]``), ASCII uppercase chars, total chars."""
+    n = len(texts)
+    out = {k: np.zeros(n, dtype=np.int64) for k in
+           ("n_chars", "n_tokens", "sum_token_len", "stop_hits",
+            "n_punct", "n_upper")}
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        out["n_chars"][i] = len(t)
+        toks = tokenize(t)
+        out["n_tokens"][i] = len(toks)
+        out["sum_token_len"][i] = sum(map(len, toks))
+        out["stop_hits"][i] = sum(1 for w in toks if w in _STOPWORDS_EN)
+        out["n_punct"][i] = len(_PUNCT_RE.findall(t))
+        out["n_upper"][i] = len(_UPPER_RE.findall(t))
+    return out
+
+
+def gopher_keep_mask(c: dict[str, np.ndarray]) -> np.ndarray:
+    """Boolean keep mask from ``quality_filter_counts`` outputs."""
+    nt = c["n_tokens"]
+    return ((nt >= 5) & (nt <= 50000)
+            & (c["sum_token_len"] >= 2 * nt)
+            & (c["sum_token_len"] <= 12 * nt)
+            & (20 * c["stop_hits"] >= nt)
+            & (5 * c["n_punct"] <= c["n_chars"])
+            & (10 * c["n_upper"] <= 3 * c["n_chars"]))
+
+
 def bpe_token_count(text: str | None) -> int:
     """Count of GPT-2-style pre-tokenizer chunks — a fast proxy for BPE
     token counts without a vocab."""

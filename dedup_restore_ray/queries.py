@@ -271,6 +271,38 @@ def q_langid_docs(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_quality_filter_docs(sf_dir: str):
+    """Gopher-style keep/drop quality filter (training-data curation
+    op, rules in functions.textstats.gopher_keep_mask).  Every rule is
+    an exact integer comparison, so the kept flag is bit-identical to
+    the SQL oracle with no float-rounding exposure.  One
+    embarrassingly-parallel pass; no shuffle."""
+    from dedup_restore_ray.functions.textstats import (gopher_keep_mask,
+                                                       quality_filter_counts)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        c = quality_filter_counts(batch.column("text").to_pylist())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(c["n_tokens"], pa.int64()),
+            "kept": pa.array(gopher_keep_mask(c)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Cross-split n-gram decontamination: train docs (md5 split, as
+    `split_docs`) sharing >= 1 token 8-gram with any test doc, with
+    the shared-gram count.  One corpus pass + one gram-hash sort
+    (stages.split.cross_split_contamination); the test side rides the
+    same shuffle — no driver-side gram set."""
+    from dedup_restore_ray.stages.split import cross_split_contamination
+    return cross_split_contamination(_docs(sf_dir, ["doc_id", "text"]),
+                                     k=8)
+
+
 # ----------------------------------------------------------------------
 # Generic relational operators over TPC-H-ish tables (SURVEY §2.7:
 # groupby/filter/sort/join coverage the reference lacks natively)
@@ -1214,6 +1246,106 @@ def q_shipping_priority(sf_dir: str):
     return top[["l_orderkey", "order_epoch", "revenue"]]
 
 
+def q_order_priority_counts(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS semi-join: orders in 1997Q1 with at least
+    one returned lineitem, counted by priority.  Lineitem keys are
+    per-batch uniqued before the semi-join's one sort-scatter (the
+    shuffle moves one row per distinct (batch, orderkey), not one per
+    lineitem); the 5-group count is a grouped_aggregate."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.joins import semi_join
+    lo = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-04-01"), pa.timestamp("us"))
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate",
+                                         "o_orderpriority"])
+
+    def sel(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                             pc.less(b.column("o_orderdate"), hi)))
+        return t.select(["o_orderkey", "o_orderpriority"])
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_returnflag"])
+
+    def rkeys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        return pa.table({"o_orderkey": pa.array(
+            np.unique(np.asarray(t.column("l_orderkey"))))})
+
+    hit = semi_join(orders.map_batches(sel, batch_format="pyarrow"),
+                    li.map_batches(rkeys, batch_format="pyarrow"),
+                    "o_orderkey")
+    agg = grouped_aggregate(
+        hit.select_columns(["o_orderpriority"]), ["o_orderpriority"], {},
+        count_alias="n_orders")
+    return agg.to_pandas()
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped four-table rollup: 1997 order revenue by the
+    customer's nation.  lineitem revenue is pre-aggregated per order
+    inside each batch (combiner), inner-joined to the filtered orders
+    by one sort-scatter, summed per customer, scattered once more onto
+    customers for the nationkey, summed per nation, and the 25-row
+    nation name table is attached driver-side (genuinely small side).
+    Revenue is rounded to whole units so double summation order cannot
+    flip the hash."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    lo = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+
+    def osel(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                             pc.less(b.column("o_orderdate"), hi)))
+        return pa.table({"l_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey")})
+
+    store = orders.map_batches(osel, batch_format="pyarrow")
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice",
+                                     "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        g = (pa.table({"l_orderkey": b.column("l_orderkey"), "pr": rev})
+             .group_by(["l_orderkey"]).aggregate([("pr", "sum")]))
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "pr": g.column("pr_sum")})
+
+    partials = li.map_batches(li_partial, batch_format="pyarrow")
+    by_order = _scatter_lookup(partials, store, key_col="l_orderkey",
+                               payload_col="o_custkey", out_cols=["pr"])
+    by_cust = grouped_aggregate(by_order, ["o_custkey"],
+                                {"rev": ("pr", "sum")})
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    cstore = cust.map_batches(
+        lambda b: pa.table({"o_custkey": b.column("c_custkey"),
+                            "c_nationkey": b.column("c_nationkey")}),
+        batch_format="pyarrow")
+    by_nat = grouped_aggregate(
+        _scatter_lookup(by_cust, cstore, key_col="o_custkey",
+                        payload_col="c_nationkey", out_cols=["rev"]),
+        ["c_nationkey"], {"revenue": ("rev", "sum")}).to_pandas()
+
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet",
+                                columns=["n_nationkey", "n_name"]).to_pandas()
+    out = by_nat.merge(nation, left_on="c_nationkey",
+                       right_on="n_nationkey")
+    out["revenue"] = round_half_up(out["revenue"], 0)
+    return out[["n_name", "revenue"]]
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_stats_docs": q_dedup_stats_docs,
@@ -1268,6 +1400,10 @@ QUERIES = {
     "lag_lead_events": q_lag_lead_events,
     "quantile_parts": q_quantile_parts,
     "shipping_priority": q_shipping_priority,
+    "quality_filter_docs": q_quality_filter_docs,
+    "decontaminate_docs": q_decontaminate_docs,
+    "order_priority_counts": q_order_priority_counts,
+    "revenue_by_nation": q_revenue_by_nation,
 }
 
 
@@ -1772,5 +1908,72 @@ ORACLE_SQL = {
         GROUP BY l_orderkey, o_orderdate
         ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
         LIMIT 10
+    """,
+    "quality_filter_docs": rf"""
+        WITH f AS (
+          SELECT doc_id,
+                 coalesce(regexp_extract_all(lower(coalesce(text, '')),
+                                             '\w+'), []) AS t,
+                 coalesce(length(text), 0) AS n_chars,
+                 length(regexp_extract_all(coalesce(text, ''),
+                                           '[^\w\s]')) AS n_punct,
+                 length(regexp_extract_all(coalesce(text, ''),
+                                           '[A-Z]')) AS n_upper
+          FROM documents),
+        g AS (
+          SELECT doc_id, length(t) AS n_tokens,
+                 coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                   AS sum_len,
+                 len(list_filter(t, x -> list_contains([{_STOP_SQL}], x)))
+                   AS stop_hits,
+                 n_chars, n_punct, n_upper
+          FROM f)
+        SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+               (n_tokens >= 5 AND n_tokens <= 50000
+                AND sum_len >= 2 * n_tokens AND sum_len <= 12 * n_tokens
+                AND 20 * stop_hits >= n_tokens
+                AND 5 * n_punct <= n_chars
+                AND 10 * n_upper <= 3 * n_chars) AS kept
+        FROM g
+    """,
+    "decontaminate_docs": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '\w+') AS t,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 )::UBIGINT % 10000 AS b
+          FROM documents),
+        grams AS (
+          SELECT doc_id, b,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(length(t) - 7, 0) + 1),
+                   i -> array_to_string(t[i:i+7], ' ')))) AS g
+          FROM toks),
+        test_g AS (SELECT DISTINCT g FROM grams WHERE b >= 9000)
+        SELECT grams.doc_id, count(*)::BIGINT AS n_shared
+        FROM grams JOIN test_g ON grams.g = test_g.g
+        WHERE grams.b < 8000
+        GROUP BY grams.doc_id
+    """,
+    "order_priority_counts": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
     """,
 }

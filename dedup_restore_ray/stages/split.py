@@ -61,6 +61,85 @@ def hash_split(ds: "ray.data.Dataset",
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def cross_split_contamination(ds: "ray.data.Dataset",
+                              key_col: str = "doc_id",
+                              text_col: str = "text",
+                              k: int = 8,
+                              train_cut: int = 8000,
+                              test_cut: int = 9000,
+                              salt: str = "",
+                              seed: int = 0) -> "ray.data.Dataset":
+    """Benchmark-decontamination: train-split docs sharing at least one
+    token ``k``-gram with ANY test-split doc, with the count of shared
+    distinct grams.  Splits are the deterministic md5 buckets of
+    ``hash_split`` (train: bucket < train_cut, test: bucket >=
+    test_cut; the val band in between takes no part).
+
+    Shape: ONE corpus pass emits (gram_hash, doc_id, is_test) rows —
+    distinct grams per doc, docs with < k tokens emit nothing — then
+    one sort on gram_hash groups every gram's holders; a per-block
+    kernel (residual pass for block-split grams) emits the train rows
+    of groups that contain a test row, and a grouped count yields
+    n_shared per contaminated doc.  No driver-side gram set: the test
+    side rides the same shuffle as the train side, so the operator
+    holds even when the "benchmark" split is itself huge.
+    """
+    from dedup_restore_ray.functions.hashing import U64, WordHasher
+    from dedup_restore_ray.functions.shingle import (
+        shingle_hashes_for_tokens, tokenize)
+    from dedup_restore_ray.stages.groups import (flatten_blocks,
+                                                 group_bounds,
+                                                 grouped_aggregate,
+                                                 sorted_split)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        keys = batch.column(key_col).to_pylist()
+        ids = np.asarray(batch.column(key_col))
+        b = _buckets(keys, salt)
+        hasher = WordHasher(seed=seed)
+        gs, ds_, tags = [], [], []
+        for i, t in enumerate(texts):
+            if train_cut <= b[i] < test_cut:
+                continue
+            toks = tokenize(t)
+            if len(toks) < k:
+                continue  # SQL emits no k-gram for short docs
+            g = shingle_hashes_for_tokens(hasher.hash_words(toks), k)
+            gs.append(g)
+            ds_.append(np.full(len(g), ids[i], dtype=ids.dtype))
+            tags.append(np.full(len(g), 1 if b[i] >= test_cut else 0,
+                                dtype=np.int8))
+        if not gs:
+            return pa.table({"g": pa.array([], pa.uint64()),
+                             key_col: pa.array([], pa.int64()),
+                             "is_test": pa.array([], pa.int8())})
+        return pa.table({"g": pa.array(np.concatenate(gs).astype(U64)),
+                         key_col: pa.array(np.concatenate(ds_)),
+                         "is_test": pa.array(np.concatenate(tags))})
+
+    rows = ds.map_batches(gram_rows, batch_format="pyarrow")
+    interior, edge = sorted_split(rows, ["g"])
+    empty = pa.table({key_col: pa.array([], pa.int64())})
+
+    def hit_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        starts, ends = group_bounds(b, ["g"])
+        tag = np.asarray(b.column("is_test"))
+        has_test = np.maximum.reduceat(tag, starts) == 1
+        mask = np.repeat(has_test, ends - starts) & (tag == 0)
+        return pa.table({key_col: pa.array(
+            np.asarray(b.column(key_col))[mask])})
+
+    hits = (interior.map_batches(hit_rows, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(["g"]).map_groups(
+                hit_rows, batch_format="pyarrow")))
+    return grouped_aggregate(flatten_blocks(hits), [key_col], {},
+                             count_alias="n_shared")
+
+
 def hash_sample(ds: "ray.data.Dataset",
                 fraction: float,
                 key_col: str = "doc_id",

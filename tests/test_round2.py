@@ -797,3 +797,94 @@ class TestCorpusStats:
         b = (q_tfidf_topk_docs(sf).to_pandas()
              .sort_values(["doc_id", "term"]).reset_index(drop=True))
         assert a.equals(b)
+
+
+class TestQualityFilter:
+    def test_mask_matches_naive_rules(self):
+        from dedup_restore_ray.functions.shingle import tokenize
+        from dedup_restore_ray.functions.textstats import (
+            _PUNCT_RE, _STOPWORDS_EN, _UPPER_RE, gopher_keep_mask,
+            quality_filter_counts)
+        texts = ["the cat sat on the mat and it was good",
+                 "a b c d",                      # too few tokens
+                 "!!! ??? ... ;;; ###",          # pure punctuation
+                 "THE LOUD THING IS AT THE TOP OF THE HOUSE",  # uppercase
+                 "wordswithoutanystopword " * 10,  # no stopwords
+                 "", None,
+                 "it is a fine day and the sun is out at noon you see"]
+        c = quality_filter_counts(texts)
+        got = gopher_keep_mask(c)
+        for i, t in enumerate(texts):
+            toks = tokenize(t)
+            nt = len(toks)
+            sl = sum(map(len, toks))
+            sh = sum(1 for w in toks if w in _STOPWORDS_EN)
+            npn = len(_PUNCT_RE.findall(t)) if t else 0
+            nup = len(_UPPER_RE.findall(t)) if t else 0
+            nc = len(t) if t else 0
+            exp = (5 <= nt <= 50000 and 2 * nt <= sl <= 12 * nt
+                   and 20 * sh >= nt and 5 * npn <= nc
+                   and 10 * nup <= 3 * nc)
+            assert bool(got[i]) == exp, (i, t)
+        assert bool(got[0]) and not bool(got[1])
+
+    def test_query_shapes(self):
+        from dedup_restore_ray.queries import q_quality_filter_docs
+        df = q_quality_filter_docs("/root/testdata/sf0.001").to_pandas()
+        assert set(df.columns) == {"doc_id", "n_tokens", "kept"}
+        assert df.kept.any() and (~df.kept).any()
+
+
+class TestDecontamination:
+    K = 8
+
+    def _naive(self, ids, texts):
+        """pure-python reference: md5 split + string k-gram overlap."""
+        import hashlib
+        from dedup_restore_ray.functions.shingle import tokenize
+        split = {}
+        grams = {}
+        for d, t in zip(ids, texts):
+            b = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 10000
+            split[d] = "train" if b < 8000 else ("test" if b >= 9000
+                                                 else "val")
+            toks = tokenize(t)
+            grams[d] = {" ".join(toks[i:i + self.K])
+                        for i in range(len(toks) - self.K + 1)}
+        test_g = set().union(*(grams[d] for d in ids
+                               if split[d] == "test")) if ids else set()
+        return {d: len(grams[d] & test_g) for d in ids
+                if split[d] == "train" and grams[d] & test_g}
+
+    def test_matches_naive_and_layout_independent(self):
+        import random
+        import ray.data as rd
+        from dedup_restore_ray.stages.split import cross_split_contamination
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(50)]
+        # force shared passages so some train/test pairs overlap
+        passages = [" ".join(rng.choices(vocab, k=12)) for _ in range(8)]
+        ids, texts = [], []
+        for i in range(120):
+            base = " ".join(rng.choices(vocab, k=rng.randint(0, 30)))
+            if i % 3 == 0:
+                base += " " + passages[i % len(passages)]
+            ids.append(i)
+            texts.append(base)
+        exp = self._naive(ids, texts)
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        got = (cross_split_contamination(rd.from_arrow(tbl), k=self.K)
+               .to_pandas())
+        assert dict(zip(got.doc_id, got.n_shared)) == exp
+        got2 = (cross_split_contamination(
+            rd.from_arrow(tbl).repartition(13), k=self.K).to_pandas())
+        assert dict(zip(got2.doc_id, got2.n_shared)) == exp
+
+    def test_short_docs_emit_no_grams(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.split import cross_split_contamination
+        tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                        "text": pa.array(["one two three"] * 40)})
+        got = cross_split_contamination(rd.from_arrow(tbl), k=8).to_pandas()
+        assert len(got) == 0
