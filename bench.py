@@ -65,7 +65,9 @@ def run_benchmarks() -> dict:
                  "q1_lineitem", "grouped_restore", "events_hourly",
                  "update_restore_docs", "windowed_restore_docs",
                  "ann_ivf", "sessionize_events",
-                 "asof_join_events", "sliding_window_events"]:
+                 "asof_join_events", "sliding_window_events",
+                 "quality_filter_docs", "decontaminate_docs",
+                 "revenue_by_nation", "simhash_pairs_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)

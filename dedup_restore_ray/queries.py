@@ -608,6 +608,53 @@ def q_near_dup_pairs_docs(sf_dir: str):
     return verified.sort_values(["u", "v"]).reset_index(drop=True)
 
 
+def q_simhash_pairs_docs(sf_dir: str):
+    """SimHash-only near-dup pairs: pigeonhole band candidates (bands
+    of the 64-bit SimHash; Hamming <= t guarantees a shared band)
+    verified by EXACT Hamming distance.  Rows-only check — the
+    signature values are not SQL-expressible.
+
+    Scale shape: one band sort for candidates, then two sort-scatters
+    attach the 8-byte signatures to each pair side (no signature
+    broadcast), then a vectorized popcount filter."""
+    from dedup_restore_ray.functions.simhash import popcount64
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.pairs import candidate_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(SignatureStage(CFG), batch_format="pyarrow",
+                          batch_size=CFG.batch_size).materialize()
+    cands = candidate_pairs(sigs, CFG, use_minhash=False, use_simhash=True,
+                            use_fingerprints=False, use_norm=False)
+
+    def store(side: str):
+        return sigs.map_batches(
+            lambda b, s=side: pa.table({s: b.column("doc_id"),
+                                        f"sh_{s}": b.column("simhash")}),
+            batch_format="pyarrow")
+
+    with_u = _scatter_lookup(cands, store("u"), key_col="u",
+                             payload_col="sh_u", out_cols=["u", "v"])
+    both = _scatter_lookup(with_u, store("v"), key_col="v",
+                           payload_col="sh_v", out_cols=["u", "v", "sh_u"])
+
+    t = CFG.simhash_hamming_threshold
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        d = popcount64(np.bitwise_xor(
+            np.asarray(b.column("sh_u"), dtype=np.uint64),
+            np.asarray(b.column("sh_v"), dtype=np.uint64)))
+        keep = d <= t
+        return pa.table({"u": b.column("u").filter(pa.array(keep)),
+                         "v": b.column("v").filter(pa.array(keep)),
+                         "hamming": pa.array(d[keep].astype(np.int64))})
+
+    return both.map_batches(verify, batch_format="pyarrow")
+
+
 def q_dedup_clusters_docs(sf_dir: str):
     """Flagship cluster assignment over documents, hash-checked against
     a DuckDB recursive-CTE connected-components oracle: cluster_id =
@@ -1368,6 +1415,7 @@ QUERIES = {
     "ann_ivf_exact": q_ann_ivf_exact,
     "minhash_signatures_docs": q_minhash_signatures_docs,
     "near_dup_pairs_docs": q_near_dup_pairs_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
     "dedup_clusters_docs": q_dedup_clusters_docs,
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,

@@ -56,8 +56,9 @@ class BandExpand:
 
     def __init__(self, cfg: PipelineConfig | None = None,
                  use_simhash: bool = True, use_fingerprints: bool = True,
-                 use_norm: bool = True):
+                 use_norm: bool = True, use_minhash: bool = True):
         self.cfg = cfg or PipelineConfig()
+        self.use_minhash = use_minhash
         self.use_simhash = use_simhash
         self.use_fingerprints = use_fingerprints
         self.use_norm = use_norm
@@ -81,9 +82,11 @@ class BandExpand:
             })
         mh = np.asarray(batch.column("minhash").combine_chunks().flatten(),
                         dtype=U64).reshape(n, cfg.num_perm)
-        bk = band_keys(mh, cfg.num_bands, cfg.rows_per_band)  # [n, B]
-        keys = [bk.reshape(-1)]
-        ids = [np.repeat(np.arange(n), cfg.num_bands)]
+        keys, ids = [], []
+        if self.use_minhash:
+            bk = band_keys(mh, cfg.num_bands, cfg.rows_per_band)  # [n, B]
+            keys.append(bk.reshape(-1))
+            ids.append(np.repeat(np.arange(n), cfg.num_bands))
         if self.use_simhash:
             sh = np.asarray(batch.column("simhash"), dtype=U64)
             sb = simhash_band_keys(sh, self.n_simhash_bands)
@@ -123,7 +126,8 @@ def candidate_pairs(signatures: "ray.data.Dataset",
                     cfg: PipelineConfig | None = None,
                     use_simhash: bool = True,
                     use_fingerprints: bool = False,
-                    use_norm: bool = False) -> "ray.data.Dataset":
+                    use_norm: bool = False,
+                    use_minhash: bool = True) -> "ray.data.Dataset":
     """signatures -> distinct candidate (u, v) pairs, u < v.
 
     Band expansion (map_batches) feeds the sort-based vectorized bucket
@@ -134,6 +138,7 @@ def candidate_pairs(signatures: "ray.data.Dataset",
     from dedup_restore_ray.stages.groups import bucket_pairs
     bands = signatures.map_batches(
         BandExpand(cfg, use_simhash=use_simhash,
-                   use_fingerprints=use_fingerprints, use_norm=use_norm),
+                   use_fingerprints=use_fingerprints, use_norm=use_norm,
+                   use_minhash=use_minhash),
         batch_format="pyarrow")
     return bucket_pairs(bands, cfg.max_bucket_pairs, cfg.num_salts)

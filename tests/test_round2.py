@@ -888,3 +888,52 @@ class TestDecontamination:
                         "text": pa.array(["one two three"] * 40)})
         got = cross_split_contamination(rd.from_arrow(tbl), k=8).to_pandas()
         assert len(got) == 0
+
+
+class TestSimhashPairs:
+    def test_precision_exact_and_connectivity_recall(self):
+        import numpy as np
+        import ray.data as rd
+        from dedup_restore_ray.config import PipelineConfig
+        from dedup_restore_ray.functions.simhash import popcount64
+        from dedup_restore_ray.functions.unionfind import UnionFind
+        from dedup_restore_ray.queries import q_simhash_pairs_docs
+        from dedup_restore_ray.stages.signatures import SignatureStage
+
+        sf = "/root/testdata/sf0.001"
+        got = q_simhash_pairs_docs(sf).to_pandas()
+        cfg = PipelineConfig()
+        sigs = (rd.read_parquet(f"{sf}/documents.parquet",
+                                columns=["doc_id", "text"])
+                .map_batches(SignatureStage(cfg), batch_format="pyarrow")
+                .to_pandas())
+        ids = sigs.doc_id.to_numpy()
+        sh = sigs.simhash.to_numpy().astype(np.uint64)
+        # brute-force pairs among docs (empty docs are band-uniquified
+        # by BandExpand, so exclude pairs where either side has the
+        # empty signature: simhash of no shingles)
+        from dedup_restore_ray.functions.minhash import EMPTY_SIG
+        mh0 = np.array([m[0] for m in sigs.minhash], dtype=np.uint64)
+        t = cfg.simhash_hamming_threshold
+        brute = {}
+        for i in range(len(ids)):
+            if mh0[i] == EMPTY_SIG:
+                continue
+            d = popcount64(np.bitwise_xor(sh[i], sh[i + 1:]))
+            for j in np.flatnonzero(d <= t):
+                if mh0[i + 1 + j] == EMPTY_SIG:
+                    continue
+                a, b = sorted((int(ids[i]), int(ids[i + 1 + j])))
+                brute[(a, b)] = int(d[j])
+        got_pairs = {(int(r.u), int(r.v)): int(r.hamming)
+                     for r in got.itertuples()}
+        # precision: every emitted pair is a true Hamming<=t pair
+        for p, h in got_pairs.items():
+            assert brute.get(p) == h, p
+        # recall at connectivity level (hot buckets emit star+chain)
+        uf = UnionFind()
+        for a, b in got_pairs:
+            uf.union(a, b)
+        for a, b in brute:
+            assert uf.find(a) == uf.find(b), (a, b)
+        assert got_pairs, "no simhash pairs found at sf0.001"
