@@ -292,6 +292,26 @@ def q_quality_filter_docs(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_passage_dedup_docs(sf_dir: str):
+    """Corpus-global first-wins passage dedup (C4/exact-substring
+    style, 20-token windows): per doc, passage counts + md5 of the
+    cleaned text.  Passage identities shuffle as 24 B/row
+    (stages/passages.py); the only corpus-text shuffle is the one
+    scatter sort that reassembles cleaned docs."""
+    from dedup_restore_ray.stages.passages import passage_dedup
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return passage_dedup(ds, window=20, mode="first_wins")
+
+
+def q_boilerplate_docs(sf_dir: str):
+    """RefinedWeb-style frequent-passage (boilerplate) removal: a
+    20-token passage occurring in >= 3 distinct docs is dropped from
+    EVERY doc (no canonical copy survives)."""
+    from dedup_restore_ray.stages.passages import passage_dedup
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return passage_dedup(ds, window=20, mode="frequent", min_docs=3)
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Cross-split n-gram decontamination: train docs (md5 split, as
     `split_docs`) sharing >= 1 token 8-gram with any test doc, with
@@ -1452,6 +1472,8 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "order_priority_counts": q_order_priority_counts,
     "revenue_by_nation": q_revenue_by_nation,
+    "passage_dedup_docs": q_passage_dedup_docs,
+    "boilerplate_docs": q_boilerplate_docs,
 }
 
 
@@ -2023,5 +2045,62 @@ ORACLE_SQL = {
         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY n_name
+    """,
+    "passage_dedup_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        pas AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS pidx,
+                 array_to_string(list_slice(t, u.i*20+1, u.i*20+20),
+                                 ' ') AS passage
+          FROM toks,
+               UNNEST(range(CAST(ceil(length(t)/20.0) AS BIGINT))) AS u(i)),
+        marked AS (
+          SELECT doc_id, pidx, passage,
+                 (doc_id*1048576 + pidx)
+                   <> min(doc_id*1048576 + pidx)
+                        OVER (PARTITION BY passage) AS is_dup
+          FROM pas),
+        agg AS (
+          SELECT doc_id, count(*)::BIGINT AS n_passages,
+                 sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dup_passages,
+                 md5(coalesce(string_agg(passage, ' ' ORDER BY pidx)
+                              FILTER (WHERE NOT is_dup), '')) AS clean_md5
+          FROM marked GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_passages, 0)::BIGINT AS n_passages,
+               coalesce(a.n_dup_passages, 0)::BIGINT AS n_dup_passages,
+               coalesce(a.clean_md5, md5('')) AS clean_md5
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "boilerplate_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        pas AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS pidx,
+                 array_to_string(list_slice(t, u.i*20+1, u.i*20+20),
+                                 ' ') AS passage
+          FROM toks,
+               UNNEST(range(CAST(ceil(length(t)/20.0) AS BIGINT))) AS u(i)),
+        marked AS (
+          SELECT doc_id, pidx, passage,
+                 count(DISTINCT doc_id) OVER (PARTITION BY passage) >= 3
+                     AS is_dup
+          FROM pas),
+        agg AS (
+          SELECT doc_id, count(*)::BIGINT AS n_passages,
+                 sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dup_passages,
+                 md5(coalesce(string_agg(passage, ' ' ORDER BY pidx)
+                              FILTER (WHERE NOT is_dup), '')) AS clean_md5
+          FROM marked GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_passages, 0)::BIGINT AS n_passages,
+               coalesce(a.n_dup_passages, 0)::BIGINT AS n_dup_passages,
+               coalesce(a.clean_md5, md5('')) AS clean_md5
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 }
