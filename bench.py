@@ -67,7 +67,8 @@ def run_benchmarks() -> dict:
                  "ann_ivf", "sessionize_events",
                  "asof_join_events", "sliding_window_events",
                  "quality_filter_docs", "decontaminate_docs",
-                 "revenue_by_nation", "simhash_pairs_docs"]:
+                 "revenue_by_nation", "simhash_pairs_docs",
+                 "passage_dedup_docs", "boilerplate_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)

@@ -312,6 +312,33 @@ def q_boilerplate_docs(sf_dir: str):
     return passage_dedup(ds, window=20, mode="frequent", min_docs=3)
 
 
+def q_distinct_users_kmv(sf_dir: str):
+    """KMV (bottom-k) distinct-count sketch over events.user_id,
+    k=64: per-block combiner keeps the k smallest distinct
+    md5-derived hashes, the driver merges <= k*n_blocks candidate
+    rows (a reduced sketch, like dedup_stats' three counters — not a
+    data materialization).  Deterministic hash (DuckDB
+    md5_number_lower) makes the ESTIMATE itself oracle-checkable."""
+    from dedup_restore_ray.functions.sketch import (kmv_block_candidates,
+                                                    kmv_estimate)
+    K = 64
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+
+    def cand(b: pa.Table) -> pa.Table:
+        hv = kmv_block_candidates(b.column("user_id").to_pylist(), K)
+        return pa.table({"hv": pa.array(hv, pa.uint64())})
+
+    cands = ev.map_batches(cand, batch_format="pyarrow")
+    parts = [np.asarray(b["hv"], dtype=np.uint64)
+             for b in cands.iter_batches(batch_format="pyarrow")]
+    merged = (np.concatenate(parts) if parts
+              else np.array([], dtype=np.uint64))
+    est = kmv_estimate(merged, K)
+    return pd.DataFrame({"est_distinct":
+                         [float(round_half_up(est, 4))]})
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Cross-split n-gram decontamination: train docs (md5 split, as
     `split_docs`) sharing >= 1 token 8-gram with any test doc, with
@@ -1474,6 +1501,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "passage_dedup_docs": q_passage_dedup_docs,
     "boilerplate_docs": q_boilerplate_docs,
+    "distinct_users_kmv": q_distinct_users_kmv,
 }
 
 
@@ -2102,5 +2130,16 @@ ORACLE_SQL = {
                coalesce(a.n_dup_passages, 0)::BIGINT AS n_dup_passages,
                coalesce(a.clean_md5, md5('')) AS clean_md5
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "distinct_users_kmv": """
+        WITH h AS (
+          SELECT DISTINCT md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+          FROM events),
+        b AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+        s AS (SELECT count(*) AS nk, max(hv) AS kth FROM b)
+        SELECT CASE WHEN nk < 64 THEN nk::DOUBLE
+               ELSE round(63.0 / (kth::DOUBLE / 18446744073709551616.0), 4)
+               END AS est_distinct
+        FROM s
     """,
 }
