@@ -312,6 +312,29 @@ def q_boilerplate_docs(sf_dir: str):
     return passage_dedup(ds, window=20, mode="frequent", min_docs=3)
 
 
+def q_running_totals_events(sf_dir: str):
+    """Per-user running sum + row number over the event stream — the
+    UNBOUNDED-PRECEDING window frame (stages/windows.running_totals).
+    Values become integer cents before the cumsum so parity with the
+    oracle is exact (float window sums are addition-order-dependent)."""
+    from dedup_restore_ray.stages.windows import running_totals
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("value"), dtype=np.float64) * 100.0, 0)
+        return pa.table({"event_id": b.column("event_id"),
+                         "ts": b.column("ts"),
+                         "user_id": b.column("user_id"),
+                         "cents": pa.array(cents.astype(np.int64))})
+
+    return running_totals(ev.map_batches(to_cents, batch_format="pyarrow"),
+                          "user_id", ["ts", "event_id"], "cents",
+                          sum_col="running_cents", count_col="running_n",
+                          carry_cols=["event_id", "user_id"])
+
+
 def q_distinct_users_kmv(sf_dir: str):
     """KMV (bottom-k) distinct-count sketch over events.user_id,
     k=64: per-block combiner keeps the k smallest distinct
@@ -1502,6 +1525,7 @@ QUERIES = {
     "passage_dedup_docs": q_passage_dedup_docs,
     "boilerplate_docs": q_boilerplate_docs,
     "distinct_users_kmv": q_distinct_users_kmv,
+    "running_totals_events": q_running_totals_events,
 }
 
 
@@ -2141,5 +2165,15 @@ ORACLE_SQL = {
                ELSE round(63.0 / (kth::DOUBLE / 18446744073709551616.0), 4)
                END AS est_distinct
         FROM s
+    """,
+    "running_totals_events": """
+        SELECT event_id, user_id,
+               sum(CAST(round(value*100, 0) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   ::BIGINT AS running_cents,
+               row_number()
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   ::BIGINT AS running_n
+        FROM events
     """,
 }

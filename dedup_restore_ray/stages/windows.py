@@ -179,3 +179,52 @@ def sliding_window_sum(ds: "ray.data.Dataset", key_col: str,
                 lambda g: kernel(g.sort_by(
                     [(key_col, "ascending"), (ts_col, "ascending")])),
                 batch_format="pyarrow")))
+
+
+def running_totals(ds: "ray.data.Dataset", key_col: str,
+                   order_cols: list[str], value_col: str,
+                   sum_col: str = "running_sum",
+                   count_col: str = "running_n",
+                   carry_cols: list[str] | None = None
+                   ) -> "ray.data.Dataset":
+    """Per-key running (cumulative) sum + row number — the
+    UNBOUNDED-PRECEDING window frame (``sum(v) OVER (PARTITION BY key
+    ORDER BY ...)``).  One sort on (key, order_cols...); interior
+    blocks compute a block-wide cumsum re-based at each group start
+    (two vectorized ops, no per-group Python); block-split keys take
+    the residual pass with the same kernel.
+
+    ``order_cols`` must end in a unique tiebreak so RANGE and ROWS
+    frames coincide (SQL's determinism requirement).  ``value_col``
+    should be integer-typed for bit-exact parity with SQL engines
+    whose window aggregates use segment trees (float addition order
+    differs); the int64 cumsum here is exact."""
+    carry = carry_cols or [key_col, *order_cols]
+    sort_keys = [key_col, *order_cols]
+
+    def kernel(b: pa.Table) -> pa.Table:
+        fields = [(c, b.schema.field(c).type) for c in carry]
+        out_schema = pa.schema(fields + [(sum_col, pa.int64()),
+                                         (count_col, pa.int64())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, [key_col])
+        sizes = ends - starts
+        vals = np.asarray(b.column(value_col), dtype=np.int64)
+        cs = np.cumsum(vals)
+        base = np.repeat(cs[starts] - vals[starts], sizes)
+        idx = np.arange(n, dtype=np.int64)
+        row_n = idx - np.repeat(starts, sizes) + 1
+        cols = {c: b.column(c) for c in carry}
+        cols[sum_col] = pa.array(cs - base, pa.int64())
+        cols[count_col] = pa.array(row_n, pa.int64())
+        return pa.table(cols)
+
+    interior, edge = sorted_split(ds, sort_keys, [key_col])
+    return (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                lambda g: kernel(g.sort_by(
+                    [(c, "ascending") for c in sort_keys])),
+                batch_format="pyarrow")))

@@ -206,3 +206,34 @@ class TestBandJoin:
                               value_col="val", eps=0.1).to_pandas()
         exp = {(0, 1), (0, 2), (1, 2), (3, 4)}
         assert set(map(tuple, got[["u", "v"]].to_numpy())) == exp
+
+
+class TestRunningTotals:
+    @pytest.mark.parametrize("num_blocks", [1, 7])
+    def test_parity_vs_pandas_cumsum(self, ray_session, num_blocks):
+        from dedup_restore_ray.stages.windows import running_totals
+        df = _events_frame(n=500)
+        df["cents"] = np.round(df["value"] * 100).astype(np.int64)
+        got = (running_totals(
+                   rd.from_pandas(df).repartition(num_blocks),
+                   "user_id", ["ts", "event_id"], "cents",
+                   carry_cols=["event_id"])
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        sdf = df.sort_values(["user_id", "ts", "event_id"])
+        sdf["running_sum"] = sdf.groupby("user_id")["cents"].cumsum()
+        sdf["running_n"] = sdf.groupby("user_id").cumcount() + 1
+        exp = (sdf[["event_id", "running_sum", "running_n"]]
+               .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_single_row_groups(self, ray_session):
+        from dedup_restore_ray.stages.windows import running_totals
+        df = pd.DataFrame({"event_id": [1, 2], "user_id": [10, 20],
+                           "ts": [5, 5], "cents": [7, 9]})
+        got = (running_totals(rd.from_pandas(df), "user_id",
+                              ["ts", "event_id"], "cents",
+                              carry_cols=["event_id"])
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        assert got["running_sum"].tolist() == [7, 9]
+        assert got["running_n"].tolist() == [1, 1]
