@@ -335,6 +335,46 @@ def q_running_totals_events(sf_dir: str):
                           carry_cols=["event_id", "user_id"])
 
 
+def q_events_rollup(sf_dir: str):
+    """ROLLUP over (event_type, day): finest level computed ONCE via
+    the combiner + grouped-sum path, coarser levels derived from the
+    (small, already-aggregated) finest result — the rollup cascade, so
+    the raw stream is read exactly once.  Sentinels '(all)' / -1 stand
+    in for SQL's rolled-up NULLs; integer cents keep subtotals exact
+    across levels."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["day_epoch"] = (b["ts"].dt.floor("D")
+                          .astype("datetime64[s]").astype("int64"))
+        b["cents"] = round_half_up(
+            b["value"].to_numpy(dtype=np.float64) * 100.0,
+            0).astype(np.int64)
+        return (b.groupby(["event_type", "day_epoch"], as_index=False)
+                .agg(pn=("cents", "size"), pv=("cents", "sum")))
+
+    finest = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "day_epoch"],
+        {"n_events": ("pn", "sum"), "total_cents": ("pv", "sum")})
+    lvl0 = finest.to_pandas()          # small: |types| x |days| rows
+    lvl1 = (lvl0.groupby("event_type", as_index=False)
+            [["n_events", "total_cents"]].sum())
+    lvl1["day_epoch"] = np.int64(-1)
+    lvl2 = pd.DataFrame({"event_type": ["(all)"],
+                         "day_epoch": [np.int64(-1)],
+                         "n_events": [lvl0["n_events"].sum()],
+                         "total_cents": [lvl0["total_cents"].sum()]})
+    out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    out["day_epoch"] = out["day_epoch"].astype("int64")
+    return out[["event_type", "day_epoch", "n_events", "total_cents"]]
+
+
 def q_distinct_users_kmv(sf_dir: str):
     """KMV (bottom-k) distinct-count sketch over events.user_id,
     k=64: per-block combiner keeps the k smallest distinct
@@ -1526,6 +1566,7 @@ QUERIES = {
     "boilerplate_docs": q_boilerplate_docs,
     "distinct_users_kmv": q_distinct_users_kmv,
     "running_totals_events": q_running_totals_events,
+    "events_rollup": q_events_rollup,
 }
 
 
@@ -2175,5 +2216,17 @@ ORACLE_SQL = {
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    ::BIGINT AS running_n
         FROM events
+    """,
+    "events_rollup": """
+        WITH e AS (
+          SELECT event_type,
+                 epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+                 CAST(round(value*100, 0) AS BIGINT) AS cents
+          FROM events)
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(day_epoch, -1)::BIGINT AS day_epoch,
+               count(*)::BIGINT AS n_events,
+               sum(cents)::BIGINT AS total_cents
+        FROM e GROUP BY ROLLUP(event_type, day_epoch)
     """,
 }
