@@ -375,6 +375,51 @@ def q_events_rollup(sf_dir: str):
     return out[["event_type", "day_epoch", "n_events", "total_cents"]]
 
 
+def q_click_purchase_matrix(sf_dir: str):
+    """Full outer join of per-(user, day) click vs purchase spend —
+    the join family's missing member (stages/joins.full_outer_lookup).
+    Each side aggregates first (combiner + grouped sum), so the join
+    runs over small already-reduced tables; the composite key packs
+    into one int64 for the sort-scatter."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.joins import full_outer_lookup
+
+    def side(event_type: str, out_col: str):
+        ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["event_type", "ts", "user_id",
+                                         "value"])
+        ev = ev.filter(expr=f"event_type == '{event_type}'")
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["day_epoch"] = (b["ts"].dt.floor("D")
+                              .astype("datetime64[s]").astype("int64"))
+            b["cents"] = round_half_up(
+                b["value"].to_numpy(dtype=np.float64) * 100.0,
+                0).astype(np.int64)
+            return (b.groupby(["user_id", "day_epoch"], as_index=False)
+                    .agg(pv=("cents", "sum")))
+
+        agg = grouped_aggregate(
+            ev.map_batches(partial, batch_format="pandas"),
+            ["user_id", "day_epoch"], {out_col: ("pv", "sum")})
+
+        def pack(b: pa.Table) -> pa.Table:
+            k = (np.asarray(b.column("user_id"), dtype=np.int64) << 31) \
+                | np.asarray(b.column("day_epoch"), dtype=np.int64)
+            return b.append_column("k", pa.array(k, pa.int64()))
+
+        return agg.map_batches(pack, batch_format="pyarrow")
+
+    out = full_outer_lookup(
+        side("click", "click_cents"), side("purchase", "purchase_cents"),
+        key_col="k", left_payload="click_cents",
+        right_payload="purchase_cents",
+        shared_cols=["user_id", "day_epoch"],
+        left_default=0, right_default=0)
+    return out
+
+
 def q_distinct_users_kmv(sf_dir: str):
     """KMV (bottom-k) distinct-count sketch over events.user_id,
     k=64: per-block combiner keeps the k smallest distinct
@@ -1567,6 +1612,7 @@ QUERIES = {
     "distinct_users_kmv": q_distinct_users_kmv,
     "running_totals_events": q_running_totals_events,
     "events_rollup": q_events_rollup,
+    "click_purchase_matrix": q_click_purchase_matrix,
 }
 
 
@@ -2228,5 +2274,19 @@ ORACLE_SQL = {
                count(*)::BIGINT AS n_events,
                sum(cents)::BIGINT AS total_cents
         FROM e GROUP BY ROLLUP(event_type, day_epoch)
+    """,
+    "click_purchase_matrix": """
+        WITH c AS (
+          SELECT user_id, epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+                 sum(CAST(round(value*100, 0) AS BIGINT)) AS click_cents
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (
+          SELECT user_id, epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+                 sum(CAST(round(value*100, 0) AS BIGINT)) AS purchase_cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT user_id, day_epoch,
+               coalesce(click_cents, 0)::BIGINT AS click_cents,
+               coalesce(purchase_cents, 0)::BIGINT AS purchase_cents
+        FROM c FULL OUTER JOIN p USING (user_id, day_epoch)
     """,
 }

@@ -291,3 +291,48 @@ def left_lookup(refs: "ray.data.Dataset", store: "ray.data.Dataset",
             payload_col, pa.array([default] * b.num_rows, payload_type)),
         batch_format="pyarrow")
     return hit.union(miss)
+
+
+def full_outer_lookup(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                      key_col: str, left_payload: str, right_payload: str,
+                      shared_cols: list[str], left_default,
+                      right_default) -> "ray.data.Dataset":
+    """Full outer join of two single-row-per-key tables.  Each side
+    carries ``shared_cols`` (describing the key, e.g. the unpacked
+    composite columns) + ``key_col`` + its own payload column; output
+    = shared_cols + both payloads, with defaults on the absent side.
+
+    Two sort passes over the (already aggregated, small-side) inputs:
+    one scatter_lookup_split delivers matched + left-only in a single
+    sorted run; one anti pass yields right-only rows.  Prefer this
+    over ``Dataset.join`` for the usual reasons (list payloads,
+    union-produced block layouts — see CLAUDE.md)."""
+    ltype = _pa_schema(left).field(left_payload).type
+    rtype = _pa_schema(right).field(right_payload).type
+    hit, miss = scatter_lookup_split(
+        left, right, key_col, right_payload,
+        out_cols=[*shared_cols, left_payload])
+
+    out_names = [*shared_cols, left_payload, right_payload]
+
+    def fill_right(b: pa.Table) -> pa.Table:
+        rp = pa.array([right_default] * b.num_rows, rtype)
+        return pa.table({**{c: b.column(c) for c in shared_cols},
+                         left_payload: b.column(left_payload),
+                         right_payload: rp})
+
+    def order_hit(b: pa.Table) -> pa.Table:
+        return pa.table({c: b.column(c) for c in out_names})
+
+    right_only = anti_join(right, left.select_columns([key_col]), key_col)
+
+    def fill_left(b: pa.Table) -> pa.Table:
+        lp = pa.array([left_default] * b.num_rows, ltype)
+        return pa.table({**{c: b.column(c) for c in shared_cols},
+                         left_payload: lp,
+                         right_payload: b.column(right_payload)})
+
+    return (hit.map_batches(order_hit, batch_format="pyarrow")
+            .union(miss.map_batches(fill_right, batch_format="pyarrow"))
+            .union(right_only.map_batches(fill_left,
+                                          batch_format="pyarrow")))

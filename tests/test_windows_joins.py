@@ -237,3 +237,36 @@ class TestRunningTotals:
                .to_pandas().sort_values("event_id").reset_index(drop=True))
         assert got["running_sum"].tolist() == [7, 9]
         assert got["running_n"].tolist() == [1, 1]
+
+
+class TestFullOuterLookup:
+    def test_all_three_row_kinds(self, ray_session):
+        from dedup_restore_ray.stages.joins import full_outer_lookup
+        left = pa.table({"k": [1, 2, 3], "u": [10, 20, 30],
+                         "a": [100, 200, 300]})
+        right = pa.table({"k": [2, 3, 4], "u": [20, 30, 40],
+                          "b": [7, 8, 9]})
+        got = (full_outer_lookup(
+                   rd.from_arrow(left).repartition(2),
+                   rd.from_arrow(right).repartition(2),
+                   key_col="k", left_payload="a", right_payload="b",
+                   shared_cols=["u"], left_default=0, right_default=-1)
+               .to_pandas().sort_values("u").reset_index(drop=True))
+        exp = pd.DataFrame({"u": [10, 20, 30, 40],
+                            "a": [100, 200, 300, 0],
+                            "b": [-1, 7, 8, 9]})
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_empty_sides(self, ray_session):
+        from dedup_restore_ray.stages.joins import full_outer_lookup
+        left = pa.table({"k": pa.array([], pa.int64()),
+                         "u": pa.array([], pa.int64()),
+                         "a": pa.array([], pa.int64())})
+        right = pa.table({"k": [5], "u": [50], "b": [1]})
+        got = (full_outer_lookup(rd.from_arrow(left), rd.from_arrow(right),
+                                 key_col="k", left_payload="a",
+                                 right_payload="b", shared_cols=["u"],
+                                 left_default=0, right_default=0)
+               .to_pandas())
+        assert got["u"].tolist() == [50]
+        assert got["a"].tolist() == [0]
