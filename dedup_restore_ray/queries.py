@@ -729,6 +729,97 @@ def q_ann_ivf_exact(sf_dir: str, n_queries: int = 5, k: int = 10):
     return out.sort_values(["qid", "vec_id"]).reset_index(drop=True)
 
 
+def q_ann_pq(sf_dir: str, n_queries: int = 5, k: int = 10,
+             shortlist: int = 100, m: int = 8, ksub: int = 256):
+    """PQ-compressed ANN (functions/pq.py, Jegou et al. 2011): the
+    corpus scan touches ONLY uint8 codes (m bytes/vector vs 4*d for
+    float32 — 32x less memory at d=64), then the exact vectors of the
+    per-query ADC shortlist are re-ranked with true cosine.  Codes are
+    built in one encode pass and the scan reads the codes dataset, so
+    at scale the full-precision table is read twice-ever: once to
+    encode, once for the (tiny) shortlist gather.  Codebooks train on
+    a deterministic head sample, like the IVF index."""
+    from dedup_restore_ray.functions.pq import (pq_adc_scores, pq_encode,
+                                                pq_train)
+    qids, qn = _load_queries(sf_dir, n_queries)
+    sample = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"]).head(2000)
+    xs = l2_normalize(np.stack(sample["embedding"].to_numpy())
+                      .astype(np.float64))
+    books = pq_train(xs, m=m, ksub=ksub)
+    bref = ray.put(books)
+    qref = ray.put(qn.astype(np.float32))
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+    def encode(b: pa.Table) -> pa.Table:
+        vecs = l2_normalize(np.stack(b.column("embedding").to_pylist())
+                            .astype(np.float64))
+        codes = pq_encode(vecs.astype(np.float32), ray.get(bref))
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "code": pa.array(list(codes.tobytes()[i * m:
+                                               (i + 1) * m]
+                                          for i in range(len(codes))),
+                                          pa.binary(m))})
+
+    codes_ds = emb.map_batches(encode, batch_format="pyarrow").materialize()
+
+    def scan(b: pa.Table) -> pa.Table:
+        books_ = ray.get(bref)
+        q = ray.get(qref)
+        codes = np.frombuffer(
+            b"".join(b.column("code").to_pylist()),
+            dtype=np.uint8).reshape(-1, m)
+        ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+        scores = pq_adc_scores(q, codes, books_)
+        r = min(shortlist, scores.shape[1])
+        top = np.argpartition(-scores, r - 1, axis=1)[:, :r]
+        nq = len(q)
+        return pa.table({
+            "qrow": pa.array(np.repeat(np.arange(nq), r), pa.int64()),
+            "vec_id": pa.array(ids[top].reshape(-1), pa.int64()),
+            "adc": pa.array(scores[np.arange(nq)[:, None], top]
+                            .reshape(-1), pa.float32()),
+        })
+
+    parts = codes_ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    # global shortlist per query (ADC order), then exact re-rank
+    want: set[int] = set()
+    per_q: dict[int, np.ndarray] = {}
+    for qrow in range(len(qids)):
+        g = parts[parts.qrow == qrow].sort_values(
+            ["adc", "vec_id"], ascending=[False, True]).head(shortlist)
+        per_q[qrow] = g["vec_id"].to_numpy()
+        want.update(int(v) for v in per_q[qrow])
+    want_arr = np.sort(np.fromiter(want, dtype=np.int64))
+    wref = ray.put(want_arr)
+
+    def gather(b: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+        pos = np.searchsorted(w, ids)
+        pos[pos >= len(w)] = 0
+        keep = w[pos] == ids
+        return b.filter(pa.array(keep))
+
+    exact = emb.map_batches(gather, batch_format="pyarrow").to_pandas()
+    vecs = l2_normalize(np.stack(exact["embedding"].to_numpy())
+                        .astype(np.float64))
+    vid = exact["vec_id"].to_numpy()
+    id_to_row = {int(v): i for i, v in enumerate(vid)}
+    out_rows = []
+    for qrow in range(len(qids)):
+        cand = per_q[qrow]
+        rows = np.array([id_to_row[int(v)] for v in cand], dtype=np.int64)
+        sc = vecs[rows] @ qn[qrow]
+        order = np.lexsort((cand, -sc))[:k]
+        for i in order:
+            out_rows.append((int(qids[qrow]), int(cand[i]),
+                             float(round_half_up(sc[i]))))
+    return pd.DataFrame(out_rows, columns=["qid", "vec_id", "score"])
+
+
 # ----------------------------------------------------------------------
 # Near-dup pipeline entries (rows-only where hash-dependent)
 # ----------------------------------------------------------------------
@@ -1613,6 +1704,7 @@ QUERIES = {
     "running_totals_events": q_running_totals_events,
     "events_rollup": q_events_rollup,
     "click_purchase_matrix": q_click_purchase_matrix,
+    "ann_pq": q_ann_pq,
 }
 
 
