@@ -420,6 +420,45 @@ def q_click_purchase_matrix(sf_dir: str):
     return out
 
 
+def q_debounce_events(sf_dir: str, gap_us: int = 60_000_000):
+    """Streaming dedup (debounce): an event is a duplicate when the
+    same (user, type) fired within the previous 60s — the event-stream
+    analogue of the reference's duplicate-suppression counters.  Built
+    on the lag machinery: one (key, ts, id) sort, keep rows whose gap
+    from the previous event exceeds the window (or that lead their
+    key)."""
+    from dedup_restore_ray.stages.windows import lag_lead
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        # composite (user, type) key as one string column for the sort
+        ut = pc.binary_join_element_wise(
+            pc.cast(b.column("user_id"), pa.string()),
+            b.column("event_type"), "|")
+        return pa.table({"k": ut, "ts_us": pc.cast(
+                             pc.cast(b.column("ts"), pa.int64()),
+                             pa.int64()),
+                         "event_id": b.column("event_id")})
+
+    lagged = lag_lead(ev.map_batches(pack, batch_format="pyarrow"),
+                      key_col="k", order_cols=["ts_us", "event_id"],
+                      value_col="ts_us", lag_col="prev_ts",
+                      lead_col="next_ts",
+                      carry_cols=["event_id", "ts_us"])
+
+    def mark(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b.column("ts_us"), dtype=np.int64)
+        prev = b.column("prev_ts").combine_chunks()
+        prev_f = np.asarray(prev.fill_null(-(1 << 62)), dtype=np.int64)
+        kept = (ts - prev_f) > gap_us
+        return pa.table({"event_id": b.column("event_id"),
+                         "kept": pa.array(kept)})
+
+    return lagged.map_batches(mark, batch_format="pyarrow")
+
+
 def q_distinct_users_kmv(sf_dir: str):
     """KMV (bottom-k) distinct-count sketch over events.user_id,
     k=64: per-block combiner keeps the k smallest distinct
@@ -1705,6 +1744,7 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "click_purchase_matrix": q_click_purchase_matrix,
     "ann_pq": q_ann_pq,
+    "debounce_events": q_debounce_events,
 }
 
 
@@ -2380,5 +2420,14 @@ ORACLE_SQL = {
                coalesce(click_cents, 0)::BIGINT AS click_cents,
                coalesce(purchase_cents, 0)::BIGINT AS purchase_cents
         FROM c FULL OUTER JOIN p USING (user_id, day_epoch)
+    """,
+    "debounce_events": """
+        SELECT event_id,
+               coalesce(
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) > 60000000,
+                 TRUE) AS kept
+        FROM events
     """,
 }
