@@ -459,6 +459,29 @@ def q_debounce_events(sf_dir: str, gap_us: int = 60_000_000):
     return lagged.map_batches(mark, batch_format="pyarrow")
 
 
+def q_incremental_dedup_docs(sf_dir: str):
+    """Append-shard dedup (pipelines/append.py): even doc_ids play the
+    EXISTING store (their canonical hash table is what a completed run
+    persists), odd doc_ids arrive as the new shard and dedup against
+    store + each other in ONE 29 B/row co-sort — no rescan of old
+    text, no driver index.  Output covers the new shard only."""
+    from dedup_restore_ray.pipelines.append import (append_exact_dedup,
+                                                    canonical_hash_store,
+                                                    hash_new_docs)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def parity(want: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+            return b.filter(pa.array((ids % 2) == want))
+        return f
+
+    old = ds.map_batches(parity(0), batch_format="pyarrow")
+    new = ds.map_batches(parity(1), batch_format="pyarrow")
+    store = canonical_hash_store(hash_new_docs(old))
+    return append_exact_dedup(hash_new_docs(new), store)
+
+
 def q_distinct_users_kmv(sf_dir: str):
     """KMV (bottom-k) distinct-count sketch over events.user_id,
     k=64: per-block combiner keeps the k smallest distinct
@@ -1745,6 +1768,7 @@ QUERIES = {
     "click_purchase_matrix": q_click_purchase_matrix,
     "ann_pq": q_ann_pq,
     "debounce_events": q_debounce_events,
+    "incremental_dedup_docs": q_incremental_dedup_docs,
 }
 
 
@@ -2429,5 +2453,20 @@ ORACLE_SQL = {
                      ORDER BY ts, event_id) > 60000000,
                  TRUE) AS kept
         FROM events
+    """,
+    "incremental_dedup_docs": """
+        WITH old_canon AS (
+          SELECT text, min(doc_id) AS canonical
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY text),
+        new AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+        SELECT n.doc_id,
+               coalesce(o.canonical,
+                        min(n.doc_id) OVER (PARTITION BY n.text))
+                   AS canonical_id,
+               (o.canonical IS NOT NULL
+                OR n.doc_id <> min(n.doc_id) OVER (PARTITION BY n.text))
+                   AS is_dup
+        FROM new n LEFT JOIN old_canon o USING (text)
     """,
 }
