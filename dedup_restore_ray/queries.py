@@ -791,6 +791,29 @@ def q_ann_ivf_exact(sf_dir: str, n_queries: int = 5, k: int = 10):
     return out.sort_values(["qid", "vec_id"]).reset_index(drop=True)
 
 
+def q_ann_ivfpq(sf_dir: str, n_queries: int = 5, k: int = 10,
+                num_probe: int | None = None):
+    """IVF-PQ: probe-pruned partitions scanned through the 8-byte PQ
+    code column only (the float vectors never leave storage for the
+    scan), exact re-rank of the ADC shortlist — the combined 100-TB
+    similarity-search formulation (partition pruning x 32x scan
+    compression)."""
+    import os
+    from dedup_restore_ray.stages.ann import IVFIndex
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/ivfpq_index_{tag}_{CFG.config_hash()}"
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    idx = IVFIndex.build(emb, index_dir, CFG, pq_m=8)
+    qids, qn = _load_queries(sf_dir, n_queries)
+    out, metrics = idx.search_pq(qn, k=k, num_probe=num_probe,
+                                 query_ids=qids)
+    assert metrics["partitions_read"] <= metrics["partitions_total"]
+    assert metrics["scan_bytes_per_row"] < metrics["full_bytes_per_row"]
+    out["score"] = round_half_up(out["score"])
+    return out
+
+
 def q_ann_pq(sf_dir: str, n_queries: int = 5, k: int = 10,
              shortlist: int = 100, m: int = 8, ksub: int = 256):
     """PQ-compressed ANN (functions/pq.py, Jegou et al. 2011): the
@@ -1769,6 +1792,7 @@ QUERIES = {
     "ann_pq": q_ann_pq,
     "debounce_events": q_debounce_events,
     "incremental_dedup_docs": q_incremental_dedup_docs,
+    "ann_ivfpq": q_ann_ivfpq,
 }
 
 

@@ -36,11 +36,12 @@ class IVFIndex:
     """Partitioned IVF index over an embedding Dataset."""
 
     def __init__(self, index_dir: str, centroids: np.ndarray,
-                 num_rows: int):
+                 num_rows: int, pq_books: np.ndarray | None = None):
         self.index_dir = index_dir
         self.centroids = centroids
         self.num_rows = num_rows
         self.num_lists = len(centroids)
+        self.pq_books = pq_books
 
     # ----------------------------------------------------------------
     @classmethod
@@ -48,30 +49,55 @@ class IVFIndex:
               cfg: PipelineConfig | None = None,
               sample_size: int = 2000, seed: int = 42,
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> "IVFIndex":
+              vec_col: str = "embedding",
+              pq_m: int | None = None) -> "IVFIndex":
+        """pq_m: when set, each row additionally stores an m-byte PQ
+        code (and its list id as a data column) so searches can scan
+        codes WITHOUT reading the float vectors — IVF-PQ."""
         cfg = cfg or PipelineConfig()
         meta_path = os.path.join(index_dir, "meta.json")
         chash = cfg.config_hash()
         if os.path.exists(meta_path):
             meta = json.load(open(meta_path))
-            if meta.get("config_hash") == chash:
+            if (meta.get("config_hash") == chash
+                    and meta.get("pq_m") == pq_m):
+                books = (np.load(os.path.join(index_dir, "pq_books.npy"))
+                         if pq_m else None)
                 return cls(index_dir, np.load(
                     os.path.join(index_dir, "centroids.npy")),
-                    meta["num_rows"])
+                    meta["num_rows"], books)
         sample = np.stack(
             [r[vec_col] for r in emb.limit(sample_size).take_all()]
         ).astype(np.float64)
         cent = kmeans_fit(sample, cfg.ivf_num_centroids, seed=seed)
-        cent_ref = ray.put(cent)
+        books = None
+        if pq_m:
+            from dedup_restore_ray.functions.pq import pq_train
+            books = pq_train(l2_normalize(sample), m=pq_m, seed=seed)
+        cent_ref = ray.put((cent, books))
 
         def assign(batch: pa.Table) -> pa.Table:
-            c = ray.get(cent_ref)
+            c, bks = ray.get(cent_ref)
             vecs = np.stack(batch.column(vec_col).to_pylist()
                             ).astype(np.float64)
             lists = ivf_assign(vecs, c)
-            return pa.table({id_col: batch.column(id_col),
-                             vec_col: batch.column(vec_col),
-                             "list_id": pa.array(lists, pa.int64())})
+            cols = {id_col: batch.column(id_col),
+                    vec_col: batch.column(vec_col),
+                    "list_id": pa.array(lists, pa.int64())}
+            if bks is not None:
+                from dedup_restore_ray.functions.pq import pq_encode
+                m = bks.shape[0]
+                codes = pq_encode(
+                    l2_normalize(vecs).astype(np.float32), bks)
+                raw = codes.tobytes()
+                cols["code"] = pa.array(
+                    [raw[i * m:(i + 1) * m] for i in range(len(codes))],
+                    pa.binary(m))
+                # duplicate of the partition key as a data column: the
+                # codes-only scan needs per-row list membership without
+                # touching the float vectors
+                cols["lid"] = pa.array(lists, pa.int64())
+            return pa.table(cols)
 
         n = emb.count()
         # the shuffle: sort by list id clusters each list's vectors
@@ -83,9 +109,12 @@ class IVFIndex:
             .sort("list_id")
             .write_parquet(index_dir, partition_cols=["list_id"]))
         np.save(os.path.join(index_dir, "centroids.npy"), cent)
+        if books is not None:
+            np.save(os.path.join(index_dir, "pq_books.npy"), books)
         json.dump({"config_hash": chash, "num_rows": n,
-                   "num_lists": len(cent)}, open(meta_path, "w"))
-        return cls(index_dir, cent, n)
+                   "num_lists": len(cent), "pq_m": pq_m},
+                  open(meta_path, "w"))
+        return cls(index_dir, cent, n, books)
 
     # ----------------------------------------------------------------
     def _list_dir(self, list_id: int) -> str:
@@ -160,5 +189,120 @@ class IVFIndex:
             for i in range(ids_m.shape[1]):
                 out.append((int(query_ids[qrow]), int(ids_m[0, i]),
                             float(sc_m[0, i])))
+        return (pd.DataFrame(out, columns=["qid", "vec_id", "score"]),
+                metrics)
+
+    # ----------------------------------------------------------------
+    def _probed_files(self, probed_lists: list[int]) -> list[str]:
+        return [os.path.join(self._list_dir(l), f)
+                for l in probed_lists
+                for f in sorted(os.listdir(self._list_dir(l)))
+                if f.endswith(".parquet")]
+
+    def search_pq(self, query_vecs: np.ndarray, k: int = 10,
+                  num_probe: int | None = None, shortlist: int = 100,
+                  query_ids: np.ndarray | None = None,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding"
+                  ) -> tuple[pd.DataFrame, dict]:
+        """IVF-PQ: the probed partitions are scanned through the
+        CODES column only (m bytes/row; the float vector column never
+        leaves storage for the scan), then the exact vectors of the
+        per-query ADC shortlist are gathered with a second pruned +
+        id-filtered read and re-ranked with true cosine.  Metrics
+        report both the partition pruning and the scan payload."""
+        if self.pq_books is None:
+            raise ValueError("index built without pq_m")
+        from dedup_restore_ray.functions.pq import pq_adc_scores
+        from dedup_restore_ray.sources.io import read_parquet_clean
+        cfg = PipelineConfig()
+        num_probe = num_probe or cfg.ivf_num_probe
+        qn = l2_normalize(np.asarray(query_vecs, dtype=np.float64))
+        if query_ids is None:
+            query_ids = np.arange(len(qn))
+        probe = np.argsort(-(qn @ self.centroids.T),
+                           axis=1)[:, :num_probe]
+        probed_lists = sorted({int(l) for row in probe for l in row
+                               if os.path.isdir(self._list_dir(int(l)))})
+        m = self.pq_books.shape[0]
+        metrics = {"partitions_read": len(probed_lists),
+                   "partitions_total": self.num_lists,
+                   "num_probe": num_probe,
+                   "scan_bytes_per_row": m,
+                   "full_bytes_per_row": 4 * self.centroids.shape[1]}
+        if not probed_lists:
+            return (pd.DataFrame(columns=["qid", "vec_id", "score"]),
+                    metrics)
+        files = self._probed_files(probed_lists)
+        codes_ds = read_parquet_clean(files,
+                                      columns=[id_col, "code", "lid"])
+        ref = ray.put((qn.astype(np.float32), probe, self.pq_books))
+
+        def scan(batch: pa.Table) -> pa.Table:
+            qm, pr, books = ray.get(ref)
+            codes = np.frombuffer(
+                b"".join(batch.column("code").to_pylist()),
+                dtype=np.uint8).reshape(-1, m)
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            lids = np.asarray(batch.column("lid"), dtype=np.int64)
+            scores = pq_adc_scores(qm, codes, books)
+            out_q, out_id, out_s = [], [], []
+            for qrow in range(len(qm)):
+                mask = np.isin(lids, pr[qrow])
+                if not mask.any():
+                    continue
+                sc = scores[qrow][mask]
+                mids = ids[mask]
+                r = min(shortlist, len(sc))
+                top = np.argpartition(-sc, r - 1)[:r]
+                out_q.extend([qrow] * r)
+                out_id.extend(mids[top])
+                out_s.extend(sc[top])
+            return pa.table({
+                "qrow": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(np.array(out_id, dtype=np.int64)),
+                "adc": pa.array(np.array(out_s, dtype=np.float32))})
+
+        parts = codes_ds.map_batches(scan,
+                                     batch_format="pyarrow").to_pandas()
+        per_q: dict[int, np.ndarray] = {}
+        want: set[int] = set()
+        for qrow in range(len(qn)):
+            g = parts[parts.qrow == qrow].sort_values(
+                ["adc", "vec_id"], ascending=[False, True]).head(shortlist)
+            per_q[qrow] = g["vec_id"].to_numpy()
+            want.update(int(v) for v in per_q[qrow])
+        if not want:
+            return (pd.DataFrame(columns=["qid", "vec_id", "score"]),
+                    metrics)
+        want_arr = np.sort(np.fromiter(want, dtype=np.int64))
+        wref = ray.put(want_arr)
+        vec_ds = read_parquet_clean(files, columns=[id_col, vec_col])
+
+        def gather(batch: pa.Table) -> pa.Table:
+            w = ray.get(wref)
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            pos = np.searchsorted(w, ids)
+            pos[pos >= len(w)] = 0
+            return batch.filter(pa.array(w[pos] == ids))
+
+        exact = vec_ds.map_batches(gather,
+                                   batch_format="pyarrow").to_pandas()
+        vecs = l2_normalize(np.stack(exact[vec_col].to_numpy())
+                            .astype(np.float64))
+        id_to_row = {int(v): i
+                     for i, v in enumerate(exact[id_col].to_numpy())}
+        out = []
+        for qrow in range(len(qn)):
+            cand = per_q[qrow]
+            if len(cand) == 0:
+                continue
+            rows_ = np.array([id_to_row[int(v)] for v in cand],
+                             dtype=np.int64)
+            sc = vecs[rows_] @ qn[qrow]
+            order = np.lexsort((cand, -sc))[:k]
+            for i in order:
+                out.append((int(query_ids[qrow]), int(cand[i]),
+                            float(sc[i])))
         return (pd.DataFrame(out, columns=["qid", "vec_id", "score"]),
                 metrics)

@@ -56,3 +56,22 @@ class TestPQ:
         # (qid, vec_id) pair must carry the identical rounded score
         merged = pq.merge(bf, on=["qid", "vec_id"], suffixes=("_pq", "_bf"))
         assert (merged["score_pq"] == merged["score_bf"]).all()
+
+
+class TestIVFPQ:
+    def test_recall_and_exact_scores(self, ray_session, sf_dir):
+        """At a generous probe count IVF-PQ must reach the recall bar
+        AND return exact cosine scores (re-rank removes all PQ loss:
+        any pair it shares with the brute-force oracle scores
+        identically)."""
+        from dedup_restore_ray.queries import QUERIES, q_ann_ivfpq
+        pq = q_ann_ivfpq(sf_dir, num_probe=12)
+        bf = QUERIES["similarity_topk"](sf_dir)
+        hits = 0
+        for qid in bf.qid.unique():
+            hits += len(set(pq[pq.qid == qid].vec_id)
+                        & set(bf[bf.qid == qid].vec_id))
+        assert hits / len(bf) >= 0.9
+        merged = pq.merge(bf, on=["qid", "vec_id"], suffixes=("_pq", "_bf"))
+        assert len(merged) > 0
+        assert (merged["score_pq"] == merged["score_bf"]).all()
