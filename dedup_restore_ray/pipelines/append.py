@@ -116,3 +116,45 @@ def append_exact_dedup(new_hashed: "ray.data.Dataset",
                 lambda g: kernel(g.sort_by(
                     [(c, "ascending") for c in sort_keys])),
                 batch_format="pyarrow")))
+
+
+def near_dup_append(new_sigs: "ray.data.Dataset",
+                    store_sigs: "ray.data.Dataset",
+                    cfg=None) -> "ray.data.Dataset":
+    """Near-dup pairs for an appended shard against an existing
+    signature store: band candidates over store + shard (a doc's LSH
+    bands don't depend on the corpus, so the union reproduces exactly
+    the batch candidates), filtered to pairs touching the shard, then
+    exact-Jaccard verified.  The shard's id set is the only broadcast
+    (shard-sized, per the small-side doctrine); the store streams
+    through the band sort like any other rows.  Returns (u, v,
+    jaccard) with u < v, at least one side in the shard."""
+    import ray
+    from dedup_restore_ray.config import PipelineConfig
+    from dedup_restore_ray.stages.pairs import candidate_pairs
+    from dedup_restore_ray.stages.verify import verify_pairs
+    cfg = cfg or PipelineConfig()
+    id_pdf = new_sigs.select_columns(["doc_id"]).to_pandas()
+    # an empty Dataset materializes with no columns at all
+    new_ids = (np.sort(id_pdf["doc_id"].to_numpy(dtype=np.int64))
+               if "doc_id" in id_pdf.columns
+               else np.array([], dtype=np.int64))
+    ref = ray.put(new_ids)
+    sigs = store_sigs.union(new_sigs).materialize()
+    cands = candidate_pairs(sigs, cfg, use_simhash=True,
+                            use_fingerprints=True, use_norm=False)
+
+    def touch_new(b: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        if len(w) == 0 or b.num_rows == 0:
+            return b.slice(0, 0)
+        def isin(col):
+            x = np.asarray(b.column(col), dtype=np.int64)
+            pos = np.searchsorted(w, x)
+            pos[pos >= len(w)] = 0
+            return w[pos] == x
+        return b.filter(pa.array(isin("u") | isin("v")))
+
+    return verify_pairs(cands.map_batches(touch_new,
+                                          batch_format="pyarrow"),
+                        sigs, cfg)

@@ -482,6 +482,32 @@ def q_incremental_dedup_docs(sf_dir: str):
     return append_exact_dedup(hash_new_docs(new), store)
 
 
+def q_incremental_neardup_docs(sf_dir: str):
+    """Near-dup pairs for an appended shard (odd doc_ids) against the
+    existing store (even doc_ids) — pipelines/append.near_dup_append.
+    Oracle: the brute-force Jaccard cross join restricted to pairs
+    touching the shard (bands are corpus-independent, so the union
+    reproduces batch candidates exactly)."""
+    from dedup_restore_ray.pipelines.append import near_dup_append
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def parity(want: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+            return b.filter(pa.array((ids % 2) == want))
+        return f
+
+    def sigs(d):
+        return d.map_batches(SignatureStage(CFG), batch_format="pyarrow",
+                             batch_size=CFG.batch_size)
+
+    store = sigs(ds.map_batches(parity(0), batch_format="pyarrow"))
+    new = sigs(ds.map_batches(parity(1), batch_format="pyarrow"))
+    verified = near_dup_append(new, store, CFG).to_pandas()
+    verified["jaccard"] = round_half_up(verified["jaccard"])
+    return verified.sort_values(["u", "v"]).reset_index(drop=True)
+
+
 def q_distinct_users_kmv(sf_dir: str):
     """KMV (bottom-k) distinct-count sketch over events.user_id,
     k=64: per-block combiner keeps the k smallest distinct
@@ -1793,6 +1819,7 @@ QUERIES = {
     "debounce_events": q_debounce_events,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "ann_ivfpq": q_ann_ivfpq,
+    "incremental_neardup_docs": q_incremental_neardup_docs,
 }
 
 
@@ -2492,5 +2519,28 @@ ORACLE_SQL = {
                 OR n.doc_id <> min(n.doc_id) OVER (PARTITION BY n.text))
                    AS is_dup
         FROM new n LEFT JOIN old_canon o USING (text)
+    """,
+    "incremental_neardup_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN []
+                      ELSE list_distinct(list_transform(
+                           range(1, greatest(length(t) - 4, 1) + 1),
+                           i -> array_to_string(t[i:i+4], ' '))) END AS s
+          FROM toks)
+        SELECT a.doc_id AS u, b.doc_id AS v,
+               round(length(list_intersect(a.s, b.s)) * 1.0 /
+                     (length(a.s) + length(b.s)
+                      - length(list_intersect(a.s, b.s))), 4) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+          AND length(a.s) > 0 AND length(b.s) > 0
+          AND length(list_intersect(a.s, b.s)) * 1.0 /
+              (length(a.s) + length(b.s)
+               - length(list_intersect(a.s, b.s))) >= 0.8
     """,
 }

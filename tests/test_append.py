@@ -76,3 +76,34 @@ class TestAppendDedup:
         via_disk = self._run_append(CORPUS[:5], CORPUS[5:],
                                     store_roundtrip=str(tmp_path / "hs"))
         pd.testing.assert_frame_equal(direct, via_disk)
+
+
+class TestNearDupAppend:
+    def test_equals_batch_pairs_touching_shard(self, ray_session, sf_dir):
+        """Incremental near-dup (odd shard vs even store) must equal
+        the batch verified pairs restricted to pairs touching the
+        shard — bands are corpus-independent, so nothing is lost."""
+        from dedup_restore_ray.queries import (q_incremental_neardup_docs,
+                                               q_near_dup_pairs_docs)
+        inc = q_incremental_neardup_docs(sf_dir)
+        batch = q_near_dup_pairs_docs(sf_dir)
+        exp = (batch[(batch.u % 2 == 1) | (batch.v % 2 == 1)]
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(inc, exp)
+
+    def test_empty_shard(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from dedup_restore_ray.config import PipelineConfig
+        from dedup_restore_ray.pipelines.append import near_dup_append
+        from dedup_restore_ray.stages.signatures import SignatureStage
+        cfg = PipelineConfig()
+        docs = _docs_table([(1, "alpha beta gamma delta epsilon zeta"),
+                            (2, "alpha beta gamma delta epsilon zeta")])
+        sigs = (rd.from_arrow(docs)
+                .map_batches(SignatureStage(cfg), batch_format="pyarrow"))
+        empty = (rd.from_arrow(docs.slice(0, 0))
+                 .map_batches(SignatureStage(cfg),
+                              batch_format="pyarrow"))
+        out = near_dup_append(empty, sigs, cfg).to_pandas()
+        assert len(out) == 0
