@@ -88,7 +88,9 @@ def run_benchmarks() -> dict:
                  "asof_join_events", "sliding_window_events",
                  "quality_filter_docs", "decontaminate_docs",
                  "revenue_by_nation", "simhash_pairs_docs",
-                 "passage_dedup_docs", "boilerplate_docs"]:
+                 "passage_dedup_docs", "boilerplate_docs",
+                 "term_lookup_docs", "bm25_docs",
+                 "source_overlap_docs", "order_rank_windows"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)

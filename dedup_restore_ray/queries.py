@@ -1750,6 +1750,125 @@ def q_revenue_by_nation(sf_dir: str):
     return out[["n_name", "revenue"]]
 
 
+def inverted_index_for(sf_dir: str):
+    """Build (or reuse — meta manifest) the persisted hash-partitioned
+    inverted index for an sf_dir's documents (stages/invindex.py)."""
+    import os
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    from dedup_restore_ray.stages.invindex import InvertedIndex
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return InvertedIndex.build(docs, f"/tmp/inv_index_{tag}_v1")
+
+
+def q_term_lookup_docs(sf_dir: str):
+    """Term lookup against the persisted inverted index: postings are
+    read ONLY from the probed term-hash bucket partitions (pruned
+    read, asserted), then aggregated per term distributively — the
+    text-search analogue of the IVF probe."""
+    idx = inverted_index_for(sf_dir)
+    terms = ["join", "hash", "window", "spark", "vector"]
+    df, metrics = idx.term_doc_counts(terms)
+    assert metrics["partitions_read"] <= min(len(terms),
+                                             metrics["partitions_total"])
+    return df.sort_values("term").reset_index(drop=True)
+
+
+def q_order_rank_windows(sf_dir: str):
+    """RANK / DENSE_RANK / NTILE(4) per customer over order price
+    (stages/windows.rank_windows): one (custkey, price, orderkey) sort
+    + vectorized run-start/cumulative kernels — the ranking window
+    family Ray Data has no native form for."""
+    from dedup_restore_ray.stages.windows import rank_windows
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_totalprice"])
+    return rank_windows(orders, key_col="o_custkey",
+                        value_col="o_totalprice",
+                        tiebreak_col="o_orderkey", n_tiles=4,
+                        carry_cols=["o_orderkey", "o_custkey"])
+
+
+def q_source_overlap_docs(sf_dir: str):
+    """Cross-source duplication matrix (stages/exact.
+    source_overlap_matrix): per source pair, how many document pairs
+    share the same 5-token document PREFIX (the shared-boilerplate-
+    header diagnostic; full-text equality never crosses sources in
+    this corpus) — shuffles a (20-byte hash, source) projection,
+    never a text join."""
+    from dedup_restore_ray.stages.exact import source_overlap_matrix
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        pre = [" ".join(tokenize(t)[:5])
+               for t in b.column("text").to_pylist()]
+        h = content_hashes(pre)
+        return pa.table({"content_hash": pa.array(h, pa.binary(20)),
+                         "source": b.column("source")})
+
+    rows = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = source_overlap_matrix(rows).to_pandas()
+    if "source_a" not in out.columns:      # empty Dataset loses schema
+        out = pd.DataFrame({"source_a": pd.Series(dtype=str),
+                            "source_b": pd.Series(dtype=str),
+                            "n_pairs": pd.Series(dtype="int64")})
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
+def q_bm25_docs(sf_dir: str):
+    """Okapi BM25 keyword scoring against the persisted inverted
+    index: df + tf + doc_len come from the probed bucket partitions
+    only (pruned read).  Per-(doc, term) contributions — pure scalar
+    formula per row, so the SCORES themselves hash-check vs SQL
+    (per-doc totals are one grouped sum away, but a cross-term float
+    sum would be addition-order-dependent)."""
+    idx = inverted_index_for(sf_dir)
+    terms = ["join", "spark", "vector"]
+    scores, metrics = idx.bm25_contributions(terms)
+    assert metrics["partitions_read"] <= metrics["partitions_total"]
+    df = scores.to_pandas()
+    df["bm25"] = round_half_up(df["bm25"], 4)
+    return df
+
+
+def q_user_top_event_type(sf_dir: str):
+    """Grouped MODE (most frequent value per key, deterministic
+    tiebreak): each user's dominant event type — a composition of two
+    existing sort-kernels, grouped count then per-key top-1 (the
+    ``mode() WITHIN GROUP`` shape with row_number determinism)."""
+    from dedup_restore_ray.stages.groups import (grouped_aggregate,
+                                                 grouped_topk)
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    counts = grouped_aggregate(ev, ["user_id", "event_type"], {},
+                               count_alias="cnt")
+    return grouped_topk(counts, ["user_id"],
+                        [("cnt", True), ("event_type", False)], k=1)
+
+
+def q_stratified_sample_docs(sf_dir: str, per_source: int = 3):
+    """Deterministic stratified sample: per source, the ``per_source``
+    docs with the smallest DuckDB-reproducible md5 hash of their id —
+    the per-domain quota sampling a webtext pipeline uses for
+    eval/holdout carving.  One (source, hash) sort + per-block head-of-
+    group; no randomness, so the SAMPLE ITSELF is oracle-checkable."""
+    from dedup_restore_ray.functions.sketch import kmv_hash
+    from dedup_restore_ray.stages.groups import grouped_topk
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        hv = kmv_hash(b.column("doc_id").to_pylist())
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "hv": pa.array(hv, pa.uint64())})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    top = grouped_topk(hashed, ["source"],
+                       [("hv", False), ("doc_id", False)],
+                       k=per_source)
+    return top.select_columns(["source", "doc_id"])
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_stats_docs": q_dedup_stats_docs,
@@ -1820,6 +1939,12 @@ QUERIES = {
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "ann_ivfpq": q_ann_ivfpq,
     "incremental_neardup_docs": q_incremental_neardup_docs,
+    "term_lookup_docs": q_term_lookup_docs,
+    "order_rank_windows": q_order_rank_windows,
+    "source_overlap_docs": q_source_overlap_docs,
+    "bm25_docs": q_bm25_docs,
+    "user_top_event_type": q_user_top_event_type,
+    "stratified_sample_docs": q_stratified_sample_docs,
 }
 
 
@@ -2542,5 +2667,80 @@ ORACLE_SQL = {
           AND length(list_intersect(a.s, b.s)) * 1.0 /
               (length(a.s) + length(b.s)
                - length(list_intersect(a.s, b.s))) >= 0.8
+    """,
+    "term_lookup_docs": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   regexp_extract_all(lower(text), '\w+'))) AS term
+          FROM documents)
+        SELECT term, count(*)::BIGINT AS n_docs,
+               sum(doc_id)::BIGINT AS sum_doc_id
+        FROM toks
+        WHERE term IN ('join', 'hash', 'window', 'spark', 'vector')
+        GROUP BY term
+    """,
+    "order_rank_windows": """
+        SELECT o_orderkey, o_custkey,
+               rank() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice)::BIGINT AS rnk,
+               dense_rank() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice)::BIGINT AS drnk,
+               ntile(4) OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice,
+                                       o_orderkey)::BIGINT AS tile
+        FROM orders
+    """,
+    "source_overlap_docs": r"""
+        WITH p AS (
+          SELECT source,
+                 array_to_string(
+                   (regexp_extract_all(lower(text), '\w+'))[1:5],
+                   ' ') AS pre
+          FROM documents)
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*)::BIGINT AS n_pairs
+        FROM p a JOIN p b ON a.pre = b.pre
+        WHERE a.source < b.source
+        GROUP BY 1, 2
+    """,
+    "bm25_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        nz AS (SELECT doc_id, t, length(t) AS dl FROM toks
+               WHERE length(t) > 0),
+        stats AS (SELECT count(*) AS n,
+                         sum(dl)::DOUBLE / count(*) AS avgdl FROM nz),
+        tf AS (SELECT doc_id, unnest(t) AS term, dl FROM nz),
+        tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf,
+                       any_value(dl) AS dl
+                FROM tf WHERE term IN ('join', 'spark', 'vector')
+                GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tfc
+               GROUP BY term)
+        SELECT tfc.doc_id, tfc.term,
+               round(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                     * (tfc.tf * (1.2 + 1))
+                     / (tfc.tf + 1.2 * (1 - 0.75
+                                        + 0.75 * tfc.dl / stats.avgdl)),
+                     4) AS bm25
+        FROM tfc
+        JOIN df ON tfc.term = df.term
+        CROSS JOIN stats
+    """,
+    "user_top_event_type": """
+        WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt
+                   FROM events GROUP BY 1, 2)
+        SELECT user_id, event_type, cnt FROM c
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY cnt DESC, event_type) = 1
+    """,
+    "stratified_sample_docs": """
+        SELECT source, doc_id FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                     doc_id) <= 3
     """,
 }

@@ -45,6 +45,85 @@ def exact_dedup_mark(signatures: "ray.data.Dataset") -> "ray.data.Dataset":
     return mark_canonical(signatures, "content_hash")
 
 
+def source_overlap_matrix(rows: "ray.data.Dataset",
+                          hash_col: str = "content_hash",
+                          group_col: str = "source"
+                          ) -> "ray.data.Dataset":
+    """Cross-source duplication matrix: for every unordered source
+    pair (a < b), the number of document pairs with IDENTICAL content
+    across the two sources — the cross-snapshot / cross-domain overlap
+    report a webtext dedup pipeline publishes (e.g. CommonCrawl
+    snapshot-vs-snapshot duplication).
+
+    SQL equivalent::
+
+        SELECT a.source, b.source, count(*) FROM docs a JOIN docs b
+        ON a.text = b.text WHERE a.source < b.source GROUP BY 1, 2
+
+    — but the naive join is O(dup_cluster^2) rows moved.  Here the
+    shuffle volume is one (hash, source) projection:
+
+      1. grouped count per (hash, source)  — one sort, output is
+         |distinct (text, source)| rows;
+      2. per-hash cross products cnt_a*cnt_b over source pairs — the
+         per-group fanout is <= C(|sources|, 2), vectorized by group
+         size class (groups are tiny: #distinct sources per text);
+      3. grouped sum per (source_a, source_b)  — output is the
+         |sources|^2 matrix.
+
+    Input: rows with [hash_col, group_col]."""
+    import numpy as np
+    from dedup_restore_ray.stages.groups import (group_bounds,
+                                                 grouped_aggregate,
+                                                 sorted_split)
+
+    counts = grouped_aggregate(rows.select_columns([hash_col, group_col]),
+                               [hash_col, group_col], {},
+                               count_alias="cnt")
+
+    def cross(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "source_a": pa.array([], b.schema.field(group_col).type),
+            "source_b": pa.array([], b.schema.field(group_col).type),
+            "w": pa.array([], pa.int64())})
+        n = b.num_rows
+        if n == 0:
+            return empty
+        starts, ends = group_bounds(b, [hash_col])
+        sizes = ends - starts
+        us, vs = [], []
+        for s in np.unique(sizes):
+            s = int(s)
+            if s < 2:
+                continue
+            class_starts = starts[sizes == s]
+            iu, iv = np.triu_indices(s, k=1)
+            us.append((class_starts[:, None] + iu[None, :]).reshape(-1))
+            vs.append((class_starts[:, None] + iv[None, :]).reshape(-1))
+        if not us:
+            return empty
+        ui = np.concatenate(us)
+        vi = np.concatenate(vs)
+        cnt = np.asarray(b.column("cnt"), dtype=np.int64)
+        src = b.column(group_col)
+        # sources ascend within a hash group (sort key), so a < b
+        return pa.table({"source_a": src.take(pa.array(ui)),
+                         "source_b": src.take(pa.array(vi)),
+                         "w": pa.array(cnt[ui] * cnt[vi], pa.int64())})
+
+    interior, edge = sorted_split(counts, [hash_col, group_col],
+                                  [hash_col])
+    pairs = (interior.map_batches(cross, batch_format="pyarrow",
+                                  batch_size=None)
+             .union(edge.groupby(hash_col).map_groups(
+                 lambda g: cross(g.sort_by(
+                     [(hash_col, "ascending"),
+                      (group_col, "ascending")])),
+                 batch_format="pyarrow")))
+    return grouped_aggregate(pairs, ["source_a", "source_b"],
+                             {"n_pairs": ("w", "sum")})
+
+
 def exact_dup_edges(assignments: "ray.data.Dataset") -> "ray.data.Dataset":
     """Edges (u=doc_id, v=canonical_id) for duplicate rows only —
     feed into clustering alongside near-dup edges."""

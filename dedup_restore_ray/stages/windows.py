@@ -181,6 +181,77 @@ def sliding_window_sum(ds: "ray.data.Dataset", key_col: str,
                 batch_format="pyarrow")))
 
 
+def rank_windows(ds: "ray.data.Dataset", key_col: str,
+                 value_col: str, tiebreak_col: str, n_tiles: int = 4,
+                 rank_col: str = "rnk", dense_col: str = "drnk",
+                 tile_col: str = "tile",
+                 carry_cols: list[str] | None = None
+                 ) -> "ray.data.Dataset":
+    """Per-key RANK / DENSE_RANK / NTILE — SQL::
+
+        rank()       OVER (PARTITION BY key ORDER BY value)
+        dense_rank() OVER (PARTITION BY key ORDER BY value)
+        ntile(n)     OVER (PARTITION BY key ORDER BY value, tiebreak)
+
+    One sort on (key, value, tiebreak) + a per-block kernel: ranks
+    come from run starts of equal values (``maximum.accumulate`` over
+    run-start indices — no per-group Python), dense ranks from a
+    cumulative new-value count re-based at group starts, and ntile
+    from the SQL bucket rule (first ``size % n`` buckets get one extra
+    row).  rank/dense_rank are functions of the value alone so they
+    are deterministic under value ties; ntile requires the unique
+    ``tiebreak_col`` for determinism (SQL's own requirement).
+    Block-split keys take the residual pass with the same kernel."""
+    carry = carry_cols or [key_col, tiebreak_col]
+    sort_keys = [key_col, value_col, tiebreak_col]
+
+    def kernel(b: pa.Table) -> pa.Table:
+        fields = [(c, b.schema.field(c).type) for c in carry]
+        out_schema = pa.schema(fields + [(rank_col, pa.int64()),
+                                         (dense_col, pa.int64()),
+                                         (tile_col, pa.int64())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, [key_col])
+        sizes = ends - starts
+        idx = np.arange(n, dtype=np.int64)
+        gstart = np.repeat(starts, sizes)
+        rn = idx - gstart                       # 0-based row number
+        vals = b.column(value_col).combine_chunks()
+        new_val = np.ones(n, dtype=bool)
+        if n > 1:
+            neq = pc.not_equal(vals.slice(1), vals.slice(0, n - 1))
+            new_val[1:] = np.asarray(neq.fill_null(True))
+        new_val[starts] = True
+        run_start = np.maximum.accumulate(np.where(new_val, idx, -1))
+        rnk = run_start - gstart + 1
+        csum = np.cumsum(new_val)
+        drnk = csum - np.repeat(csum[starts], sizes) + 1
+        size = np.repeat(sizes, sizes)
+        base, rem = size // n_tiles, size % n_tiles
+        cut = rem * (base + 1)                  # rows in the fat tiles
+        in_fat = rn < cut
+        # base can be 0 (group smaller than n_tiles): every tile has
+        # one row and all rows are "fat", so the slim branch divisor
+        # never sees base == 0 on selected rows.
+        tile = np.where(in_fat, rn // np.maximum(base + 1, 1),
+                        rem + (rn - cut) // np.maximum(base, 1)) + 1
+        cols = {c: b.column(c) for c in carry}
+        cols[rank_col] = pa.array(rnk, pa.int64())
+        cols[dense_col] = pa.array(drnk, pa.int64())
+        cols[tile_col] = pa.array(tile.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    interior, edge = sorted_split(ds, sort_keys, [key_col])
+    return (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                lambda g: kernel(g.sort_by(
+                    [(c, "ascending") for c in sort_keys])),
+                batch_format="pyarrow")))
+
+
 def running_totals(ds: "ray.data.Dataset", key_col: str,
                    order_cols: list[str], value_col: str,
                    sum_col: str = "running_sum",
