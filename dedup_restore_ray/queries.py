@@ -1831,6 +1831,39 @@ def q_bm25_docs(sf_dir: str):
     return df
 
 
+def q_phrase_search_docs(sf_dir: str):
+    """Exact token-phrase search ("table hash") over the POSITIONAL
+    inverted index: pruned read of the two terms' buckets, one
+    doc-co-locating sort, vectorized position-chain kernel (p+1
+    membership via searchsorted) — occurrence counts included."""
+    idx = inverted_index_for(sf_dir)
+    out, metrics = idx.phrase_lookup(["table", "hash"])
+    assert metrics["partitions_read"] <= metrics["partitions_total"]
+    return out
+
+
+def q_daily_active_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per day at many-group scale
+    (stages/groups.grouped_count_distinct): one (day, user) sort +
+    run-start count kernel — no per-group hash sets, no driver state.
+    The 16-byte (day_epoch, user_id) projection is all that shuffles."""
+    from dedup_restore_ray.stages.groups import grouped_count_distinct
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+
+    def proj(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day_epoch": (batch["ts"].dt.floor("D")
+                          .astype("datetime64[s]").astype("int64")),
+            "user_id": batch["user_id"],
+        })
+
+    return grouped_count_distinct(
+        ev.map_batches(proj, batch_format="pandas"),
+        ["day_epoch"], "user_id", out_col="n_users",
+        count_alias="n_events")
+
+
 def q_user_top_event_type(sf_dir: str):
     """Grouped MODE (most frequent value per key, deterministic
     tiebreak): each user's dominant event type — a composition of two
@@ -1943,6 +1976,8 @@ QUERIES = {
     "order_rank_windows": q_order_rank_windows,
     "source_overlap_docs": q_source_overlap_docs,
     "bm25_docs": q_bm25_docs,
+    "daily_active_users": q_daily_active_users,
+    "phrase_search_docs": q_phrase_search_docs,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -2728,6 +2763,25 @@ ORACLE_SQL = {
         FROM tfc
         JOIN df ON tfc.term = df.term
         CROSS JOIN stats
+    """,
+    "phrase_search_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(length(t) - 1, 0) + 1),
+                   i -> array_to_string(t[i:i+1], ' '))) AS g
+          FROM toks)
+        SELECT doc_id, count(*)::BIGINT AS n_occurrences
+        FROM grams WHERE g = 'table hash'
+        GROUP BY doc_id
+    """,
+    "daily_active_users": """
+        SELECT epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+               count(DISTINCT user_id)::BIGINT AS n_users,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY date_trunc('day', ts)
     """,
     "user_top_event_type": """
         WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt

@@ -325,6 +325,46 @@ def grouped_aggregate(ds: "ray.data.Dataset", keys: list[str],
                 residual_agg, batch_format="pyarrow")))
 
 
+def grouped_count_distinct(ds: "ray.data.Dataset", keys: list[str],
+                           value_col: str, out_col: str = "n_distinct",
+                           count_alias: str | None = None
+                           ) -> "ray.data.Dataset":
+    """Exact COUNT(DISTINCT value) per key group, at many-group scale:
+    one sort on (keys..., value) + a per-block run-start count
+    (``add.reduceat`` over new-(key, value) flags — no per-group
+    Python, no per-group hash sets).  The residual pass reassembles
+    block-split keys with the same kernel, so each key appears exactly
+    once.  ``count_alias`` adds the plain per-group row count from the
+    same pass."""
+    sort_keys = [*keys, value_col]
+    interior, edge = sorted_split(ds.select_columns(sort_keys),
+                                  sort_keys, keys)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        fields = [(k, b.schema.field(k).type) for k in keys]
+        extra = [(out_col, pa.int64())] + (
+            [(count_alias, pa.int64())] if count_alias else [])
+        n = b.num_rows
+        if n == 0:
+            return pa.schema(fields + extra).empty_table()
+        starts, ends = group_bounds(b, keys)
+        new_pair = np.ones(n, dtype=np.int64)
+        if n > 1:
+            new_pair[1:] = ~adjacent_equal(b, sort_keys)
+        cols = {k: b.column(k).take(pa.array(starts)) for k in keys}
+        cols[out_col] = pa.array(np.add.reduceat(new_pair, starts))
+        if count_alias:
+            cols[count_alias] = pa.array((ends - starts).astype(np.int64))
+        return pa.table(cols)
+
+    return (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(keys).map_groups(
+                lambda g: kernel(g.sort_by(
+                    [(c, "ascending") for c in sort_keys])),
+                batch_format="pyarrow")))
+
+
 def grouped_quantile(ds: "ray.data.Dataset", keys: list[str],
                      value_col: str, qs: list[float],
                      out_cols: list[str],

@@ -69,8 +69,13 @@ class InvertedIndex:
         if os.path.exists(meta_path):
             meta = json.load(open(meta_path))
             if (meta.get("num_buckets") == num_buckets
-                    and meta.get("schema") == 2):
+                    and meta.get("schema") == 3):
                 return cls(index_dir, num_buckets, meta["num_rows"])
+        if os.path.isdir(index_dir):
+            # stale / older-schema build: a partitioned write does not
+            # remove existing files, so clear before rebuilding
+            import shutil
+            shutil.rmtree(index_dir)
 
         def postings(batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_pylist()
@@ -79,16 +84,19 @@ class InvertedIndex:
             out_d: list[int] = []
             out_tf: list[int] = []
             out_dl: list[int] = []
+            out_pos: list[list[int]] = []
             for d, t in zip(ids, texts):
                 toks = tokenize(t)
-                # tf per distinct term (scoring postings need term
-                # frequency + doc length, e.g. for BM25)
-                counts: dict[str, int] = {}
-                for w in toks:
-                    counts[w] = counts.get(w, 0) + 1
-                terms = sorted(counts)
+                # positions per distinct term (scoring postings need
+                # tf + doc length for BM25; phrase queries need the
+                # positions themselves)
+                where: dict[str, list[int]] = {}
+                for i, w in enumerate(toks):
+                    where.setdefault(w, []).append(i)
+                terms = sorted(where)
                 out_t.extend(terms)
-                out_tf.extend(counts[w] for w in terms)
+                out_tf.extend(len(where[w]) for w in terms)
+                out_pos.extend(where[w] for w in terms)
                 out_d.extend([d] * len(terms))
                 out_dl.extend([len(toks)] * len(terms))
             return pa.table({
@@ -97,7 +105,9 @@ class InvertedIndex:
                 "term": pa.array(out_t, pa.string()),
                 id_col: pa.array(out_d, pa.int64()),
                 "tf": pa.array(out_tf, pa.int64()),
-                "doc_len": pa.array(out_dl, pa.int64())})
+                "doc_len": pa.array(out_dl, pa.int64()),
+                "positions": pa.array(out_pos,
+                                      pa.list_(pa.int32()))})
 
         # ONE sort: clusters each bucket contiguously (few files per
         # partition dir — the IVF lesson) AND orders terms inside each
@@ -109,7 +119,7 @@ class InvertedIndex:
         # pass runs exactly once)
         n = rd.read_parquet(_index_files(index_dir)).count()
         json.dump({"num_buckets": num_buckets, "num_rows": n,
-                   "schema": 2},
+                   "schema": 3},
                   open(meta_path, "w"))
         return cls(index_dir, num_buckets, n)
 
@@ -228,6 +238,75 @@ class InvertedIndex:
         post2, _ = self.lookup(terms, id_col=id_col,
                                columns=["term", id_col, "tf", "doc_len"])
         return post2.map_batches(score, batch_format="pyarrow"), metrics
+
+    def phrase_lookup(self, phrase: list[str], id_col: str = "doc_id"
+                      ) -> tuple["rd.Dataset", dict]:
+        """Exact token-phrase search over the positional postings:
+        docs containing ``phrase`` as consecutive tokens, with
+        occurrence counts (overlaps included).
+
+        Distributed shape: pruned read of the phrase terms' buckets,
+        ONE sort co-locating each doc's postings, then a vectorized
+        position-chain kernel — survivors of slot i are positions p
+        with p+1 present in slot i+1's posting (flattened int keys +
+        ``searchsorted``; no per-doc Python).  Block-split docs take
+        the residual pass with the same kernel."""
+        from dedup_restore_ray.stages.groups import (_ramp, group_bounds,
+                                                     sorted_split)
+        post, metrics = self.lookup(
+            phrase, id_col=id_col,
+            columns=["term", id_col, "doc_len", "positions"])
+
+        def kernel(b: pa.Table) -> pa.Table:
+            empty = pa.table({id_col: pa.array([], pa.int64()),
+                              "n_occurrences": pa.array([], pa.int64())})
+            n = b.num_rows
+            if n == 0:
+                return empty
+            starts, ends = group_bounds(b, [id_col])
+            row_seg = np.repeat(np.arange(len(starts), dtype=np.int64),
+                                ends - starts)
+            big = np.int64(
+                int(pc.max(b.column("doc_len")).as_py()) + 2)
+            plist = b.column("positions").combine_chunks()
+            flat = np.asarray(plist.values, dtype=np.int64)
+            offs = np.asarray(plist.offsets, dtype=np.int64)
+            lens = offs[1:] - offs[:-1]
+            terms_np = np.asarray(b.column("term"))
+
+            def slot_keys(t: str) -> np.ndarray:
+                sel = np.flatnonzero(terms_np == t)
+                if len(sel) == 0:          # _ramp chokes on empty input
+                    return np.empty(0, np.int64)
+                fi = np.repeat(offs[sel], lens[sel]) + _ramp(lens[sel])
+                return np.repeat(row_seg[sel], lens[sel]) * big + flat[fi]
+
+            s = slot_keys(phrase[0])
+            for t in phrase[1:]:
+                bkeys = slot_keys(t)       # ascending: (doc, pos) sorted
+                if len(bkeys) == 0:
+                    s = s[:0]
+                    break
+                s = s + 1
+                pos = np.searchsorted(bkeys, s)
+                pos[pos >= len(bkeys)] = 0
+                s = s[bkeys[pos] == s]
+            if len(s) == 0:
+                return empty
+            segs, cnts = np.unique(s // big, return_counts=True)
+            doc_ids = b.column(id_col).take(pa.array(starts[segs]))
+            return pa.table({id_col: doc_ids,
+                             "n_occurrences": pa.array(
+                                 cnts.astype(np.int64))})
+
+        interior, edge = sorted_split(post, [id_col, "term"], [id_col])
+        out = (interior.map_batches(kernel, batch_format="pyarrow",
+                                    batch_size=None)
+               .union(edge.groupby(id_col).map_groups(
+                   lambda g: kernel(g.sort_by(
+                       [(id_col, "ascending"), ("term", "ascending")])),
+                   batch_format="pyarrow")))
+        return out, metrics
 
     def term_doc_counts(self, terms: list[str], id_col: str = "doc_id"
                         ) -> tuple[pd.DataFrame, dict]:

@@ -77,6 +77,55 @@ class TestInvertedIndex:
             assert row.sum_doc_id == sum(docs)
 
 
+class TestPhraseSearch:
+    @staticmethod
+    def _brute(df, phrase):
+        k = len(phrase)
+        out = {}
+        for d, txt in zip(df.doc_id, df.text):
+            t = tokenize(txt)
+            c = sum(1 for i in range(len(t) - k + 1)
+                    if t[i:i + k] == phrase)
+            if c:
+                out[int(d)] = c
+        return out
+
+    @pytest.mark.parametrize("num_blocks", [1, 6])
+    def test_parity_vs_bruteforce(self, ray_session, tmp_path,
+                                  num_blocks):
+        from dedup_restore_ray.stages.invindex import InvertedIndex
+        df = _docs_frame(n=150, seed=9)
+        idx = InvertedIndex.build(
+            rd.from_pandas(df).repartition(num_blocks),
+            str(tmp_path / "ph"), num_buckets=8)
+        for phrase in (["join", "hash"], ["hash", "hash"],
+                       ["scan", "window", "table"]):
+            out, _ = idx.phrase_lookup(phrase)
+            got = dict(zip(*[out.to_pandas().get(c, [])
+                             for c in ("doc_id", "n_occurrences")]))
+            got = {int(k): int(v) for k, v in got.items()}
+            assert got == self._brute(df, phrase), phrase
+
+    def test_overlapping_occurrences(self, ray_session, tmp_path):
+        from dedup_restore_ray.stages.invindex import InvertedIndex
+        df = pd.DataFrame({"doc_id": np.array([1, 2], dtype=np.int64),
+                           "text": ["a a a a", "b a a b"]})
+        idx = InvertedIndex.build(rd.from_pandas(df),
+                                  str(tmp_path / "ov"), num_buckets=4)
+        out, _ = idx.phrase_lookup(["a", "a"])
+        got = {int(r.doc_id): int(r.n_occurrences)
+               for r in out.to_pandas().itertuples()}
+        assert got == {1: 3, 2: 1}
+
+    def test_absent_phrase(self, ray_session, tmp_path):
+        from dedup_restore_ray.stages.invindex import InvertedIndex
+        df = _docs_frame(n=20)
+        idx = InvertedIndex.build(rd.from_pandas(df),
+                                  str(tmp_path / "ab"), num_buckets=4)
+        out, _ = idx.phrase_lookup(["join", "zzz_absent"])
+        assert out.count() == 0
+
+
 class TestBM25:
     def test_contributions_match_bruteforce(self, ray_session, tmp_path):
         from dedup_restore_ray.stages.invindex import InvertedIndex
@@ -166,6 +215,27 @@ class TestRankWindows:
         assert got["drnk"].tolist() == [1, 1, 1]
         # group of 2 with ntile(4): every row its own tile
         assert got["tile"].tolist() == [1, 2, 1]
+
+
+class TestGroupedCountDistinct:
+    @pytest.mark.parametrize("num_blocks", [1, 8])
+    def test_parity_vs_pandas(self, ray_session, num_blocks):
+        from dedup_restore_ray.stages.groups import grouped_count_distinct
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "key": rng.integers(0, 40, 1000).astype(np.int64),
+            "val": rng.integers(0, 15, 1000).astype(np.int64),
+        })
+        got = (grouped_count_distinct(
+            rd.from_pandas(df).repartition(num_blocks),
+            ["key"], "val", out_col="nd", count_alias="n")
+            .to_pandas().sort_values("key").reset_index(drop=True))
+        exp = (df.groupby("key").agg(nd=("val", "nunique"),
+                                     n=("val", "size"))
+               .reset_index())
+        assert (got["key"].to_numpy() == exp["key"].to_numpy()).all()
+        assert (got["nd"].to_numpy() == exp["nd"].to_numpy()).all()
+        assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
 
 
 class TestSourceOverlap:
