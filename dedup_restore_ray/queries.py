@@ -1831,6 +1831,96 @@ def q_bm25_docs(sf_dir: str):
     return df
 
 
+def q_retention_events(sf_dir: str):
+    """Day-over-day retention (the cohort-activity funnel): per day,
+    how many active users return the NEXT day — distinct (day, user)
+    pairs, one per-user LEAD navigation, one grouped sum.  Pure
+    composition of existing sort-kernels; only 16-byte pairs shuffle."""
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
+    from dedup_restore_ray.stages.windows import lag_lead
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+
+    def proj(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day_epoch": (batch["ts"].dt.floor("D")
+                          .astype("datetime64[s]").astype("int64")),
+            "user_id": batch["user_id"],
+        }).drop_duplicates()            # combiner: shrink before sort
+
+    du = distinct_rows(ev.map_batches(proj, batch_format="pandas"),
+                       ["day_epoch", "user_id"])
+    nav = lag_lead(du, key_col="user_id", order_cols=["day_epoch"],
+                   value_col="day_epoch", lead_col="next_day",
+                   carry_cols=["day_epoch"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        de = np.asarray(b.column("day_epoch"), dtype=np.int64)
+        nxt = np.asarray(b.column("next_day").combine_chunks()
+                         .fill_null(-1), dtype=np.int64)
+        return pa.table({
+            "day_epoch": b.column("day_epoch"),
+            "retained": pa.array((nxt == de + 86400).astype(np.int64))})
+
+    return grouped_aggregate(
+        nav.map_batches(flags, batch_format="pyarrow"),
+        ["day_epoch"], {"n_retained": ("retained", "sum")},
+        count_alias="n_active")
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (the class-centroid / k-means-seed
+    aggregate an ML pipeline runs): per-batch combiner reduces each
+    block to <=|labels| (sum-vector, count) partial rows via a sorted
+    reduceat — the driver merges only those partials (a reduced
+    sketch, like the KMV estimator), never the vectors.  Output melts
+    to (label, dim, mean_v) so the SQL oracle can unnest."""
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        labs = np.asarray(pc.cast(b.column("label").combine_chunks(),
+                                  pa.int64()))
+        vecs = np.stack(b.column("embedding").to_pylist()
+                        ).astype(np.float64)
+        order = np.argsort(labs, kind="stable")
+        sl, sv = labs[order], vecs[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], sl[1:] != sl[:-1])))
+        ends = np.concatenate((starts[1:], [len(sl)]))
+        sums = np.add.reduceat(sv, starts, axis=0)
+        return pa.table({
+            "label": pa.array(sl[starts], pa.int64()),
+            "psum": pa.array(list(sums), pa.list_(pa.float64())),
+            "pn": pa.array((ends - starts).astype(np.int64))})
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for lab, g in parts.groupby("label"):
+        total = np.sum(np.stack(g["psum"].to_numpy()), axis=0)
+        n = int(g["pn"].sum())
+        mean = round_half_up(total / n, 4)
+        rows.extend((int(lab), d + 1, float(mean[d]))
+                    for d in range(len(mean)))
+    return pd.DataFrame(rows, columns=["label", "dim", "mean_v"])
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Per-key LAST row (arg-max by time with deterministic tiebreak)
+    — each user's most recent event, the classic snapshot/compaction
+    query: grouped_topk k=1 over (ts DESC, event_id DESC)."""
+    from dedup_restore_ray.stages.groups import grouped_topk
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts",
+                                     "event_type", "value"])
+    top = grouped_topk(ev, ["user_id"],
+                       [("ts", True), ("event_id", True)],
+                       k=1).to_pandas()
+    top["value"] = round_half_up(top["value"], 2)
+    return top[["user_id", "event_id", "event_type", "value"]]
+
+
 def q_phrase_search_docs(sf_dir: str):
     """Exact token-phrase search ("table hash") over the POSITIONAL
     inverted index: pruned read of the two terms' buckets, one
@@ -1978,6 +2068,9 @@ QUERIES = {
     "bm25_docs": q_bm25_docs,
     "daily_active_users": q_daily_active_users,
     "phrase_search_docs": q_phrase_search_docs,
+    "label_centroids": q_label_centroids,
+    "retention_events": q_retention_events,
+    "latest_event_per_user": q_latest_event_per_user,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -2763,6 +2856,36 @@ ORACLE_SQL = {
         FROM tfc
         JOIN df ON tfc.term = df.term
         CROSS JOIN stats
+    """,
+    "retention_events": """
+        WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day,
+                                    user_id FROM events),
+        p AS (SELECT user_id, epoch(day)::BIGINT AS de,
+                     lead(epoch(day)::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY day) AS nxt
+              FROM du)
+        SELECT de AS day_epoch,
+               coalesce(sum(CASE WHEN nxt = de + 86400
+                                 THEN 1 ELSE 0 END), 0)::BIGINT
+                 AS n_retained,
+               count(*)::BIGINT AS n_active
+        FROM p GROUP BY de
+    """,
+    "label_centroids": """
+        WITH d AS (SELECT label::BIGINT AS label,
+                          embedding::DOUBLE[] AS e FROM embeddings),
+        u AS (SELECT label, r.range AS dim, e[r.range] AS v
+              FROM d CROSS JOIN range(1, 65) r)
+        SELECT label, dim::BIGINT AS dim,
+               round(sum(v) / count(*), 4) AS mean_v
+        FROM u GROUP BY label, dim
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, event_id, event_type, round(value, 2) AS value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC,
+                                            event_id DESC) = 1
     """,
     "phrase_search_docs": r"""
         WITH toks AS (
