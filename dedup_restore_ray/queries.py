@@ -1750,6 +1750,249 @@ def q_revenue_by_nation(sf_dir: str):
     return out[["n_name", "revenue"]]
 
 
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecasting filter-aggregate: one column-pruned
+    pass over lineitem, per-batch partial sums of integer cents (the
+    combiner is the whole query — nothing shuffles; the driver adds a
+    handful of scalars).  Cents are fixed per row before summation so
+    double addition order cannot flip the oracle hash."""
+    lo = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_shipdate", "l_discount",
+                                     "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(b.column("l_discount"), 0.03),
+                        pc.less_equal(b.column("l_discount"), 0.07)),
+                pc.less(b.column("l_quantity"), 24.0)))
+        t = b.filter(m)
+        v = (np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+             * np.asarray(t.column("l_discount"), dtype=np.float64))
+        cents = round_half_up(v * 100.0, 0).astype(np.int64)
+        return pa.table({"c": pa.array([int(cents.sum())]),
+                         "n": pa.array([t.num_rows])})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue_cents": [int(parts["c"].sum())],
+                         "n_items": [int(parts["n"].sum())]})
+
+
+def q_monthly_priority_counts(sf_dir: str):
+    """TPC-H Q12-shaped shipping/priority two-way count: 1997 lineitem
+    shipments inner-joined to their order's priority by ONE
+    sort-scatter (the store side pre-reduces the priority string to a
+    1-bit flag, so the shuffle payload is 9 bytes/row), then a grouped
+    sum per ship month."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    lo = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderpriority"])
+
+    def ostore(b: pa.Table) -> pa.Table:
+        pri = b.column("o_orderpriority")
+        high = pc.or_(pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH"))
+        return pa.table({"l_orderkey": b.column("o_orderkey"),
+                         "is_high": pc.cast(high, pa.int64())})
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+
+    def lsel(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        month = pc.cast(pc.month(t.column("l_shipdate")), pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "ship_month": month})
+
+    hits = _scatter_lookup(li.map_batches(lsel, batch_format="pyarrow"),
+                           orders.map_batches(ostore,
+                                              batch_format="pyarrow"),
+                           key_col="l_orderkey", payload_col="is_high",
+                           out_cols=["ship_month"])
+    agg = grouped_aggregate(hits.select_columns(["ship_month", "is_high"]),
+                            ["ship_month"],
+                            {"high_line_count": ("is_high", "sum")},
+                            count_alias="n_lines").to_pandas()
+    agg["low_line_count"] = agg["n_lines"] - agg["high_line_count"]
+    return agg[["ship_month", "high_line_count", "low_line_count"]]
+
+
+def q_returned_top_customers(sf_dir: str):
+    """TPC-H Q10-shaped returned-item report: revenue of flag-R
+    lineitems shipped in 1997H2, rolled up per order inside each batch
+    (integer cents), attached to the order's customer by one
+    sort-scatter, summed per customer, top-20.  The 20 winners' names
+    come from a pruned customer read (is_in filter over 20 keys) —
+    the big table is never joined for rows that lost."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    lo = pa.scalar(pd.Timestamp("1997-07-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_returnflag",
+                                     "l_shipdate", "l_extendedprice",
+                                     "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b.column("l_returnflag"), "R"),
+                    pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                            pc.less(b.column("l_shipdate"), hi)))
+        t = b.filter(m)
+        v = (np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+             * (1.0 - np.asarray(t.column("l_discount"), dtype=np.float64)))
+        cents = round_half_up(v * 100.0, 0).astype(np.int64)
+        g = (pa.table({"l_orderkey": t.column("l_orderkey"),
+                       "pr": pa.array(cents)})
+             .group_by(["l_orderkey"]).aggregate([("pr", "sum")]))
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "pr": g.column("pr_sum")})
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    ostore = orders.map_batches(
+        lambda b: pa.table({"l_orderkey": b.column("o_orderkey"),
+                            "o_custkey": b.column("o_custkey")}),
+        batch_format="pyarrow")
+    by_order = _scatter_lookup(
+        li.map_batches(li_partial, batch_format="pyarrow"), ostore,
+        key_col="l_orderkey", payload_col="o_custkey", out_cols=["pr"])
+    by_cust = grouped_aggregate(by_order, ["o_custkey"],
+                                {"revenue_cents": ("pr", "sum")})
+    top = (by_cust.sort(["revenue_cents", "o_custkey"],
+                        descending=[True, False]).limit(20).to_pandas())
+
+    keys = pa.array(top["o_custkey"].to_numpy())
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name", "c_acctbal"])
+    hits = cust.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_custkey"), keys)),
+        batch_format="pyarrow").to_pandas()
+    out = top.merge(hits, left_on="o_custkey", right_on="c_custkey")
+    out["c_acctbal"] = round_half_up(out["c_acctbal"], 2)
+    return out[["o_custkey", "c_name", "c_acctbal", "revenue_cents"]]
+
+
+def q_promo_revenue_monthly(sf_dir: str):
+    """TPC-H Q14-shaped promo-revenue ratio per ship month: lineitem
+    revenue pre-aggregated per (partkey, month) inside each batch
+    (integer cents), the part side reduced to a 1-bit promo flag, one
+    sort-scatter, then two grouped sums per month.  The ratio is
+    computed from exact integer sums, so the float division is
+    deterministic on both sides of the oracle."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type"])
+    pstore = part.map_batches(
+        lambda b: pa.table({
+            "l_partkey": b.column("p_partkey"),
+            "is_promo": pc.cast(pc.equal(b.column("p_type"), "PROMO"),
+                                pa.int64())}),
+        batch_format="pyarrow")
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_shipdate",
+                                     "l_extendedprice", "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        v = (np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+             * (1.0 - np.asarray(b.column("l_discount"), dtype=np.float64)))
+        cents = round_half_up(v * 100.0, 0).astype(np.int64)
+        month = pc.cast(pc.month(b.column("l_shipdate")), pa.int64())
+        g = (pa.table({"l_partkey": b.column("l_partkey"),
+                       "ship_month": month, "pr": pa.array(cents)})
+             .group_by(["l_partkey", "ship_month"])
+             .aggregate([("pr", "sum")]))
+        return pa.table({"l_partkey": g.column("l_partkey"),
+                         "ship_month": g.column("ship_month"),
+                         "pr": g.column("pr_sum")})
+
+    hits = _scatter_lookup(li.map_batches(li_partial,
+                                          batch_format="pyarrow"),
+                           pstore, key_col="l_partkey",
+                           payload_col="is_promo",
+                           out_cols=["ship_month", "pr"])
+
+    def weight(b: pa.Table) -> pa.Table:
+        pr = np.asarray(b.column("pr"), dtype=np.int64)
+        promo = pr * np.asarray(b.column("is_promo"), dtype=np.int64)
+        return pa.table({"ship_month": b.column("ship_month"),
+                         "pr": b.column("pr"),
+                         "promo_pr": pa.array(promo)})
+
+    agg = grouped_aggregate(
+        hits.map_batches(weight, batch_format="pyarrow"), ["ship_month"],
+        {"total_cents": ("pr", "sum"),
+         "promo_cents": ("promo_pr", "sum")}).to_pandas()
+    agg["promo_pct"] = round_half_up(
+        100.0 * agg["promo_cents"].to_numpy(np.float64)
+        / agg["total_cents"].to_numpy(np.float64), 4)
+    return agg[["ship_month", "promo_cents", "total_cents", "promo_pct"]]
+
+
+def q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18-shaped large-volume-customer report: per-order
+    quantity totals via the sort-kernel grouped sum, thresholded
+    (> 120 units), then the surviving orders pick up (custkey,
+    totalprice) by riding a sort-scatter as refs — the orders table
+    itself is never collected.  Quantities are integral in this corpus
+    so the sums are exact int64."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+
+    def qpart(b: pa.Table) -> pa.Table:
+        q = round_half_up(np.asarray(b.column("l_quantity"),
+                                     dtype=np.float64), 0).astype(np.int64)
+        g = (pa.table({"l_orderkey": b.column("l_orderkey"),
+                       "q": pa.array(q)})
+             .group_by(["l_orderkey"]).aggregate([("q", "sum")]))
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "q": g.column("q_sum")})
+
+    by_order = grouped_aggregate(
+        li.map_batches(qpart, batch_format="pyarrow"), ["l_orderkey"],
+        {"total_qty": ("q", "sum")})
+    big = by_order.map_batches(
+        lambda b: b.filter(pc.greater(b.column("total_qty"), 120)),
+        batch_format="pyarrow")
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_totalprice"])
+
+    def oref(b: pa.Table) -> pa.Table:
+        cents = round_half_up(np.asarray(b.column("o_totalprice"),
+                                         dtype=np.float64) * 100.0,
+                              0).astype(np.int64)
+        return pa.table({"l_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey"),
+                         "price_cents": pa.array(cents)})
+
+    big_store = big.map_batches(
+        lambda b: b.select(["l_orderkey", "total_qty"]),
+        batch_format="pyarrow")
+    out = _scatter_lookup(
+        orders.map_batches(oref, batch_format="pyarrow"), big_store,
+        key_col="l_orderkey", payload_col="total_qty",
+        out_cols=["l_orderkey", "o_custkey", "price_cents"]).to_pandas()
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    return (out[["o_orderkey", "o_custkey", "price_cents", "total_qty"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
 def inverted_index_for(sf_dir: str):
     """Build (or reuse — meta manifest) the persisted hash-partitioned
     inverted index for an sf_dir's documents (stages/invindex.py)."""
@@ -2071,6 +2314,11 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "retention_events": q_retention_events,
     "latest_event_per_user": q_latest_event_per_user,
+    "forecast_revenue": q_forecast_revenue,
+    "monthly_priority_counts": q_monthly_priority_counts,
+    "returned_top_customers": q_returned_top_customers,
+    "promo_revenue_monthly": q_promo_revenue_monthly,
+    "large_volume_orders": q_large_volume_orders,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -2886,6 +3134,67 @@ ORACLE_SQL = {
         QUALIFY row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC,
                                             event_id DESC) = 1
+    """,
+    "forecast_revenue": """
+        SELECT sum(CAST(round(l_extendedprice * l_discount * 100, 0)
+                        AS BIGINT))::BIGINT AS revenue_cents,
+               count(*)::BIGINT AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "monthly_priority_counts": """
+        SELECT month(l_shipdate)::BIGINT AS ship_month,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "returned_top_customers": """
+        WITH rev AS (
+          SELECT o_custkey,
+                 sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                                0) AS BIGINT))::BIGINT AS revenue_cents
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+            AND l_shipdate >= TIMESTAMP '1997-07-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY 1
+          ORDER BY revenue_cents DESC, o_custkey LIMIT 20)
+        SELECT o_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+               revenue_cents
+        FROM rev JOIN customer ON o_custkey = c_custkey
+    """,
+    "promo_revenue_monthly": """
+        WITH j AS (
+          SELECT month(l_shipdate)::BIGINT AS ship_month,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT) AS cents,
+                 CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+          FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT ship_month,
+               sum(cents * promo)::BIGINT AS promo_cents,
+               sum(cents)::BIGINT AS total_cents,
+               round(100.0 * sum(cents * promo) / sum(cents), 4)
+                 AS promo_pct
+        FROM j GROUP BY 1
+    """,
+    "large_volume_orders": """
+        WITH q AS (
+          SELECT l_orderkey,
+                 sum(CAST(round(l_quantity, 0) AS BIGINT))::BIGINT
+                   AS total_qty
+          FROM lineitem GROUP BY 1 HAVING total_qty > 120)
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+               total_qty
+        FROM q JOIN orders ON l_orderkey = o_orderkey
     """,
     "phrase_search_docs": r"""
         WITH toks AS (
