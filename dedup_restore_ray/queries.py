@@ -1993,6 +1993,288 @@ def q_large_volume_orders(sf_dir: str):
             .sort_values("o_orderkey").reset_index(drop=True))
 
 
+def q_json_props_rollup(sf_dir: str):
+    """JSON metadata extraction + rollup: the events stream carries a
+    JSON string column (``props``); the ``k`` field is pulled out with
+    ONE vectorized Arrow regex kernel (``pc.extract_regex`` — no
+    per-row json.loads), bucketed, and rolled up with the grouped-sum
+    kernel.  The shape every metadata-bearing web corpus needs: parse
+    a JSON column without a Python loop."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["props", "value"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b.column("props").combine_chunks(),
+                             pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        cents = round_half_up(
+            np.asarray(b.column("value"), dtype=np.float64) * 100.0,
+            0).astype(np.int64)
+        t = pa.table({"k_bucket": pc.divide(k, pa.scalar(10, pa.int64())),
+                      "cents": pa.array(cents)})
+        return t.filter(pc.is_valid(t.column("k_bucket")))
+
+    return grouped_aggregate(
+        ev.map_batches(extract, batch_format="pyarrow"), ["k_bucket"],
+        {"total_cents": ("cents", "sum")}, count_alias="n_events")
+
+
+def q_unigram_lm_docs(sf_dir: str):
+    """Unigram language-model scoring (the CCNet-style perplexity
+    proxy used to quality-rank web text): pass 1 builds the corpus
+    term-frequency model (per-batch Counter combiner + grouped sum);
+    the per-term log-probs are fixed-point MICRO-NATS (floor(ln(p)*1e6)
+    — floor, not round: ln outputs are negative and the half-rule
+    differs between numpy and SQL) computed once driver-side over the
+    vocab and broadcast as packed sorted hashes + int64 contributions;
+    pass 2 scores every doc with one searchsorted lookup per distinct
+    term.  Integer sums keep the oracle hash exact."""
+    from collections import Counter
+
+    from dedup_restore_ray.functions.hashing import WordHasher
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tokenize(t))
+        if not c:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "ptf": pa.array([], pa.int64())})
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "ptf": pa.array(list(c.values()), pa.int64())})
+
+    tf_tab = grouped_aggregate(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["term"], {"tf": ("ptf", "sum")}).to_pandas()
+    total = float(tf_tab["tf"].sum())
+    contrib = np.floor(np.log(
+        tf_tab["tf"].to_numpy(np.float64) / total) * 1e6).astype(np.int64)
+    wh = WordHasher()
+    th = wh.hash_words(tf_tab["term"].tolist())
+    order = np.argsort(th)
+    pack = ray.put((th[order], contrib[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys, cs = ray.get(pack)
+        hasher = WordHasher()
+        ids, ns, sums = [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            tf = Counter(tokenize(t))
+            if not tf:
+                continue
+            terms = list(tf)
+            pos = np.searchsorted(keys, hasher.hash_words(terms))
+            cnt = np.array([tf[w] for w in terms], dtype=np.int64)
+            ids.append(did)
+            ns.append(int(cnt.sum()))
+            sums.append(int((cs[pos] * cnt).sum()))
+        n_arr = np.array(ns, dtype=np.int64)
+        s_arr = np.array(sums, dtype=np.int64)
+        avg = np.floor(s_arr.astype(np.float64)
+                       / n_arr.astype(np.float64)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n_arr),
+                         "sum_logprob_micro": pa.array(s_arr),
+                         "avg_logprob_micro": pa.array(avg)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_nchars_histogram(sf_dir: str, nbuckets: int = 20):
+    """Equi-width histogram over a numeric column with a data-derived
+    range: pass 1 reduces each block to (min, max) partials (two ints
+    reach the driver); pass 2 buckets every row with integer
+    arithmetic and counts via the grouped-sum kernel.  All-integer, so
+    the oracle hash is exact."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    ds = _docs(sf_dir, ["n_chars"])
+
+    def mm(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("n_chars"), dtype=np.int64)
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(v.min())]),
+                         "hi": pa.array([int(v.max())])})
+
+    parts = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    lo, hi = int(parts["lo"].min()), int(parts["hi"].max())
+    width = max((hi - lo) // nbuckets + 1, 1)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("n_chars"), dtype=np.int64)
+        return pa.table({"bucket": pa.array((v - lo) // width),
+                         "n_chars": b.column("n_chars")})
+
+    agg = grouped_aggregate(
+        ds.map_batches(bucketize, batch_format="pyarrow"), ["bucket"],
+        {"sum_chars": ("n_chars", "sum")},
+        count_alias="n_docs").to_pandas()
+    agg["bucket_lo"] = lo + agg["bucket"].to_numpy(np.int64) * width
+    agg["bucket_hi"] = agg["bucket_lo"] + width - 1
+    return agg[["bucket", "bucket_lo", "bucket_hi", "n_docs",
+                "sum_chars"]]
+
+
+def q_zscore_events(sf_dir: str):
+    """Group-wise z-score normalization (the per-feature standardize
+    step of any ML data prep): one grouped pass collects exact integer
+    (sum, sum-of-squares, count) per event_type, the tiny moment table
+    broadcasts back, and a second pass standardizes every row.  Mean
+    and variance are derived from int64 sums with a fixed float
+    formula, so engine and oracle round identical doubles."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("value"), dtype=np.float64) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "cents": pa.array(cents),
+                         "cents2": pa.array(cents * cents)})
+
+    cents_ds = ev.map_batches(to_cents, batch_format="pyarrow")
+    mom = grouped_aggregate(
+        cents_ds.select_columns(["event_type", "cents", "cents2"]),
+        ["event_type"],
+        {"sc": ("cents", "sum"), "sq": ("cents2", "sum")},
+        count_alias="n").to_pandas()
+    types = mom["event_type"].to_numpy()
+    tsort = np.argsort(types)
+    pack = ray.put((types[tsort],
+                    mom["sc"].to_numpy(np.int64)[tsort],
+                    mom["sq"].to_numpy(np.int64)[tsort],
+                    mom["n"].to_numpy(np.int64)[tsort]))
+
+    def zscore(b: pa.Table) -> pa.Table:
+        tys, sc, sq, n = ray.get(pack)
+        idx = np.searchsorted(
+            tys, np.asarray(b.column("event_type"), dtype=object))
+        scd = sc[idx].astype(np.float64)
+        nd = n[idx].astype(np.float64)
+        mean = scd / nd
+        var = (sq[idx].astype(np.float64) - scd * scd / nd) / nd
+        cents = np.asarray(b.column("cents"), dtype=np.float64)
+        z = round_half_up((cents - mean) / np.sqrt(var), 4)
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "z": pa.array(z)})
+
+    return cents_ds.map_batches(zscore, batch_format="pyarrow")
+
+
+def q_events_cube(sf_dir: str):
+    """CUBE over (event_type, day): like the ROLLUP cascade the finest
+    level is computed ONCE from the stream, and all three coarser
+    grouping sets — (type), (day), () — are derived from that small
+    aggregated result.  Sentinels '(all)' / -1 stand in for the cubed
+    NULLs; integer cents keep every subtotal exact."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["day_epoch"] = (b["ts"].dt.floor("D")
+                          .astype("datetime64[s]").astype("int64"))
+        b["cents"] = round_half_up(
+            b["value"].to_numpy(dtype=np.float64) * 100.0,
+            0).astype(np.int64)
+        return (b.groupby(["event_type", "day_epoch"], as_index=False)
+                .agg(pn=("cents", "size"), pv=("cents", "sum")))
+
+    finest = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "day_epoch"],
+        {"n_events": ("pn", "sum"), "total_cents": ("pv", "sum")})
+    lvl0 = finest.to_pandas()          # small: |types| x |days| rows
+    by_type = (lvl0.groupby("event_type", as_index=False)
+               [["n_events", "total_cents"]].sum())
+    by_type["day_epoch"] = np.int64(-1)
+    by_day = (lvl0.groupby("day_epoch", as_index=False)
+              [["n_events", "total_cents"]].sum())
+    by_day["event_type"] = "(all)"
+    grand = pd.DataFrame({"event_type": ["(all)"],
+                          "day_epoch": [np.int64(-1)],
+                          "n_events": [lvl0["n_events"].sum()],
+                          "total_cents": [lvl0["total_cents"].sum()]})
+    out = pd.concat([lvl0, by_type, by_day, grand], ignore_index=True)
+    for c in ("n_events", "total_cents", "day_epoch"):
+        out[c] = out[c].astype("int64")
+    return out[["event_type", "day_epoch", "n_events", "total_cents"]]
+
+
+def q_bloom_semi_join_lineitems(sf_dir: str):
+    """Urgent-order lineitems via the bloom-prefiltered semi join
+    (stages/joins.bloom_semi_join): the ~20%-selective keys side
+    becomes a 2 MiB broadcast bitmap that drops definitely-miss
+    lineitems BEFORE the sort shuffle; the exact semi join runs on the
+    survivors, so results are identical to the plain semi join (and to
+    the SQL oracle)."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.joins import bloom_semi_join
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderpriority"])
+    keys = orders.map_batches(
+        lambda b: pa.table({"l_orderkey": b.filter(
+            pc.equal(b.column("o_orderpriority"), "1-URGENT"))
+            .column("o_orderkey")}),
+        batch_format="pyarrow")
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_returnflag",
+                                     "l_quantity"])
+
+    def qint(b: pa.Table) -> pa.Table:
+        q = round_half_up(np.asarray(b.column("l_quantity"),
+                                     dtype=np.float64), 0).astype(np.int64)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_returnflag": b.column("l_returnflag"),
+                         "q": pa.array(q)})
+
+    hit = bloom_semi_join(li.map_batches(qint, batch_format="pyarrow"),
+                          keys, "l_orderkey")
+    return grouped_aggregate(
+        hit.select_columns(["l_returnflag", "q"]), ["l_returnflag"],
+        {"total_qty": ("q", "sum")}, count_alias="n_lines")
+
+
+def q_snapshot_diff_docs(sf_dir: str):
+    """Change-data-capture between two corpus snapshots
+    (stages/joins.snapshot_diff): the old snapshot drops every 7th
+    doc, the new one edits every 5th — deterministic derivations of
+    the same table, so the oracle reproduces them in SQL.  Emits
+    (doc_id, change) for added / removed / changed keys only."""
+    from dedup_restore_ray.stages.joins import snapshot_diff
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def mk(b: pa.Table, which: str) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        texts = b.column("text").to_pylist()
+        if which == "old":
+            keep = ids % 7 != 0
+            ids, texts = ids[keep], [t for t, k in zip(texts, keep) if k]
+        else:
+            texts = [t + " v2" if i % 5 == 0 else t
+                     for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": pa.array(ids),
+                         "content_hash": pa.array(
+                             content_hashes(texts), pa.binary())})
+
+    old = ds.map_batches(lambda b: mk(b, "old"), batch_format="pyarrow")
+    new = ds.map_batches(lambda b: mk(b, "new"), batch_format="pyarrow")
+    out = snapshot_diff(old, new, "doc_id", "content_hash").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def inverted_index_for(sf_dir: str):
     """Build (or reuse — meta manifest) the persisted hash-partitioned
     inverted index for an sf_dir's documents (stages/invindex.py)."""
@@ -2319,6 +2601,13 @@ QUERIES = {
     "returned_top_customers": q_returned_top_customers,
     "promo_revenue_monthly": q_promo_revenue_monthly,
     "large_volume_orders": q_large_volume_orders,
+    "json_props_rollup": q_json_props_rollup,
+    "unigram_lm_docs": q_unigram_lm_docs,
+    "nchars_histogram": q_nchars_histogram,
+    "zscore_events": q_zscore_events,
+    "events_cube": q_events_cube,
+    "bloom_semi_join_lineitems": q_bloom_semi_join_lineitems,
+    "snapshot_diff_docs": q_snapshot_diff_docs,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -3195,6 +3484,100 @@ ORACLE_SQL = {
                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
                total_qty
         FROM q JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "json_props_rollup": """
+        WITH x AS (
+          SELECT json_extract_string(props, '$.k')::BIGINT // 10
+                   AS k_bucket,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events)
+        SELECT k_bucket, sum(cents)::BIGINT AS total_cents,
+               count(*)::BIGINT AS n_events
+        FROM x WHERE k_bucket IS NOT NULL GROUP BY 1
+    """,
+    "unigram_lm_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        tf AS (SELECT term, count(*)::BIGINT AS tf FROM terms
+               GROUP BY 1),
+        tot AS (SELECT sum(tf)::DOUBLE AS total FROM tf),
+        contrib AS (
+          SELECT term,
+                 CAST(floor(ln(tf / total) * 1e6) AS BIGINT) AS c
+          FROM tf, tot)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(c)::BIGINT AS sum_logprob_micro,
+               CAST(floor(sum(c)::DOUBLE / count(*)) AS BIGINT)
+                 AS avg_logprob_micro
+        FROM terms JOIN contrib USING (term)
+        GROUP BY doc_id
+    """,
+    "nchars_histogram": """
+        WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
+                    FROM documents),
+        w AS (SELECT lo, greatest((hi - lo) // 20 + 1, 1) AS width
+              FROM mm)
+        SELECT (n_chars - lo) // width AS bucket,
+               (lo + ((n_chars - lo) // width) * width)::BIGINT
+                 AS bucket_lo,
+               (lo + ((n_chars - lo) // width) * width
+                + width - 1)::BIGINT AS bucket_hi,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM documents, w GROUP BY 1, 2, 3
+    """,
+    "zscore_events": """
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events),
+        s AS (SELECT event_type, sum(cents)::BIGINT AS sc,
+                     sum(cents * cents)::BIGINT AS sq,
+                     count(*)::BIGINT AS n
+              FROM c GROUP BY 1)
+        SELECT event_id, c.event_type,
+               round((cents - sc::DOUBLE / n)
+                     / sqrt((sq::DOUBLE - (sc::DOUBLE * sc::DOUBLE) / n)
+                            / n), 4) AS z
+        FROM c JOIN s USING (event_type)
+    """,
+    "bloom_semi_join_lineitems": """
+        SELECT l_returnflag,
+               sum(CAST(round(l_quantity, 0) AS BIGINT))::BIGINT
+                 AS total_qty,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1
+    """,
+    "snapshot_diff_docs": """
+        WITH old AS (
+          SELECT doc_id, md5(text) AS h FROM documents
+          WHERE doc_id % 7 <> 0),
+        new AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                          ELSE text END) AS h
+          FROM documents)
+        SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+               CASE WHEN old.h IS NULL THEN 'added'
+                    WHEN new.h IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        WHERE old.h IS NULL OR new.h IS NULL OR old.h <> new.h
+    """,
+    "events_cube": """
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(epoch(date_trunc('day', ts))::BIGINT, -1)
+                 AS day_epoch,
+               count(*)::BIGINT AS n_events,
+               sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT
+                 AS total_cents
+        FROM events
+        GROUP BY CUBE (event_type, date_trunc('day', ts))
     """,
     "phrase_search_docs": r"""
         WITH toks AS (

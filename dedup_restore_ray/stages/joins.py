@@ -336,3 +336,93 @@ def full_outer_lookup(left: "ray.data.Dataset", right: "ray.data.Dataset",
             .union(miss.map_batches(fill_right, batch_format="pyarrow"))
             .union(right_only.map_batches(fill_left,
                                           batch_format="pyarrow")))
+
+
+def bloom_semi_join(refs: "ray.data.Dataset", keys: "ray.data.Dataset",
+                    key_col: str, num_bits: int = 1 << 24
+                    ) -> "ray.data.Dataset":
+    """Bloom-prefiltered semi join — the broadcast-bloom-join trick
+    that makes selective semi joins cheap at shuffle scale: the keys
+    side reduces to per-block bloom bitmaps, the driver ORs them
+    STREAMING (it holds exactly one m/8-byte bitmap at a time — never
+    a key set), the merged bitmap broadcasts once via ``ray.put``, and
+    a vectorized membership check drops definitely-miss refs BEFORE
+    the semi join's sort shuffle.  False positives only cost shuffle
+    volume (the exact semi join still runs on the survivors); false
+    negatives cannot occur — the result is exactly
+    ``semi_join(refs, keys, key_col)``.
+
+    Reference analogue: ``bloom_check`` gating the exact index lookup
+    (src/bloomfilter.c:96-191, src/dedup.c:120-134) — here gating a
+    shuffle instead of a disk probe.
+
+    num_bits: bitmap size, power of 2.  The default 2 MiB bitmap keeps
+    ~1.7M keys under ~1% FP with the 2-hash scheme; size it to the
+    KEYS side, not the refs side."""
+    import ray
+
+    from dedup_restore_ray.functions.bloom import BloomFilter
+    from dedup_restore_ray.stages.verify import _id_hashes
+
+    def block_bloom(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(num_bits=num_bits)
+        if b.num_rows:
+            bf.add(_id_hashes(b.column(key_col)))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()],
+                                          pa.binary())})
+
+    merged = np.zeros(num_bits // 8, dtype=np.uint8)
+    for blk in (keys.select_columns([key_col])
+                .map_batches(block_bloom, batch_format="pyarrow")
+                .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for buf in blk.column("bits").to_pylist():
+            merged |= np.frombuffer(buf, dtype=np.uint8)
+    bits_ref = ray.put(merged)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(num_bits=num_bits)
+        bf.bits = ray.get(bits_ref)    # zero-copy shared-memory view
+        keep = bf.check(_id_hashes(b.column(key_col)))
+        return b.filter(pa.array(keep))
+
+    survivors = refs.map_batches(prefilter, batch_format="pyarrow")
+    return semi_join(survivors, keys, key_col)
+
+
+def snapshot_diff(old: "ray.data.Dataset", new: "ray.data.Dataset",
+                  key_col: str, hash_col: str) -> "ray.data.Dataset":
+    """Change-data-capture between two snapshots of a keyed table:
+    emits (key, change) with change in {'added', 'removed',
+    'changed'}; unchanged keys are dropped.  Each side projects to
+    (key, content-hash) rows, one full_outer_lookup rendezvous (two
+    sort passes over the 2-column projections — the payload columns
+    never shuffle), and a vectorized classifier.  The hash column is
+    the engine's own content hash — only EQUALITY is compared, so any
+    collision-resistant digest gives parity with a SQL md5 oracle."""
+
+    def side(ds: "ray.data.Dataset", out: str) -> "ray.data.Dataset":
+        return ds.map_batches(
+            lambda b: pa.table({key_col: b.column(key_col),
+                                out: b.column(hash_col)}),
+            batch_format="pyarrow")
+
+    j = full_outer_lookup(side(old, "old_h"), side(new, "new_h"),
+                          key_col, left_payload="old_h",
+                          right_payload="new_h", shared_cols=[key_col],
+                          left_default=None, right_default=None)
+
+    def classify(b: pa.Table) -> pa.Table:
+        oh, nh = b.column("old_h"), b.column("new_h")
+        o_null = np.asarray(pc.is_null(oh))
+        n_null = np.asarray(pc.is_null(nh))
+        eq = np.asarray(pc.equal(oh, nh).combine_chunks()
+                        .fill_null(False))
+        change = np.select([n_null, o_null, ~eq],
+                           ["removed", "added", "changed"],
+                           default="")
+        keep = change != ""
+        return pa.table({key_col: b.column(key_col).filter(pa.array(keep)),
+                         "change": pa.array(change[keep].tolist(),
+                                            pa.string())})
+
+    return j.map_batches(classify, batch_format="pyarrow")

@@ -937,3 +937,84 @@ class TestSimhashPairs:
         for a, b in brute:
             assert uf.find(a) == uf.find(b), (a, b)
         assert got_pairs, "no simhash pairs found at sf0.001"
+
+
+# ----------------------------------------------------------------------
+# Bloom-prefiltered semi join + snapshot diff (stages/joins.py)
+# ----------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomSemiJoin:
+    def test_equals_exact_semi_join(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.joins import bloom_semi_join, semi_join
+        rng = np.random.default_rng(11)
+        refs = pa.table({
+            "k": pa.array(rng.integers(0, 10_000, 5_000), pa.int64()),
+            "payload": pa.array(np.arange(5_000, dtype=np.int64))})
+        keys = pa.table({
+            "k": pa.array(rng.integers(0, 500, 400), pa.int64())})
+        got = bloom_semi_join(rd.from_arrow(refs).repartition(4),
+                              rd.from_arrow(keys).repartition(3),
+                              "k").to_pandas()
+        want = semi_join(rd.from_arrow(refs).repartition(4),
+                         rd.from_arrow(keys).repartition(3),
+                         "k").to_pandas()
+        assert sorted(got.payload) == sorted(want.payload)
+
+    def test_prefilter_prunes_before_shuffle(self):
+        """The broadcast bitmap must drop (nearly all) non-member refs
+        before the sort — that's the point of the operator."""
+        import ray
+        import ray.data as rd
+        from dedup_restore_ray.functions.bloom import BloomFilter
+        from dedup_restore_ray.stages.verify import _id_hashes
+        rng = np.random.default_rng(12)
+        member = np.arange(100, dtype=np.int64)
+        non_member = rng.integers(1_000_000, 9_000_000, 10_000)
+        bf = BloomFilter(num_bits=1 << 20)
+        bf.add(_id_hashes(member))
+        keep = bf.check(_id_hashes(non_member.astype(np.int64)))
+        assert keep.mean() < 0.01          # <1% false positives survive
+        assert bf.check(_id_hashes(member)).all()   # no false negatives
+
+    def test_string_keys(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.joins import bloom_semi_join
+        refs = pa.table({"k": pa.array([f"u{i}" for i in range(200)]),
+                         "v": pa.array(np.arange(200, dtype=np.int64))})
+        keys = pa.table({"k": pa.array([f"u{i}" for i in range(0, 200, 4)])})
+        got = bloom_semi_join(rd.from_arrow(refs).repartition(3),
+                              rd.from_arrow(keys), "k").to_pandas()
+        assert sorted(got.v) == list(range(0, 200, 4))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSnapshotDiff:
+    def _mk(self, rows):
+        import hashlib
+        ids = [r[0] for r in rows]
+        hs = [hashlib.sha1(r[1].encode()).digest() for r in rows]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "content_hash": pa.array(hs, pa.binary())})
+
+    def test_classification(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.joins import snapshot_diff
+        old = self._mk([(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+        new = self._mk([(2, "b"), (3, "C!"), (4, "d"), (5, "e")])
+        got = (snapshot_diff(rd.from_arrow(old).repartition(2),
+                             rd.from_arrow(new).repartition(3),
+                             "doc_id", "content_hash")
+               .to_pandas().sort_values("doc_id"))
+        assert dict(zip(got.doc_id, got.change)) == {
+            1: "removed", 3: "changed", 5: "added"}
+
+    def test_identical_snapshots_empty(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.joins import snapshot_diff
+        t = self._mk([(i, f"t{i}") for i in range(50)])
+        got = snapshot_diff(rd.from_arrow(t).repartition(4),
+                            rd.from_arrow(t).repartition(2),
+                            "doc_id", "content_hash").to_pandas()
+        assert len(got) == 0
