@@ -2275,6 +2275,41 @@ def q_snapshot_diff_docs(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_heavy_hitter_tokens(sf_dir: str, m: int = 400):
+    """Tokens occurring more than N/m times in the corpus, via the
+    two-pass bounded-state heavy-hitters plan (stages/heavy.py):
+    pigeonhole candidates per block, packed-hash broadcast, exact
+    confirm — never a full vocabulary shuffle.  Counts are exact, so
+    the oracle is a plain HAVING with integer threshold arithmetic."""
+    from dedup_restore_ray.stages.heavy import heavy_hitters
+    ds = _docs(sf_dir, ["text"])
+    return heavy_hitters(ds, m=m).to_pandas().sort_values(
+        "value").reset_index(drop=True)
+
+
+def q_quantile_filter_docs(sf_dir: str, q: float = 0.9):
+    """Data-dependent-threshold filter (the percentile quality gate of
+    a training-data pipeline): the corpus p90 of n_chars is computed
+    exactly by the sort-kernel quantile (one constant group), then one
+    pruned pass keeps the docs above it.  The interpolated quantile is
+    bit-exact vs DuckDB quantile_cont, so the integer comparison
+    cannot straddle."""
+    from dedup_restore_ray.stages.groups import grouped_quantile
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    one = ds.map_batches(
+        lambda b: pa.table({"g": pa.array(np.zeros(b.num_rows, np.int64)),
+                            "n_chars": b.column("n_chars")}),
+        batch_format="pyarrow")
+    qt = grouped_quantile(one, ["g"], "n_chars", [q],
+                          out_cols=["qv"]).to_pandas()
+    thresh = float(qt["qv"].iloc[0])
+    out = ds.map_batches(
+        lambda b: b.filter(pc.greater(pc.cast(b.column("n_chars"),
+                                              pa.float64()), thresh)),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def inverted_index_for(sf_dir: str):
     """Build (or reuse — meta manifest) the persisted hash-partitioned
     inverted index for an sf_dir's documents (stages/invindex.py)."""
@@ -2608,6 +2643,8 @@ QUERIES = {
     "events_cube": q_events_cube,
     "bloom_semi_join_lineitems": q_bloom_semi_join_lineitems,
     "snapshot_diff_docs": q_snapshot_diff_docs,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "quantile_filter_docs": q_quantile_filter_docs,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -3568,6 +3605,22 @@ ORACLE_SQL = {
                     ELSE 'changed' END AS change
         FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
         WHERE old.h IS NULL OR new.h IS NULL OR old.h <> new.h
+    """,
+    "heavy_hitter_tokens": r"""
+        WITH toks AS (
+          SELECT regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        terms AS (SELECT unnest(t) AS value FROM toks),
+        tot AS (SELECT count(*)::BIGINT AS n FROM terms)
+        SELECT value, count(*)::BIGINT AS n_occurrences
+        FROM terms, tot
+        GROUP BY value, tot.n
+        HAVING count(*) * 400 > tot.n
+    """,
+    "quantile_filter_docs": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars::DOUBLE > (SELECT quantile_cont(n_chars, 0.9)
+                                 FROM documents)
     """,
     "events_cube": """
         SELECT coalesce(event_type, '(all)') AS event_type,

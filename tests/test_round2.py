@@ -1018,3 +1018,53 @@ class TestSnapshotDiff:
                             rd.from_arrow(t).repartition(2),
                             "doc_id", "content_hash").to_pandas()
         assert len(got) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHitters:
+    def _run(self, texts, m, n_blocks=6):
+        import ray.data as rd
+        from dedup_restore_ray.stages.heavy import heavy_hitters
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)})
+                           ).repartition(n_blocks)
+        return heavy_hitters(ds, m=m).to_pandas()
+
+    def _brute(self, texts, m):
+        from collections import Counter
+
+        from dedup_restore_ray.functions.shingle import tokenize
+        c = Counter()
+        for t in texts:
+            c.update(tokenize(t))
+        n = sum(c.values())
+        return {v: k for v, k in c.items() if k * m > n}
+
+    def test_matches_brute_force(self):
+        rng = np.random.default_rng(3)
+        vocab = [f"w{i}" for i in range(200)]
+        texts = [" ".join(rng.choice(vocab, 40)) + " hot hot"
+                 for _ in range(50)]
+        got = self._run(texts, m=50)
+        want = self._brute(texts, m=50)
+        assert dict(zip(got.value, got.n_occurrences)) == want
+
+    def test_spread_hitter_found(self):
+        """A value just over N/m globally but spread evenly across
+        blocks must still surface (the pigeonhole superset at work) —
+        and locally-loud-but-globally-light values must NOT."""
+        # 60 docs in 6 blocks; 'ubiq' once per doc; 'loud' 30x in one doc
+        texts = ["ubiq " + " ".join(f"u{i}_{j}" for j in range(20))
+                 for i in range(60)]
+        texts[0] += " loud" * 30
+        m = 25                      # N ~= 60*21+30 => N/m ~= 52
+        got = self._run(texts, m=m)
+        want = self._brute(texts, m=m)
+        assert dict(zip(got.value, got.n_occurrences)) == want
+        assert "ubiq" in set(got.value)
+        assert "loud" not in set(got.value)
+
+    def test_no_hitters(self):
+        texts = [" ".join(f"a{i}_{j}" for j in range(30))
+                 for i in range(20)]
+        got = self._run(texts, m=10)
+        assert len(got) == 0
