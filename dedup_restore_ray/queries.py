@@ -2310,6 +2310,45 @@ def q_quantile_filter_docs(sf_dir: str, q: float = 0.9):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_zonemap_range_events(sf_dir: str):
+    """Time-range scan through the zone-mapped event store
+    (state/zonemap.py): events cluster into 16 range partitions on
+    epoch seconds at build time; a 3-day window read opens ONLY the
+    overlapping partitions (metadata decision — the pruned zones'
+    files are never touched), applies the exact residual filter, and
+    rolls up per event type.  TestZoneMap asserts zones_read <
+    zones_total on this store."""
+    import os
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.state.zonemap import ZoneMapStore
+    tag = os.path.basename(os.path.normpath(sf_dir))
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(b.column("ts"), pa.int64()))
+        ep = pa.array(us // 1_000_000, pa.int64())
+        cents = round_half_up(
+            np.asarray(b.column("value"), dtype=np.float64) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"ts_epoch": ep,
+                         "event_type": b.column("event_type"),
+                         "cents": pa.array(cents)})
+
+    store = ZoneMapStore.build(ev.map_batches(prep, batch_format="pyarrow"),
+                               f"/tmp/zonemap_events_{tag}_v1",
+                               "ts_epoch", num_zones=16)
+    zmin = min(z["zmin"] for z in store.zones)
+    lo = zmin + 86400 * 3
+    hi = lo + 86400 * 3 - 1
+    ds, _stats = store.read_range(lo, hi)
+    return grouped_aggregate(
+        ds.select_columns(["event_type", "cents"]), ["event_type"],
+        {"total_cents": ("cents", "sum")},
+        count_alias="n_events").to_pandas()
+
+
 def inverted_index_for(sf_dir: str):
     """Build (or reuse — meta manifest) the persisted hash-partitioned
     inverted index for an sf_dir's documents (stages/invindex.py)."""
@@ -2645,6 +2684,7 @@ QUERIES = {
     "snapshot_diff_docs": q_snapshot_diff_docs,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "quantile_filter_docs": q_quantile_filter_docs,
+    "zonemap_range_events": q_zonemap_range_events,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -3621,6 +3661,19 @@ ORACLE_SQL = {
         SELECT doc_id, n_chars FROM documents
         WHERE n_chars::DOUBLE > (SELECT quantile_cont(n_chars, 0.9)
                                  FROM documents)
+    """,
+    "zonemap_range_events": """
+        WITH e AS (
+          SELECT epoch(date_trunc('second', ts))::BIGINT AS ep,
+                 event_type,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events),
+        b AS (SELECT min(ep) + 259200 AS lo FROM e)
+        SELECT event_type, sum(cents)::BIGINT AS total_cents,
+               count(*)::BIGINT AS n_events
+        FROM e, b
+        WHERE ep >= lo AND ep <= lo + 259199
+        GROUP BY 1
     """,
     "events_cube": """
         SELECT coalesce(event_type, '(all)') AS event_type,

@@ -1068,3 +1068,44 @@ class TestHeavyHitters:
                  for i in range(20)]
         got = self._run(texts, m=10)
         assert len(got) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZoneMap:
+    @pytest.fixture(scope="class")
+    def store(self, tmp_path_factory):
+        import ray.data as rd
+        from dedup_restore_ray.state.zonemap import ZoneMapStore
+        rng = np.random.default_rng(5)
+        n = 20_000
+        t = pa.table({
+            "ts_epoch": pa.array(rng.integers(0, 1_000_000, n),
+                                 pa.int64()),
+            "k": pa.array(np.arange(n, dtype=np.int64))})
+        root = str(tmp_path_factory.mktemp("zm") / "store")
+        s = ZoneMapStore.build(rd.from_arrow(t).repartition(8), root,
+                               "ts_epoch", num_zones=16)
+        return s, t
+
+    def test_prunes_and_matches_brute_force(self, store):
+        s, t = store
+        lo, hi = 100_000, 199_999       # ~10% of the range
+        ds, stats = s.read_range(lo, hi)
+        assert stats["zones_read"] < stats["zones_total"]
+        got = sorted(ds.to_pandas().k)
+        ep = t["ts_epoch"].to_numpy()
+        want = sorted(t["k"].to_numpy()[(ep >= lo) & (ep <= hi)])
+        assert got == want
+
+    def test_empty_range_reads_nothing(self, store):
+        s, _ = store
+        ds, stats = s.read_range(2_000_000, 3_000_000)
+        assert stats["zones_read"] == 0
+
+    def test_meta_reuse(self, store):
+        import ray.data as rd
+        from dedup_restore_ray.state.zonemap import ZoneMapStore
+        s, t = store
+        again = ZoneMapStore.build(rd.from_arrow(t), s.root,
+                                   "ts_epoch", num_zones=16)
+        assert again.meta == s.meta
