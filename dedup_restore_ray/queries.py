@@ -2349,6 +2349,123 @@ def q_zonemap_range_events(sf_dir: str):
         count_alias="n_events").to_pandas()
 
 
+def q_moving_sum_events(sf_dir: str, k: int = 3):
+    """Per-user moving sum over the LAST 3 ROWS of the event stream
+    (stages/windows.rows_frame_sum — the ROWS frame; the RANGE-frame
+    cousin is q_sliding_window_events).  Integer cents keep the
+    windowed sums bit-exact vs the SQL oracle."""
+    from dedup_restore_ray.stages.windows import rows_frame_sum
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("value"), dtype=np.float64) * 100.0, 0)
+        return pa.table({"event_id": b.column("event_id"),
+                         "ts": b.column("ts"),
+                         "user_id": b.column("user_id"),
+                         "cents": pa.array(cents.astype(np.int64))})
+
+    out = rows_frame_sum(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id", ["ts", "event_id"], "cents", k,
+        out_col="rows_sum3", carry_cols=["event_id", "user_id"]
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_event_paths(sf_dir: str):
+    """Path mining: frequency of every consecutive event-type trigram
+    along each user's time-ordered stream (stages/windows.path_ngrams
+    + grouped count).  Only the gram strings leave the sort stage; the
+    path vocabulary is |event_types|^3, so the counting shuffle is
+    tiny regardless of corpus size."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.windows import path_ngrams
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    grams = path_ngrams(ev, "user_id", ["ts", "event_id"],
+                        "event_type", n=3)
+    out = grouped_aggregate(grams, ["path"], {},
+                            count_alias="n_paths").to_pandas()
+    return out.sort_values("path").reset_index(drop=True)
+
+
+def q_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape — distribution of customers by order count,
+    INCLUDING zero-order customers (the aggregate-of-aggregate with
+    left-join zero preservation).  Per-customer counts shuffle as
+    16 B/row; the zero bucket is total customers (metadata count)
+    minus customers seen in orders — no customer/order join at all."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"])
+    per_cust = grouped_aggregate(orders, ["o_custkey"], {},
+                                 count_alias="n_orders")
+    hist = grouped_aggregate(per_cust.select_columns(["n_orders"]),
+                             ["n_orders"], {},
+                             count_alias="n_customers").to_pandas()
+    n_total = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"]).count()
+    zeros = int(n_total) - int(hist["n_customers"].sum())
+    if zeros > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"n_orders": [0],
+                                 "n_customers": [zeros]})],
+            ignore_index=True)
+    hist["n_orders"] = hist["n_orders"].astype("int64")
+    hist["n_customers"] = hist["n_customers"].astype("int64")
+    return hist.sort_values("n_orders").reset_index(drop=True)
+
+
+def q_small_qty_revenue(sf_dir: str, brand: str = "Brand#4"):
+    """TPC-H Q17 shape — revenue from lineitems whose quantity is
+    below 20% of their part's average, for one brand.  The correlated
+    subquery (row vs its own group's avg) is ONE partition_totals sort
+    (stages/windows.py); the threshold compares in exact integers
+    (qty*5*cnt < sum_qty  <=>  qty < 0.2*avg) so no float-division
+    boundary can flip a row vs the oracle.  Brand parts arrive via the
+    distributed semi join (no driver key set)."""
+    from dedup_restore_ray.stages.joins import semi_join
+    from dedup_restore_ray.stages.windows import partition_totals
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_quantity",
+                                     "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("l_extendedprice"),
+                       dtype=np.float64) * 100.0, 0)
+        return pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "qty": pc.cast(pc.round(b.column("l_quantity")), pa.int64()),
+            "cents": pa.array(cents.astype(np.int64))})
+
+    brand_parts = (read_parquet_clean(f"{sf_dir}/part.parquet",
+                                      columns=["p_partkey", "p_brand"])
+                   .filter(expr=f"p_brand == '{brand}'")
+                   .map_batches(lambda b: pa.table(
+                       {"l_partkey": b.column("p_partkey")}),
+                       batch_format="pyarrow"))
+    rows = semi_join(li.map_batches(prep, batch_format="pyarrow"),
+                     brand_parts, "l_partkey")
+    tot = partition_totals(rows, ["l_partkey"], "qty",
+                           sum_col="sum_qty", count_col="cnt")
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = np.asarray(b.column("qty"), dtype=np.int64)
+        keep = (qty * 5 * np.asarray(b.column("cnt"), dtype=np.int64)
+                < np.asarray(b.column("sum_qty"), dtype=np.int64))
+        cents = np.asarray(b.column("cents"), dtype=np.int64)
+        return pa.table({"c": pa.array([int(cents[keep].sum())]),
+                         "n": pa.array([int(keep.sum())])})
+
+    parts = tot.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"total_cents": [int(parts["c"].sum())],
+                         "n_rows": [int(parts["n"].sum())]})
+
+
 def inverted_index_for(sf_dir: str):
     """Build (or reuse — meta manifest) the persisted hash-partitioned
     inverted index for an sf_dir's documents (stages/invindex.py)."""
@@ -2685,6 +2802,10 @@ QUERIES = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "quantile_filter_docs": q_quantile_filter_docs,
     "zonemap_range_events": q_zonemap_range_events,
+    "moving_sum_events": q_moving_sum_events,
+    "event_paths": q_event_paths,
+    "order_count_distribution": q_order_count_distribution,
+    "small_qty_revenue": q_small_qty_revenue,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -3661,6 +3782,54 @@ ORACLE_SQL = {
         SELECT doc_id, n_chars FROM documents
         WHERE n_chars::DOUBLE > (SELECT quantile_cont(n_chars, 0.9)
                                  FROM documents)
+    """,
+    "moving_sum_events": """
+        SELECT event_id, user_id,
+               (sum(cents) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN 2 PRECEDING
+                                 AND CURRENT ROW))::BIGINT AS rows_sum3
+        FROM (SELECT event_id, ts, user_id,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events)
+    """,
+    "event_paths": """
+        WITH w AS (
+          SELECT event_type AS a,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS b,
+                 lead(event_type, 2) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS c
+          FROM events)
+        SELECT a || '>' || b || '>' || c AS path,
+               count(*)::BIGINT AS n_paths
+        FROM w WHERE b IS NOT NULL AND c IS NOT NULL
+        GROUP BY 1
+    """,
+    "order_count_distribution": """
+        SELECT n_orders, count(*)::BIGINT AS n_customers
+        FROM (SELECT c.c_custkey,
+                     count(o.o_orderkey)::BIGINT AS n_orders
+              FROM customer c
+              LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY 1)
+        GROUP BY 1
+    """,
+    "small_qty_revenue": """
+        WITH li AS (
+          SELECT l_partkey,
+                 CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#4'),
+        ag AS (SELECT l_partkey, sum(qty) AS sum_qty,
+                      count(*) AS cnt
+               FROM li GROUP BY 1)
+        SELECT coalesce(sum(li.cents), 0)::BIGINT AS total_cents,
+               count(*)::BIGINT AS n_rows
+        FROM li JOIN ag USING (l_partkey)
+        WHERE li.qty * 5 * ag.cnt < ag.sum_qty
     """,
     "zonemap_range_events": """
         WITH e AS (

@@ -181,6 +181,135 @@ def sliding_window_sum(ds: "ray.data.Dataset", key_col: str,
                 batch_format="pyarrow")))
 
 
+def rows_frame_sum(ds: "ray.data.Dataset", key_col: str,
+                   order_cols: list[str], value_col: str, k: int,
+                   out_col: str = "rows_sum",
+                   carry_cols: list[str] | None = None
+                   ) -> "ray.data.Dataset":
+    """Per-key moving SUM over the last ``k`` rows (``sum(v) OVER
+    (PARTITION BY key ORDER BY ... ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW)``) — the row-count frame, distinct from the
+    time-interval RANGE frame of ``sliding_window_sum``.  One sort on
+    (key, order_cols...) + a per-block kernel: block-wide int64 prefix
+    sum, each row's frame start is ``max(group_start, i - k + 1)`` (two
+    vectorized ops).  ``order_cols`` must end in a unique tiebreak
+    (ROWS frames are order-sensitive); ``value_col`` must be
+    integer-typed for bit-exact SQL parity."""
+    carry = carry_cols or [key_col, *order_cols]
+    sort_keys = [key_col, *order_cols]
+
+    def kernel(b: pa.Table) -> pa.Table:
+        fields = [(c, b.schema.field(c).type) for c in carry]
+        out_schema = pa.schema(fields + [(out_col, pa.int64())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, [key_col])
+        sizes = ends - starts
+        vals = np.asarray(b.column(value_col), dtype=np.int64)
+        cs = np.zeros(n + 1, np.int64)
+        np.cumsum(vals, out=cs[1:])
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(np.repeat(starts, sizes), idx - (k - 1))
+        cols = {c: b.column(c) for c in carry}
+        cols[out_col] = pa.array(cs[idx + 1] - cs[lo], pa.int64())
+        return pa.table(cols)
+
+    interior, edge = sorted_split(ds, sort_keys, [key_col])
+    return (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                lambda g: kernel(g.sort_by(
+                    [(c, "ascending") for c in sort_keys])),
+                batch_format="pyarrow")))
+
+
+def path_ngrams(ds: "ray.data.Dataset", key_col: str,
+                order_cols: list[str], value_col: str, n: int = 3,
+                out_col: str = "path", sep: str = ">",
+                carry_key: bool = False) -> "ray.data.Dataset":
+    """Consecutive n-grams of ``value_col`` along each key's ordered
+    stream (path/funnel mining: 'view>click>purchase').  One sort on
+    (key, order_cols...); inside a block every position whose n-gram
+    stays within its own group emits one joined string
+    (``pc.binary_join_element_wise`` over n shifted takes — no per-row
+    Python).  Block-split keys take the residual pass.  Downstream a
+    ``grouped_aggregate`` count gives path frequencies; only the gram
+    strings (and optionally the key) shuffle out of this stage."""
+    sort_keys = [key_col, *order_cols]
+
+    def kernel(b: pa.Table) -> pa.Table:
+        fields = ([(key_col, b.schema.field(key_col).type)]
+                  if carry_key else [])
+        out_schema = pa.schema(fields + [(out_col, pa.string())])
+        nrows = b.num_rows
+        if nrows == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, [key_col])
+        sizes = ends - starts
+        vals = b.column(value_col).combine_chunks()
+        idx = np.arange(nrows, dtype=np.int64)
+        sel = idx[idx + n <= np.repeat(ends, sizes)]
+        if len(sel) == 0:
+            return out_schema.empty_table()
+        parts = [vals.take(pa.array(sel + j)) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, sep)
+        cols = {}
+        if carry_key:
+            cols[key_col] = b.column(key_col).take(pa.array(sel))
+        cols[out_col] = grams
+        return pa.table(cols)
+
+    interior, edge = sorted_split(ds, sort_keys, [key_col])
+    return (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                lambda g: kernel(g.sort_by(
+                    [(c, "ascending") for c in sort_keys])),
+                batch_format="pyarrow")))
+
+
+def partition_totals(ds: "ray.data.Dataset", keys: list[str],
+                     value_col: str, sum_col: str = "part_sum",
+                     count_col: str = "part_n",
+                     carry_cols: list[str] | None = None
+                     ) -> "ray.data.Dataset":
+    """Attach each row's whole-partition SUM + COUNT (``sum(v) OVER
+    (PARTITION BY keys)`` — the unbounded partition frame).  The
+    correlated-subquery shape (compare a row against its own group's
+    aggregate, TPC-H Q17) collapses into ONE sort + a reduceat kernel
+    + np.repeat back onto the rows — no separate aggregate + scatter
+    round trip.  ``value_col`` must be integer-typed for bit-exact SQL
+    parity."""
+    carry = carry_cols or list(ds.schema().names)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        fields = [(c, b.schema.field(c).type) for c in carry]
+        out_schema = pa.schema(fields + [(sum_col, pa.int64()),
+                                         (count_col, pa.int64())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, keys)
+        sizes = ends - starts
+        vals = np.asarray(b.column(value_col), dtype=np.int64)
+        cs = np.zeros(n + 1, np.int64)
+        np.cumsum(vals, out=cs[1:])
+        cols = {c: b.column(c) for c in carry}
+        cols[sum_col] = pa.array(np.repeat(cs[ends] - cs[starts], sizes))
+        cols[count_col] = pa.array(np.repeat(sizes.astype(np.int64),
+                                             sizes))
+        return pa.table(cols)
+
+    interior, edge = sorted_split(ds, keys)
+    return (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(keys).map_groups(
+                lambda g: kernel(g.sort_by(
+                    [(c, "ascending") for c in keys])),
+                batch_format="pyarrow")))
+
+
 def rank_windows(ds: "ray.data.Dataset", key_col: str,
                  value_col: str, tiebreak_col: str, n_tiles: int = 4,
                  rank_col: str = "rnk", dense_col: str = "drnk",

@@ -270,3 +270,101 @@ class TestFullOuterLookup:
                .to_pandas())
         assert got["u"].tolist() == [50]
         assert got["a"].tolist() == [0]
+
+
+class TestRowsFrameSum:
+    @pytest.mark.parametrize("num_blocks", [1, 7])
+    def test_parity_vs_pandas_rolling(self, ray_session, num_blocks):
+        from dedup_restore_ray.stages.windows import rows_frame_sum
+        df = _events_frame(n=500)
+        df["cents"] = np.round(df["value"] * 100).astype(np.int64)
+        got = (rows_frame_sum(
+                   rd.from_pandas(df).repartition(num_blocks),
+                   "user_id", ["ts", "event_id"], "cents", 3,
+                   carry_cols=["event_id"])
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        sdf = df.sort_values(["user_id", "ts", "event_id"])
+        sdf["rows_sum"] = (sdf.groupby("user_id")["cents"]
+                           .rolling(3, min_periods=1).sum()
+                           .reset_index(level=0, drop=True)
+                           .astype(np.int64))
+        exp = (sdf[["event_id", "rows_sum"]]
+               .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_frame_shorter_than_k(self, ray_session):
+        from dedup_restore_ray.stages.windows import rows_frame_sum
+        df = pd.DataFrame({"event_id": [1, 2], "user_id": [5, 5],
+                           "ts": [1, 2], "cents": [10, 20]})
+        got = (rows_frame_sum(rd.from_pandas(df), "user_id",
+                              ["ts", "event_id"], "cents", 10,
+                              carry_cols=["event_id"])
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        assert got["rows_sum"].tolist() == [10, 30]
+
+
+class TestPathNgrams:
+    @pytest.mark.parametrize("num_blocks", [1, 7])
+    def test_parity_vs_pandas_shift(self, ray_session, num_blocks):
+        from dedup_restore_ray.stages.windows import path_ngrams
+        rng = np.random.default_rng(11)
+        df = _events_frame(n=400)
+        df["event_type"] = rng.choice(list("abcd"), len(df))
+        got = sorted(path_ngrams(
+            rd.from_pandas(df).repartition(num_blocks),
+            "user_id", ["ts", "event_id"], "event_type", n=3)
+            .to_pandas()["path"])
+        sdf = df.sort_values(["user_id", "ts", "event_id"])
+        g = sdf.groupby("user_id")["event_type"]
+        exp = (sdf["event_type"] + ">" + g.shift(-1) + ">" + g.shift(-2))
+        exp = sorted(exp.dropna())
+        assert got == exp
+
+    def test_groups_shorter_than_n(self, ray_session):
+        from dedup_restore_ray.stages.windows import path_ngrams
+        df = pd.DataFrame({"user_id": [1, 1, 2], "ts": [1, 2, 1],
+                           "event_id": [1, 2, 3],
+                           "event_type": ["a", "b", "c"]})
+        got = path_ngrams(rd.from_pandas(df), "user_id",
+                          ["ts", "event_id"], "event_type",
+                          n=3).to_pandas()
+        assert len(got) == 0
+        got2 = sorted(path_ngrams(rd.from_pandas(df), "user_id",
+                                  ["ts", "event_id"], "event_type",
+                                  n=2).to_pandas()["path"])
+        assert got2 == ["a>b"]
+
+
+class TestPartitionTotals:
+    @pytest.mark.parametrize("num_blocks", [1, 7])
+    def test_parity_vs_groupby_transform(self, ray_session, num_blocks):
+        from dedup_restore_ray.stages.windows import partition_totals
+        df = _events_frame(n=500)
+        df["cents"] = np.round(df["value"] * 100).astype(np.int64)
+        got = (partition_totals(
+                   rd.from_pandas(df[["event_id", "user_id", "cents"]])
+                   .repartition(num_blocks),
+                   ["user_id"], "cents",
+                   carry_cols=["event_id", "user_id"])
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        exp = df[["event_id", "user_id", "cents"]].copy()
+        exp["part_sum"] = (exp.groupby("user_id")["cents"]
+                           .transform("sum").astype(np.int64))
+        exp["part_n"] = (exp.groupby("user_id")["cents"]
+                         .transform("size").astype(np.int64))
+        exp = (exp[["event_id", "user_id", "part_sum", "part_n"]]
+               .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_multi_key(self, ray_session):
+        from dedup_restore_ray.stages.windows import partition_totals
+        df = pd.DataFrame({"a": [1, 1, 2, 2], "b": [1, 1, 1, 2],
+                           "v": [10, 20, 30, 40]})
+        got = (partition_totals(rd.from_pandas(df).repartition(2),
+                                ["a", "b"], "v")
+               .to_pandas().sort_values(["a", "b", "v"])
+               .reset_index(drop=True))
+        assert got["part_sum"].tolist() == [30, 30, 30, 40]
+        assert got["part_n"].tolist() == [2, 2, 1, 1]
