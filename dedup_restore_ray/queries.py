@@ -2466,6 +2466,55 @@ def q_small_qty_revenue(sf_dir: str, brand: str = "Brand#4"):
                          "n_rows": [int(parts["n"].sum())]})
 
 
+def q_activity_streaks(sf_dir: str):
+    """Gaps-and-islands over user activity days: for each user, the
+    number of maximal consecutive-day runs and the longest streak
+    (stages/windows.gaps_islands — the SQL seq-minus-row_number
+    classic as one sort + block kernel).  Only distinct (user, day)
+    pairs (16 B/row) reach the island sort."""
+    from dedup_restore_ray.stages.groups import distinct_rows
+    from dedup_restore_ray.stages.windows import gaps_islands
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(b.column("ts"), pa.int64()))
+        return pa.table({"user_id": b.column("user_id"),
+                         "day": pa.array(us // 86_400_000_000,
+                                         pa.int64())})
+
+    days = distinct_rows(ev.map_batches(prep, batch_format="pyarrow"),
+                         ["user_id", "day"])
+    out = gaps_islands(days, "user_id", "day",
+                       islands_col="n_islands",
+                       longest_col="longest_run").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_user_event_matrix(sf_dir: str):
+    """Long->wide pivot (crosstab): per-user count of each event type
+    as its own column.  The pivot happens batch-locally (one crosstab
+    per batch against the FIXED event vocabulary), then a standard
+    grouped sum over the already-wide rows — the shuffle carries one
+    row per (batch, user), never the raw event stream."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    etypes = ["click", "error", "purchase", "signup", "view"]
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def combiner(b: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(b["user_id"], b["event_type"])
+        ct = ct.reindex(columns=etypes, fill_value=0)
+        ct.columns = [f"n_{t}" for t in etypes]
+        return ct.astype("int64").reset_index()
+
+    agg = grouped_aggregate(
+        ev.map_batches(combiner, batch_format="pandas"), ["user_id"],
+        {f"n_{t}": (f"n_{t}", "sum") for t in etypes})
+    out = agg.to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def inverted_index_for(sf_dir: str):
     """Build (or reuse — meta manifest) the persisted hash-partitioned
     inverted index for an sf_dir's documents (stages/invindex.py)."""
@@ -2806,6 +2855,8 @@ QUERIES = {
     "event_paths": q_event_paths,
     "order_count_distribution": q_order_count_distribution,
     "small_qty_revenue": q_small_qty_revenue,
+    "activity_streaks": q_activity_streaks,
+    "user_event_matrix": q_user_event_matrix,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -3830,6 +3881,35 @@ ORACLE_SQL = {
                count(*)::BIGINT AS n_rows
         FROM li JOIN ag USING (l_partkey)
         WHERE li.qty * 5 * ag.cnt < ag.sum_qty
+    """,
+    "activity_streaks": """
+        WITH d AS (SELECT DISTINCT user_id,
+                          epoch(date_trunc('day', ts))::BIGINT // 86400
+                              AS day
+                   FROM events),
+        i AS (SELECT user_id, day,
+                     day - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS grp
+              FROM d),
+        r AS (SELECT user_id, grp, count(*) AS len
+              FROM i GROUP BY 1, 2)
+        SELECT user_id, count(*)::BIGINT AS n_islands,
+               max(len)::BIGINT AS longest_run
+        FROM r GROUP BY 1
+    """,
+    "user_event_matrix": """
+        SELECT user_id,
+               (count(*) FILTER (event_type = 'click'))::BIGINT
+                   AS n_click,
+               (count(*) FILTER (event_type = 'error'))::BIGINT
+                   AS n_error,
+               (count(*) FILTER (event_type = 'purchase'))::BIGINT
+                   AS n_purchase,
+               (count(*) FILTER (event_type = 'signup'))::BIGINT
+                   AS n_signup,
+               (count(*) FILTER (event_type = 'view'))::BIGINT
+                   AS n_view
+        FROM events GROUP BY 1
     """,
     "zonemap_range_events": """
         WITH e AS (

@@ -310,6 +310,52 @@ def partition_totals(ds: "ray.data.Dataset", keys: list[str],
                 batch_format="pyarrow")))
 
 
+def gaps_islands(ds: "ray.data.Dataset", key_col: str, seq_col: str,
+                 islands_col: str = "n_islands",
+                 longest_col: str = "longest_run"
+                 ) -> "ray.data.Dataset":
+    """Per-key gaps-and-islands: count maximal runs of CONSECUTIVE
+    ``seq_col`` values (int64, assumed distinct per key — pre-distinct
+    the input) and the longest run's length.  The SQL classic
+    (``seq - row_number()`` island ids + two aggregates) collapses to
+    one sort + a per-block kernel: island starts are group starts or
+    rows where ``seq != prev_seq + 1``; run lengths come from one diff
+    over start indices; per-group counts/maxima via reduceat (runs
+    can't span groups, so block-local reduction is exact).  Block-split
+    keys take the residual pass."""
+
+    def kernel(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            (key_col, b.schema.field(key_col).type),
+            (islands_col, pa.int64()), (longest_col, pa.int64())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, [key_col])
+        seq = np.asarray(b.column(seq_col), dtype=np.int64)
+        new_isl = np.ones(n, dtype=bool)
+        new_isl[1:] = seq[1:] != seq[:-1] + 1
+        new_isl[starts] = True
+        s_idx = np.flatnonzero(new_isl)
+        run_len = np.diff(np.append(s_idx, n))
+        # first run of each group: runs are ordered by group
+        first_run = np.searchsorted(s_idx, starts, side="left")
+        n_isl = np.add.reduceat(new_isl.astype(np.int64), starts)
+        longest = np.maximum.reduceat(run_len, first_run)
+        return pa.table({
+            key_col: b.column(key_col).take(pa.array(starts)),
+            islands_col: pa.array(n_isl, pa.int64()),
+            longest_col: pa.array(longest, pa.int64())})
+
+    interior, edge = sorted_split(ds, [key_col, seq_col], [key_col])
+    return (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                lambda g: kernel(g.sort_by(
+                    [(key_col, "ascending"), (seq_col, "ascending")])),
+                batch_format="pyarrow")))
+
+
 def rank_windows(ds: "ray.data.Dataset", key_col: str,
                  value_col: str, tiebreak_col: str, n_tiles: int = 4,
                  rank_col: str = "rnk", dense_col: str = "drnk",

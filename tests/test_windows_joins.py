@@ -368,3 +368,46 @@ class TestPartitionTotals:
                .reset_index(drop=True))
         assert got["part_sum"].tolist() == [30, 30, 30, 40]
         assert got["part_n"].tolist() == [2, 2, 1, 1]
+
+
+class TestGapsIslands:
+    @staticmethod
+    def _brute(df):
+        rows = []
+        for u, g in df.groupby("user_id"):
+            seq = sorted(set(g["day"]))
+            runs, cur = [], 1
+            for a, b in zip(seq, seq[1:]):
+                if b == a + 1:
+                    cur += 1
+                else:
+                    runs.append(cur)
+                    cur = 1
+            runs.append(cur)
+            rows.append({"user_id": u, "n_islands": len(runs),
+                         "longest_run": max(runs)})
+        return (pd.DataFrame(rows).astype("int64")
+                .sort_values("user_id").reset_index(drop=True))
+
+    @pytest.mark.parametrize("num_blocks", [1, 7])
+    def test_parity_vs_brute_force(self, ray_session, num_blocks):
+        from dedup_restore_ray.stages.windows import gaps_islands
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 25, 800).astype(np.int64),
+            "day": rng.integers(0, 40, 800).astype(np.int64),
+        }).drop_duplicates()
+        got = (gaps_islands(rd.from_pandas(df).repartition(num_blocks),
+                            "user_id", "day")
+               .to_pandas().astype("int64")
+               .sort_values("user_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, self._brute(df))
+
+    def test_single_runs_and_singletons(self, ray_session):
+        from dedup_restore_ray.stages.windows import gaps_islands
+        df = pd.DataFrame({"user_id": [1, 1, 1, 2, 3, 3],
+                           "day": [5, 6, 7, 9, 1, 3]})
+        got = (gaps_islands(rd.from_pandas(df), "user_id", "day")
+               .to_pandas().sort_values("user_id").reset_index(drop=True))
+        assert got["n_islands"].tolist() == [1, 1, 2]
+        assert got["longest_run"].tolist() == [3, 1, 1]
