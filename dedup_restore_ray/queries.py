@@ -2515,6 +2515,33 @@ def q_user_event_matrix(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_clicks_before_error(sf_dir: str, window_seconds: int = 300):
+    """Stream-stream interval join: for every 'error' event, how many
+    'click' events the same user produced in the trailing 5 minutes
+    (stages/windows.interval_count_join — both streams co-locate in
+    ONE sort; no self-join shuffle)."""
+    from dedup_restore_ray.stages.windows import interval_count_join
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def mark(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "ts": b.column("ts"),
+            "user_id": b.column("user_id"),
+            "is_probe": pc.equal(et, "error"),
+            "is_build": pc.equal(et, "click")})
+
+    out = interval_count_join(
+        ev.map_batches(mark, batch_format="pyarrow"),
+        "user_id", "ts", "is_probe", "is_build", window_seconds,
+        out_col="n_click_5min",
+        carry_cols=["event_id", "user_id"]).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def inverted_index_for(sf_dir: str):
     """Build (or reuse — meta manifest) the persisted hash-partitioned
     inverted index for an sf_dir's documents (stages/invindex.py)."""
@@ -2856,6 +2883,7 @@ QUERIES = {
     "order_count_distribution": q_order_count_distribution,
     "small_qty_revenue": q_small_qty_revenue,
     "activity_streaks": q_activity_streaks,
+    "clicks_before_error": q_clicks_before_error,
     "user_event_matrix": q_user_event_matrix,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
@@ -3881,6 +3909,15 @@ ORACLE_SQL = {
                count(*)::BIGINT AS n_rows
         FROM li JOIN ag USING (l_partkey)
         WHERE li.qty * 5 * ag.cnt < ag.sum_qty
+    """,
+    "clicks_before_error": """
+        SELECT e.event_id, e.user_id,
+               (SELECT count(*) FROM events c
+                WHERE c.user_id = e.user_id
+                  AND c.event_type = 'click'
+                  AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE
+                      AND e.ts)::BIGINT AS n_click_5min
+        FROM events e WHERE e.event_type = 'error'
     """,
     "activity_streaks": """
         WITH d AS (SELECT DISTINCT user_id,

@@ -310,6 +310,62 @@ def partition_totals(ds: "ray.data.Dataset", keys: list[str],
                 batch_format="pyarrow")))
 
 
+def interval_count_join(ds: "ray.data.Dataset", key_col: str,
+                        ts_col: str, probe_col: str, build_col: str,
+                        window_seconds: int,
+                        out_col: str = "n_in_window",
+                        carry_cols: list[str] | None = None
+                        ) -> "ray.data.Dataset":
+    """Stream-stream interval join (count form): for every PROBE row,
+    the number of BUILD rows of the same key whose timestamp falls in
+    the inclusive trailing window ``[ts - window, ts]`` — the
+    stream-stream bounded join, distinct from asof (nearest single
+    row) and sliding_window_* (same-stream self-aggregate).
+
+    ``probe_col`` / ``build_col`` are precomputed int8/bool marker
+    columns (a row may be both, e.g. self-joins across event types).
+    Both streams co-locate through ONE (key, ts) sort; inside a block
+    the build side's timestamps (offset per group so windows never
+    cross keys — the sliding_window trick) answer every probe row with
+    two ``np.searchsorted`` calls.  Block-split keys take the residual
+    pass."""
+    carry = carry_cols or [key_col, ts_col]
+
+    def kernel(b: pa.Table) -> pa.Table:
+        fields = [(c, b.schema.field(c).type) for c in carry]
+        out_schema = pa.schema(fields + [(out_col, pa.int64())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, [key_col])
+        ts, w = _ts_int64(b.column(ts_col), window_seconds)
+        ts = ts - ts.min()
+        big = np.int64(ts.max() + w + 2)
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        adj = ts + seg * big
+        probe = np.asarray(b.column(probe_col)).astype(bool)
+        build = np.asarray(b.column(build_col)).astype(bool)
+        if not probe.any():
+            return out_schema.empty_table()
+        b_adj = adj[build]
+        p_adj = adj[probe]
+        cnt = (np.searchsorted(b_adj, p_adj, side="right")
+               - np.searchsorted(b_adj, p_adj - w, side="left"))
+        sel = pa.array(np.flatnonzero(probe))
+        cols = {c: b.column(c).take(sel) for c in carry}
+        cols[out_col] = pa.array(cnt.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    interior, edge = sorted_split(ds, [key_col, ts_col], [key_col])
+    return (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                lambda g: kernel(g.sort_by(
+                    [(key_col, "ascending"), (ts_col, "ascending")])),
+                batch_format="pyarrow")))
+
+
 def gaps_islands(ds: "ray.data.Dataset", key_col: str, seq_col: str,
                  islands_col: str = "n_islands",
                  longest_col: str = "longest_run"

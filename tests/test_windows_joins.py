@@ -411,3 +411,53 @@ class TestGapsIslands:
                .to_pandas().sort_values("user_id").reset_index(drop=True))
         assert got["n_islands"].tolist() == [1, 1, 2]
         assert got["longest_run"].tolist() == [3, 1, 1]
+
+
+class TestIntervalCountJoin:
+    @pytest.mark.parametrize("num_blocks", [1, 7])
+    def test_parity_vs_brute_force(self, ray_session, num_blocks):
+        from dedup_restore_ray.stages.windows import interval_count_join
+        rng = np.random.default_rng(9)
+        n = 600
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            "ts": rng.integers(0, 5_000, n).astype(np.int64),
+        })
+        df["is_probe"] = rng.random(n) < 0.3
+        df["is_build"] = rng.random(n) < 0.5
+        W = 100
+        got = (interval_count_join(
+                   rd.from_pandas(df).repartition(num_blocks),
+                   "user_id", "ts", "is_probe", "is_build", W,
+                   carry_cols=["event_id"])
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        exp_rows = []
+        for r in df[df["is_probe"]].itertuples():
+            m = df[(df["user_id"] == r.user_id) & df["is_build"]
+                   & (df["ts"] >= r.ts - W) & (df["ts"] <= r.ts)]
+            exp_rows.append({"event_id": r.event_id,
+                             "n_in_window": len(m)})
+        exp = (pd.DataFrame(exp_rows).astype("int64")
+               .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_row_both_probe_and_build_counts_itself(self, ray_session):
+        from dedup_restore_ray.stages.windows import interval_count_join
+        df = pd.DataFrame({"event_id": [1], "user_id": [5], "ts": [10],
+                           "is_probe": [True], "is_build": [True]})
+        got = interval_count_join(rd.from_pandas(df), "user_id", "ts",
+                                  "is_probe", "is_build", 60,
+                                  carry_cols=["event_id"]).to_pandas()
+        assert got["n_in_window"].tolist() == [1]
+
+    def test_no_probe_rows(self, ray_session):
+        from dedup_restore_ray.stages.windows import interval_count_join
+        df = pd.DataFrame({"event_id": [1, 2], "user_id": [5, 5],
+                           "ts": [10, 20],
+                           "is_probe": [False, False],
+                           "is_build": [True, True]})
+        got = interval_count_join(rd.from_pandas(df), "user_id", "ts",
+                                  "is_probe", "is_build", 60).to_pandas()
+        assert len(got) == 0
