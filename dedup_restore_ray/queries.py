@@ -817,6 +817,43 @@ def q_ann_ivf_exact(sf_dir: str, n_queries: int = 5, k: int = 10):
     return out.sort_values(["qid", "vec_id"]).reset_index(drop=True)
 
 
+def q_ann_ivf_append(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Incremental IVF maintenance (stages/ann.IVFIndex.append): the
+    index is built over the EVEN vec_ids only, the odd half is
+    appended against the frozen centroids (new Parquet files in the
+    hit lists' directories — resident partitions untouched), and an
+    all-lists probe over the appended index must reproduce the exact
+    brute-force top-k over the FULL corpus — the same hash-checked
+    oracle as ann_ivf_exact, so a lost or double-appended row fails
+    loudly."""
+    import os
+    import shutil
+    from dedup_restore_ray.stages.ann import IVFIndex
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/ivf_append_{tag}_{CFG.config_hash()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+    def parity(b: pa.Table, keep_even: bool) -> pa.Table:
+        even = np.asarray(b.column("vec_id")) % 2 == 0
+        return b.filter(pa.array(even if keep_even else ~even))
+
+    base = emb.map_batches(lambda b: parity(b, True),
+                           batch_format="pyarrow")
+    extra = emb.map_batches(lambda b: parity(b, False),
+                            batch_format="pyarrow")
+    idx = IVFIndex.build(base, index_dir, CFG)
+    n_base = idx.num_rows
+    idx.append(extra)
+    assert idx.num_rows > n_base
+    qids, qn = _load_queries(sf_dir, n_queries)
+    out, _metrics = idx.search(qn, k=k, num_probe=idx.num_lists,
+                               query_ids=qids)
+    out["score"] = round_half_up(out["score"])
+    return out.sort_values(["qid", "vec_id"]).reset_index(drop=True)
+
+
 def q_ann_ivfpq(sf_dir: str, n_queries: int = 5, k: int = 10,
                 num_probe: int | None = None):
     """IVF-PQ: probe-pruned partitions scanned through the 8-byte PQ
@@ -2804,6 +2841,7 @@ QUERIES = {
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_exact": q_ann_ivf_exact,
+    "ann_ivf_append": q_ann_ivf_append,
     "minhash_signatures_docs": q_minhash_signatures_docs,
     "near_dup_pairs_docs": q_near_dup_pairs_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
@@ -3058,6 +3096,16 @@ ORACLE_SQL = {
                                    ORDER BY score DESC, vec_id) <= 10
     """,
     "ann_ivf_exact": """
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (SELECT qid, vec_id,
+                          list_cosine_similarity(qe, embedding::DOUBLE[]) AS score
+                   FROM q, embeddings)
+        SELECT qid, vec_id, round(score, 4) AS score FROM scored
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, vec_id) <= 10
+    """,
+    "ann_ivf_append": """
         WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                    FROM embeddings WHERE vec_id < 5),
         scored AS (SELECT qid, vec_id,

@@ -117,6 +117,56 @@ class IVFIndex:
         return cls(index_dir, cent, n, books)
 
     # ----------------------------------------------------------------
+    def append(self, emb: "rd.Dataset", id_col: str = "vec_id",
+               vec_col: str = "embedding") -> int:
+        """Incremental index maintenance: assign NEW vectors to the
+        EXISTING centroids (and PQ books) and add their rows as new
+        Parquet files inside the hit lists' directories — no rebuild,
+        resident partitions untouched (Parquet files are immutable, so
+        append = new files; the same discipline as the incremental
+        dedup hash store, pipelines/append.py).  meta.json's row count
+        is bumped so a later ``build()`` reuse sees the appended index
+        as current.  Returns the number of appended rows.
+
+        Centroids are FROZEN — recall degrades only if the new
+        vectors' distribution drifts far from the build sample, the
+        standard IVF-append contract (rebuild on major drift)."""
+        meta_path = os.path.join(self.index_dir, "meta.json")
+        meta = json.load(open(meta_path))
+        cent_ref = ray.put((self.centroids, self.pq_books))
+
+        def assign(batch: pa.Table) -> pa.Table:
+            c, bks = ray.get(cent_ref)
+            vecs = np.stack(batch.column(vec_col).to_pylist()
+                            ).astype(np.float64)
+            lists = ivf_assign(vecs, c)
+            cols = {id_col: batch.column(id_col),
+                    vec_col: batch.column(vec_col),
+                    "list_id": pa.array(lists, pa.int64())}
+            if bks is not None:
+                from dedup_restore_ray.functions.pq import pq_encode
+                m = bks.shape[0]
+                codes = pq_encode(
+                    l2_normalize(vecs).astype(np.float32), bks)
+                raw = codes.tobytes()
+                cols["code"] = pa.array(
+                    [raw[i * m:(i + 1) * m] for i in range(len(codes))],
+                    pa.binary(m))
+                cols["lid"] = pa.array(lists, pa.int64())
+            return pa.table(cols)
+
+        n_new = emb.count()
+        if n_new == 0:
+            return 0
+        (emb.map_batches(assign, batch_format="pyarrow")
+            .sort("list_id")
+            .write_parquet(self.index_dir, partition_cols=["list_id"]))
+        meta["num_rows"] = int(meta["num_rows"]) + int(n_new)
+        json.dump(meta, open(meta_path, "w"))
+        self.num_rows = meta["num_rows"]
+        return int(n_new)
+
+    # ----------------------------------------------------------------
     def _list_dir(self, list_id: int) -> str:
         return os.path.join(self.index_dir, f"list_id={list_id}")
 
