@@ -2821,6 +2821,36 @@ def q_stratified_sample_docs(sf_dir: str, per_source: int = 3):
     return top.select_columns(["source", "doc_id"])
 
 
+def q_weighted_sample_docs(sf_dir: str, k: int = 25):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis priority sampling): each doc's priority is
+    ln(u)/w with u a DuckDB-reproducible md5 uniform and w = n_chars+1
+    — longer docs proportionally likelier, yet the SAMPLE ITSELF is
+    oracle-checkable because both sides evaluate the same fixed float
+    formula over the same integers.  Per-block top-k partials bound
+    what reaches the driver (k rows per block, never the corpus)."""
+    from dedup_restore_ray.functions.sketch import kmv_hash
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"))
+        w = np.asarray(b.column("n_chars"), dtype=np.float64) + 1.0
+        u = (kmv_hash(ids.tolist()).astype(np.float64) + 0.5) / 2.0**64
+        pri = np.log(u) / w
+        order = np.lexsort((ids, -pri))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "n_chars": b.column("n_chars").take(
+                             pa.array(order)),
+                         "pri": pa.array(pri[order], pa.float64())})
+
+    parts = (ds.map_batches(block_topk, batch_format="pyarrow")
+             .to_pandas())
+    parts = (parts.sort_values(["pri", "doc_id"],
+                               ascending=[False, True])
+             .head(k).drop(columns=["pri"]))
+    return parts.reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_stats_docs": q_dedup_stats_docs,
@@ -2923,6 +2953,7 @@ QUERIES = {
     "activity_streaks": q_activity_streaks,
     "clicks_before_error": q_clicks_before_error,
     "user_event_matrix": q_user_event_matrix,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -3981,6 +4012,14 @@ ORACLE_SQL = {
         SELECT user_id, count(*)::BIGINT AS n_islands,
                max(len)::BIGINT AS longest_run
         FROM r GROUP BY 1
+    """,
+    "weighted_sample_docs": """
+        SELECT doc_id, n_chars FROM documents
+        QUALIFY row_number() OVER (
+            ORDER BY ln((md5_number_lower(CAST(doc_id AS VARCHAR))::DOUBLE
+                         + 0.5) / 18446744073709551616.0)
+                     / (n_chars + 1) DESC,
+                     doc_id) <= 25
     """,
     "user_event_matrix": """
         SELECT user_id,

@@ -1109,3 +1109,33 @@ class TestZoneMap:
         again = ZoneMapStore.build(rd.from_arrow(t), s.root,
                                    "ts_epoch", num_zones=16)
         assert again.meta == s.meta
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeightedSample:
+    def test_matches_brute_force_and_layout_independent(self, sf_dir):
+        from dedup_restore_ray.functions.sketch import kmv_hash
+        from dedup_restore_ray.queries import q_weighted_sample_docs
+        got = q_weighted_sample_docs(sf_dir, k=25)
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+        u = ((kmv_hash(docs["doc_id"].tolist()).astype(np.float64)
+              + 0.5) / 2.0**64)
+        docs["pri"] = np.log(u) / (docs["n_chars"] + 1.0)
+        exp = (docs.sort_values(["pri", "doc_id"],
+                                ascending=[False, True])
+               .head(25)[["doc_id", "n_chars"]].reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_weight_bias(self):
+        """A doc with overwhelming weight must be sampled; tiny-weight
+        docs must not crowd it out (Efraimidis-Spirakis property)."""
+        import ray.data as rd
+        from dedup_restore_ray.functions.sketch import kmv_hash
+        ids = np.arange(200, dtype=np.int64)
+        w = np.ones(200, dtype=np.int64)
+        w[7] = 10_000_000
+        u = (kmv_hash(ids.tolist()).astype(np.float64) + 0.5) / 2.0**64
+        pri = np.log(u) / (w + 1.0)
+        top = np.argsort(-pri)[:10]
+        assert 7 in top
