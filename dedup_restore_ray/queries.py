@@ -2821,6 +2821,126 @@ def q_stratified_sample_docs(sf_dir: str, per_source: int = 3):
     return top.select_columns(["source", "doc_id"])
 
 
+def q_waiting_orders_suppliers(sf_dir: str, late_days: int = 60):
+    """TPC-H Q21 shape — suppliers who were the ONLY late shipper in a
+    multi-supplier order (late = shipped > 60 days after the order
+    date).  The double EXISTS / NOT-EXISTS collapses into: one
+    order-date scatter onto lineitem, one grouped max-late per
+    (order, supplier), then partition_totals over the order gives each
+    row its order's supplier count and late count — the whole
+    correlated cascade is two sorts."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.joins import left_lookup
+    from dedup_restore_ray.stages.windows import partition_totals
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_shipdate"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(b.column("l_shipdate"), pa.int64()))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "ship_day": pa.array(us // 86_400_000_000,
+                                              pa.int64())})
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(b.column("o_orderdate"), pa.int64()))
+        return pa.table({"l_orderkey": b.column("o_orderkey"),
+                         "order_day": pa.array(us // 86_400_000_000,
+                                               pa.int64())})
+
+    rows = left_lookup(li.map_batches(li_prep, batch_format="pyarrow"),
+                       orders.map_batches(o_prep,
+                                          batch_format="pyarrow"),
+                       "l_orderkey", "order_day", default=-10**9)
+
+    def late_flag(b: pa.Table) -> pa.Table:
+        late = (np.asarray(b.column("ship_day"), dtype=np.int64)
+                > np.asarray(b.column("order_day"), dtype=np.int64)
+                + late_days)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "late": pa.array(late.astype(np.int64))})
+
+    per_os = grouped_aggregate(
+        rows.map_batches(late_flag, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"], {"late": ("late", "max")})
+    tot = partition_totals(per_os, ["l_orderkey"], "late",
+                           sum_col="n_late", count_col="n_supp")
+
+    def qualify(b: pa.Table) -> pa.Table:
+        keep = ((np.asarray(b.column("late")) == 1)
+                & (np.asarray(b.column("n_late")) == 1)
+                & (np.asarray(b.column("n_supp")) >= 2))
+        return pa.table(
+            {"l_suppkey": b.column("l_suppkey").filter(pa.array(keep))})
+
+    agg = grouped_aggregate(
+        tot.map_batches(qualify, batch_format="pyarrow"),
+        ["l_suppkey"], {}, count_alias="n_waiting_orders").to_pandas()
+    return agg.sort_values("l_suppkey").reset_index(drop=True)
+
+
+def q_dormant_rich_customers(sf_dir: str,
+                             cutoff: str = "2000-01-01"):
+    """TPC-H Q22 shape — customers with an account balance above the
+    positive-balance average and NO orders since the cutoff (dormant
+    high-value accounts).  The scalar subquery threshold compares in
+    exact integers (cents * n > total_cents  <=>  cents > avg), the
+    NOT EXISTS is the distributed anti join against the
+    filtered-at-the-read recent orders; rolled up per nation."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.joins import anti_join
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey",
+                                       "c_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("c_acctbal"),
+                       dtype=np.float64) * 100.0, 0).astype(np.int64)
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "c_nationkey": pc.cast(
+                             b.column("c_nationkey"), pa.int64()),
+                         "cents": pa.array(cents)})
+
+    pos = cust.map_batches(prep, batch_format="pyarrow")
+
+    def moment(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("cents"), dtype=np.int64)
+        c = c[c > 0]
+        return pa.table({"s": pa.array([int(c.sum())]),
+                         "n": pa.array([len(c)])})
+
+    m = pos.map_batches(moment, batch_format="pyarrow").to_pandas()
+    s, n = int(m["s"].sum()), int(m["n"].sum())
+
+    cut = pd.Timestamp(cutoff)
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderdate"])
+
+    def recent(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b.column("o_orderdate"),
+                                pa.scalar(cut))
+        return pa.table(
+            {"c_custkey": b.column("o_custkey").filter(keep)})
+
+    dormant = anti_join(pos, orders.map_batches(
+        recent, batch_format="pyarrow"), "c_custkey")
+
+    def rich(b: pa.Table) -> pa.Table:
+        keep = np.asarray(b.column("cents"), dtype=np.int64) * n > s
+        return b.filter(pa.array(keep))
+
+    agg = grouped_aggregate(
+        dormant.map_batches(rich, batch_format="pyarrow"),
+        ["c_nationkey"], {"total_cents": ("cents", "sum")},
+        count_alias="n_customers").to_pandas()
+    return agg.sort_values("c_nationkey").reset_index(drop=True)
+
+
 def q_weighted_sample_docs(sf_dir: str, k: int = 25):
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis priority sampling): each doc's priority is
@@ -2954,6 +3074,8 @@ QUERIES = {
     "clicks_before_error": q_clicks_before_error,
     "user_event_matrix": q_user_event_matrix,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "waiting_orders_suppliers": q_waiting_orders_suppliers,
+    "dormant_rich_customers": q_dormant_rich_customers,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -4012,6 +4134,38 @@ ORACLE_SQL = {
         SELECT user_id, count(*)::BIGINT AS n_islands,
                max(len)::BIGINT AS longest_run
         FROM r GROUP BY 1
+    """,
+    "waiting_orders_suppliers": """
+        WITH l1 AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN l_shipdate > o_orderdate
+                          + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          GROUP BY 1, 2),
+        w AS (SELECT l_suppkey, late,
+                     sum(late) OVER (PARTITION BY l_orderkey) AS n_late,
+                     count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+              FROM l1)
+        SELECT l_suppkey, count(*)::BIGINT AS n_waiting_orders
+        FROM w WHERE late = 1 AND n_late = 1 AND n_supp >= 2
+        GROUP BY 1
+    """,
+    "dormant_rich_customers": """
+        WITH pos AS (
+          SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,
+                 CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+          FROM customer),
+        t AS (SELECT sum(cents) AS s, count(*) AS n
+              FROM pos WHERE cents > 0),
+        sel AS (SELECT p.c_nationkey, p.cents FROM pos p, t
+                WHERE p.cents * t.n > t.s
+                  AND NOT EXISTS (
+                      SELECT 1 FROM orders o
+                      WHERE o.o_custkey = p.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+        SELECT c_nationkey, sum(cents)::BIGINT AS total_cents,
+               count(*)::BIGINT AS n_customers
+        FROM sel GROUP BY 1
     """,
     "weighted_sample_docs": """
         SELECT doc_id, n_chars FROM documents
