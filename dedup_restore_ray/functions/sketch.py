@@ -48,3 +48,38 @@ def kmv_estimate(candidates: np.ndarray, k: int) -> float:
         return float(len(hv))
     kth = float(hv[k - 1])
     return (k - 1) / (kth / KMV_HASH_DENOM)
+
+
+def sample_quantile_candidates(ids, values, k: int):
+    """Per-block candidates for the bottom-k row-sample quantile
+    sketch: the k rows with the smallest (kmv_hash(id), id).  The
+    hash order defines a deterministic uniform row sample, so the
+    sketch is mergeable (bottom-k of a concat of bottom-ks == global
+    bottom-k) and DuckDB-reproducible (same md5 rank)."""
+    ids = np.asarray(ids)
+    hv = kmv_hash(ids.tolist())
+    order = np.lexsort((ids, hv))[:k]
+    return hv[order], ids[order], np.asarray(values)[order]
+
+
+def sample_quantile_estimate(hv, ids, values, k: int,
+                             qs) -> tuple[list[float], int]:
+    """Merge concatenated candidates into the global bottom-k sample
+    and return ``quantile_cont``-interpolated quantiles over it (the
+    same weighted form as stages/groups.grouped_quantile — bit-exact
+    vs DuckDB on the identical sample).  Rank error vs the exact
+    corpus quantile is O(1/sqrt(k)) whp — the 100-TB path: per-block
+    state is k rows, the driver merges k rows per block, no value
+    sort of the corpus."""
+    hv = np.asarray(hv, dtype=np.uint64)
+    ids = np.asarray(ids)
+    order = np.lexsort((ids, hv))[:k]
+    v = np.sort(np.asarray(values, dtype=np.float64)[order])
+    n = len(v)
+    out = []
+    for q in qs:
+        rn = (n - 1) * float(q)
+        frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+        out.append(float(v[frn]) if frn == crn
+                   else float(v[frn] * (crn - rn) + v[crn] * (rn - frn)))
+    return out, n

@@ -2941,6 +2941,38 @@ def q_dormant_rich_customers(sf_dir: str,
     return agg.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q_approx_quantile_nchars(sf_dir: str, k: int = 256,
+                             qs: tuple = (0.25, 0.5, 0.9)):
+    """Mergeable sampling-based quantile sketch
+    (functions/sketch.sample_quantile_*): per-block state is the k
+    rows with the smallest md5 rank, the driver merges k rows per
+    block, and the estimate is quantile_cont over the global bottom-k
+    sample — no corpus value sort (the 100-TB alternative to the exact
+    grouped_quantile).  The sketch is DETERMINISTIC, so the estimate
+    itself hash-checks: the oracle replays the same bottom-k sample in
+    SQL."""
+    from dedup_restore_ray.functions.sketch import (
+        sample_quantile_candidates, sample_quantile_estimate)
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def block_cands(b: pa.Table) -> pa.Table:
+        hv, ids, vals = sample_quantile_candidates(
+            np.asarray(b.column("doc_id")),
+            np.asarray(b.column("n_chars"), dtype=np.int64), k)
+        return pa.table({"hv": pa.array(hv, pa.uint64()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "val": pa.array(vals, pa.int64())})
+
+    cands = (ds.map_batches(block_cands, batch_format="pyarrow")
+             .to_pandas())
+    est, n = sample_quantile_estimate(cands["hv"].to_numpy(),
+                                      cands["doc_id"].to_numpy(),
+                                      cands["val"].to_numpy(), k, qs)
+    return pd.DataFrame({"q": list(qs),
+                         "approx_value": est,
+                         "n_sample": np.int64(n)})
+
+
 def q_weighted_sample_docs(sf_dir: str, k: int = 25):
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis priority sampling): each doc's priority is
@@ -3074,6 +3106,7 @@ QUERIES = {
     "clicks_before_error": q_clicks_before_error,
     "user_event_matrix": q_user_event_matrix,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "approx_quantile_nchars": q_approx_quantile_nchars,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
     "user_top_event_type": q_user_top_event_type,
@@ -4134,6 +4167,22 @@ ORACLE_SQL = {
         SELECT user_id, count(*)::BIGINT AS n_islands,
                max(len)::BIGINT AS longest_run
         FROM r GROUP BY 1
+    """,
+    "approx_quantile_nchars": """
+        WITH s AS (
+          SELECT n_chars FROM documents
+          QUALIFY row_number() OVER (
+              ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                       doc_id) <= 256)
+        SELECT 0.25::DOUBLE AS q,
+               quantile_cont(n_chars, 0.25) AS approx_value,
+               count(*)::BIGINT AS n_sample FROM s
+        UNION ALL
+        SELECT 0.5::DOUBLE, quantile_cont(n_chars, 0.5),
+               count(*)::BIGINT FROM s
+        UNION ALL
+        SELECT 0.9::DOUBLE, quantile_cont(n_chars, 0.9),
+               count(*)::BIGINT FROM s
     """,
     "waiting_orders_suppliers": """
         WITH l1 AS (

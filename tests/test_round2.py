@@ -1139,3 +1139,47 @@ class TestWeightedSample:
         pri = np.log(u) / (w + 1.0)
         top = np.argsort(-pri)[:10]
         assert 7 in top
+
+
+class TestSampleQuantileSketch:
+    def test_mergeability_and_error_bound(self):
+        """Bottom-k of concatenated block bottom-ks == global bottom-k
+        (mergeable by construction); rank error of the k=512 sketch vs
+        the exact quantile stays small on a skewed 20k corpus."""
+        from dedup_restore_ray.functions.sketch import (
+            sample_quantile_candidates, sample_quantile_estimate)
+        rng = np.random.default_rng(17)
+        n, k = 20_000, 512
+        ids = rng.permutation(n).astype(np.int64)
+        vals = np.round(rng.lognormal(5, 1.5, n)).astype(np.int64)
+
+        # split into 7 uneven blocks, collect per-block candidates
+        cuts = np.sort(rng.choice(np.arange(1, n), 6, replace=False))
+        parts = np.split(np.arange(n), cuts)
+        hvs, cids, cvals = [], [], []
+        for p in parts:
+            h, i, v = sample_quantile_candidates(ids[p], vals[p], k)
+            hvs.append(h); cids.append(i); cvals.append(v)
+        est, ns = sample_quantile_estimate(
+            np.concatenate(hvs), np.concatenate(cids),
+            np.concatenate(cvals), k, [0.25, 0.5, 0.9])
+        assert ns == k
+
+        # single-pass global sketch must agree exactly (mergeability)
+        h, i, v = sample_quantile_candidates(ids, vals, k)
+        est2, _ = sample_quantile_estimate(h, i, v, k, [0.25, 0.5, 0.9])
+        assert est == est2
+
+        # rank error vs exact: the sketch value's true CDF position
+        # must be within ~2.5/sqrt(k) of the target quantile
+        sv = np.sort(vals)
+        for q, e in zip([0.25, 0.5, 0.9], est):
+            rank = np.searchsorted(sv, e) / n
+            assert abs(rank - q) < 2.5 / np.sqrt(k), (q, rank)
+
+    def test_layout_independence(self, ray_session, sf_dir):
+        from dedup_restore_ray.queries import q_approx_quantile_nchars
+        a = q_approx_quantile_nchars(sf_dir)
+        b = q_approx_quantile_nchars(sf_dir)  # plan re-executed fresh
+        pd.testing.assert_frame_equal(a, b)
+        assert (a["n_sample"] == 256).all()
