@@ -2941,6 +2941,36 @@ def q_dormant_rich_customers(sf_dir: str,
     return agg.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Duplicate contribution per source — the per-domain dedup report
+    a webtext pipeline publishes (which domains feed the duplicate
+    mass).  ONE mark_canonical sort over 20-byte hashes (source rides
+    along as a carry column), then a grouped count/sum per source."""
+    from dedup_restore_ray.stages.exact import exact_dedup_mark
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = content_hashes(b.column("text").to_pylist())
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "content_hash": pa.array(h, pa.binary(20))})
+
+    marked = exact_dedup_mark(ds.map_batches(add_hash,
+                                             batch_format="pyarrow"))
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b.column("source"),
+                         "dup": pc.cast(b.column("is_dup"),
+                                        pa.int64())})
+
+    agg = grouped_aggregate(
+        marked.map_batches(to_int, batch_format="pyarrow"),
+        ["source"], {"n_dups": ("dup", "sum")},
+        count_alias="n_docs").to_pandas()
+    return agg.sort_values("source").reset_index(drop=True)
+
+
 def q_approx_quantile_nchars(sf_dir: str, k: int = 256,
                              qs: tuple = (0.25, 0.5, 0.9)):
     """Mergeable sampling-based quantile sketch
@@ -3107,6 +3137,7 @@ QUERIES = {
     "user_event_matrix": q_user_event_matrix,
     "weighted_sample_docs": q_weighted_sample_docs,
     "approx_quantile_nchars": q_approx_quantile_nchars,
+    "dup_rate_by_source": q_dup_rate_by_source,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
     "user_top_event_type": q_user_top_event_type,
@@ -4167,6 +4198,17 @@ ORACLE_SQL = {
         SELECT user_id, count(*)::BIGINT AS n_islands,
                max(len)::BIGINT AS longest_run
         FROM r GROUP BY 1
+    """,
+    "dup_rate_by_source": """
+        SELECT source,
+               sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dups,
+               count(*)::BIGINT AS n_docs
+        FROM (SELECT source,
+                     doc_id <> min(doc_id) OVER (PARTITION BY text)
+                         AS is_dup
+              FROM documents)
+        GROUP BY 1
     """,
     "approx_quantile_nchars": """
         WITH s AS (
