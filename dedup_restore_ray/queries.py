@@ -2941,6 +2941,32 @@ def q_dormant_rich_customers(sf_dir: str,
     return agg.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q_weighted_stratified_sample(sf_dir: str, per_source: int = 2):
+    """Stratified x weighted sampling: per source, the ``per_source``
+    docs with the highest Efraimidis–Spirakis priority ln(u)/(w+1) —
+    the per-domain quota draw weighted by document length.  One
+    (source, priority) sort via grouped_topk; deterministic md5
+    uniform keeps the sample itself oracle-checkable."""
+    from dedup_restore_ray.functions.sketch import kmv_hash
+    from dedup_restore_ray.stages.groups import grouped_topk
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def add_pri(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"))
+        w = np.asarray(b.column("n_chars"), dtype=np.float64) + 1.0
+        u = (kmv_hash(ids.tolist()).astype(np.float64) + 0.5) / 2.0**64
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "pri": pa.array(np.log(u) / w, pa.float64())})
+
+    top = grouped_topk(ds.map_batches(add_pri, batch_format="pyarrow"),
+                       ["source"], [("pri", True), ("doc_id", False)],
+                       k=per_source)
+    out = top.select_columns(["source", "doc_id"]).to_pandas()
+    return (out.sort_values(["source", "doc_id"])
+            .reset_index(drop=True))
+
+
 def q_dup_rate_by_source(sf_dir: str):
     """Duplicate contribution per source — the per-domain dedup report
     a webtext pipeline publishes (which domains feed the duplicate
@@ -3138,6 +3164,7 @@ QUERIES = {
     "weighted_sample_docs": q_weighted_sample_docs,
     "approx_quantile_nchars": q_approx_quantile_nchars,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "weighted_stratified_sample": q_weighted_stratified_sample,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
     "user_top_event_type": q_user_top_event_type,
@@ -4198,6 +4225,15 @@ ORACLE_SQL = {
         SELECT user_id, count(*)::BIGINT AS n_islands,
                max(len)::BIGINT AS longest_run
         FROM r GROUP BY 1
+    """,
+    "weighted_stratified_sample": """
+        SELECT source, doc_id FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY ln((md5_number_lower(CAST(doc_id AS VARCHAR))::DOUBLE
+                         + 0.5) / 18446744073709551616.0)
+                     / (n_chars + 1) DESC,
+                     doc_id) <= 2
     """,
     "dup_rate_by_source": """
         SELECT source,
