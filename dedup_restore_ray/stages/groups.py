@@ -319,10 +319,44 @@ def grouped_aggregate(ds: "ray.data.Dataset", keys: list[str],
     def residual_agg(g: pa.Table) -> pa.Table:
         return block_agg(g.sort_by([(k, "ascending") for k in keys]))
 
+    # Skew guard: when every aggregated input is integer-typed the
+    # edge stream is pre-reduced per block BEFORE the residual groupby
+    # (edge blocks come from the sorted run, so rows are already
+    # key-contiguous and block_agg applies directly).  A hot key
+    # spanning B blocks then ships B one-row partials to its residual
+    # task instead of its full row set — the hot-key residual is
+    # O(blocks), not O(rows).  sum/min/max/count over integers merge
+    # exactly (no float addition-order dependence, which is why the
+    # float path keeps the row-level residual).
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    int_ok = all(
+        in_col in types and pa.types.is_integer(types[in_col])
+        for in_col, _ in aggs.values())
+
+    def merge_partials(g: pa.Table) -> pa.Table:
+        cols = {k: g.column(k).slice(0, 1) for k in keys}
+        for out_col, (_in, how) in aggs.items():
+            v = np.asarray(g.column(out_col))
+            cols[out_col] = pa.array([_AGG_UFUNC[how].reduce(v)])
+        if count_alias:
+            cols[count_alias] = pa.array(
+                [int(np.asarray(g.column(count_alias)).sum())],
+                pa.int64())
+        return pa.table(cols)
+
+    if int_ok:
+        residual = (edge.map_batches(block_agg, batch_format="pyarrow",
+                                     batch_size=None)
+                    .groupby(keys).map_groups(merge_partials,
+                                              batch_format="pyarrow"))
+    else:
+        residual = edge.groupby(keys).map_groups(
+            residual_agg, batch_format="pyarrow")
+
     return (interior.map_batches(block_agg, batch_format="pyarrow",
                                  batch_size=None)
-            .union(edge.groupby(keys).map_groups(
-                residual_agg, batch_format="pyarrow")))
+            .union(residual))
 
 
 def grouped_count_distinct(ds: "ray.data.Dataset", keys: list[str],

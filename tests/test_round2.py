@@ -1183,3 +1183,49 @@ class TestSampleQuantileSketch:
         b = q_approx_quantile_nchars(sf_dir)  # plan re-executed fresh
         pd.testing.assert_frame_equal(a, b)
         assert (a["n_sample"] == 256).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedAggregateSkewGuard:
+    @pytest.mark.parametrize("num_blocks", [1, 9])
+    def test_hot_key_spanning_all_blocks(self, num_blocks):
+        """One key holds 70% of all rows (guaranteed to span blocks and
+        take the residual path); integer pre-agg results must equal
+        brute-force pandas for sum/min/max/count."""
+        import ray.data as rd
+        from dedup_restore_ray.stages.groups import grouped_aggregate
+        rng = np.random.default_rng(21)
+        n = 4000
+        k = np.where(rng.random(n) < 0.7, 7,
+                     rng.integers(0, 50, n)).astype(np.int64)
+        v = rng.integers(-1000, 1000, n).astype(np.int64)
+        df = pd.DataFrame({"k": k, "v": v})
+        got = (grouped_aggregate(
+                   rd.from_pandas(df).repartition(num_blocks), ["k"],
+                   {"s": ("v", "sum"), "mn": ("v", "min"),
+                    "mx": ("v", "max")}, count_alias="n")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        exp = (df.groupby("k", as_index=False)
+               .agg(s=("v", "sum"), mn=("v", "min"), mx=("v", "max"),
+                    n=("v", "size")))
+        exp["n"] = exp["n"].astype("int64")
+        exp = exp.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_float_path_unchanged(self):
+        """Float inputs keep the row-level residual (no pre-agg float
+        reordering): results still match pandas to float equality on
+        a value set where order effects would be visible at 1 ulp."""
+        import ray.data as rd
+        from dedup_restore_ray.stages.groups import grouped_aggregate
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame({"k": rng.integers(0, 5, 300).astype(np.int64),
+                           "v": rng.uniform(0, 1, 300)})
+        got = (grouped_aggregate(rd.from_pandas(df).repartition(6),
+                                 ["k"], {"mn": ("v", "min"),
+                                         "mx": ("v", "max")})
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        exp = (df.groupby("k", as_index=False)
+               .agg(mn=("v", "min"), mx=("v", "max"))
+               .sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)
