@@ -90,7 +90,10 @@ def run_benchmarks() -> dict:
                  "revenue_by_nation", "simhash_pairs_docs",
                  "passage_dedup_docs", "boilerplate_docs",
                  "term_lookup_docs", "bm25_docs",
-                 "source_overlap_docs", "order_rank_windows"]:
+                 "source_overlap_docs", "order_rank_windows",
+                 "zonemap_range_events", "clicks_before_error",
+                 "event_paths", "waiting_orders_suppliers",
+                 "dup_rate_by_source", "approx_quantile_nchars"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)

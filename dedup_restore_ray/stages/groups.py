@@ -328,9 +328,10 @@ def grouped_aggregate(ds: "ray.data.Dataset", keys: list[str],
     # O(blocks), not O(rows).  sum/min/max/count over integers merge
     # exactly (no float addition-order dependence, which is why the
     # float path keeps the row-level residual).
-    schema = ds.schema()
-    types = dict(zip(schema.names, schema.types))
-    int_ok = all(
+    schema = ds.schema()   # None for an empty/schemaless dataset
+    types = (dict(zip(schema.names, schema.types))
+             if schema is not None else {})
+    int_ok = schema is not None and all(
         in_col in types and pa.types.is_integer(types[in_col])
         for in_col, _ in aggs.values())
 
