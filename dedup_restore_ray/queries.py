@@ -2941,6 +2941,33 @@ def q_dormant_rich_customers(sf_dir: str,
     return agg.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q_revenue_by_decile(sf_dir: str, n_tiles: int = 10):
+    """Global NTILE deciles of orders by total price (no partition —
+    stages/windows.global_rank: block offsets from one n_blocks-row
+    head pass, never a single-task window), rolled up to per-decile
+    order count and revenue."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.windows import global_rank
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("o_totalprice"),
+                       dtype=np.float64) * 100.0, 0).astype(np.int64)
+        return pa.table({"cents": pa.array(cents),
+                         "o_orderkey": b.column("o_orderkey")})
+
+    ranked = global_rank(orders.map_batches(to_cents,
+                                            batch_format="pyarrow"),
+                         ["cents", "o_orderkey"], n_tiles=n_tiles,
+                         carry_cols=["cents"])
+    agg = grouped_aggregate(ranked.select_columns(["tile", "cents"]),
+                            ["tile"], {"total_cents": ("cents", "sum")},
+                            count_alias="n_orders").to_pandas()
+    return agg.sort_values("tile").reset_index(drop=True)
+
+
 def q_weighted_stratified_sample(sf_dir: str, per_source: int = 2):
     """Stratified x weighted sampling: per source, the ``per_source``
     docs with the highest Efraimidis–Spirakis priority ln(u)/(w+1) —
@@ -3165,6 +3192,7 @@ QUERIES = {
     "approx_quantile_nchars": q_approx_quantile_nchars,
     "dup_rate_by_source": q_dup_rate_by_source,
     "weighted_stratified_sample": q_weighted_stratified_sample,
+    "revenue_by_decile": q_revenue_by_decile,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
     "user_top_event_type": q_user_top_event_type,
@@ -4225,6 +4253,19 @@ ORACLE_SQL = {
         SELECT user_id, count(*)::BIGINT AS n_islands,
                max(len)::BIGINT AS longest_run
         FROM r GROUP BY 1
+    """,
+    "revenue_by_decile": """
+        WITH r AS (
+          SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                 o_orderkey
+          FROM orders),
+        t AS (SELECT cents,
+                     ntile(10) OVER (ORDER BY cents, o_orderkey)
+                         AS tile
+              FROM r)
+        SELECT tile, sum(cents)::BIGINT AS total_cents,
+               count(*)::BIGINT AS n_orders
+        FROM t GROUP BY 1
     """,
     "weighted_stratified_sample": """
         SELECT source, doc_id FROM documents

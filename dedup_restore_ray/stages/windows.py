@@ -28,7 +28,9 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from dedup_restore_ray.stages.groups import group_bounds, sorted_split
+from dedup_restore_ray.stages.groups import (group_bounds,
+                                             presort_coalesce,
+                                             sorted_split)
 
 
 def _ts_int64(col: pa.ChunkedArray, window_seconds: int
@@ -481,6 +483,72 @@ def rank_windows(ds: "ray.data.Dataset", key_col: str,
                 lambda g: kernel(g.sort_by(
                     [(c, "ascending") for c in sort_keys])),
                 batch_format="pyarrow")))
+
+
+def global_rank(ds: "ray.data.Dataset", order_cols: list[str],
+                rank_col: str = "rn", n_tiles: int | None = None,
+                tile_col: str = "tile",
+                carry_cols: list[str] | None = None
+                ) -> "ray.data.Dataset":
+    """GLOBAL ``row_number() OVER (ORDER BY ...)`` (no partition) —
+    the window Ray Data cannot express, and the per-key machinery
+    degenerates on (a constant key routes the WHOLE dataset through
+    one residual task).  After the sort is materialized, one light
+    pass collects each block's (first-row key, row count) — n_blocks
+    tiny rows on the driver — cumulative counts in key order give
+    every block its global offset, and the rank kernel finds its own
+    offset by its block's first row.  ``order_cols`` must end in a
+    unique tiebreak so block first-keys are distinct (SQL's own
+    determinism requirement).  With ``n_tiles``, also emits the SQL
+    NTILE bucket (first ``total % n`` buckets one row larger)."""
+    carry = carry_cols or list(order_cols)
+    srt = presort_coalesce(ds).sort(order_cols).materialize()
+
+    def head(b: pa.Table) -> pa.Table:
+        t = b.select(order_cols)
+        if b.num_rows == 0:
+            return t.slice(0, 0).append_column(
+                "__cnt", pa.array([], pa.int64()))
+        return t.slice(0, 1).append_column(
+            "__cnt", pa.array([b.num_rows], pa.int64()))
+
+    heads = [(tuple(r[c] for c in order_cols), r["__cnt"])
+             for r in srt.map_batches(head, batch_format="pyarrow",
+                                      batch_size=None).take_all()]
+    heads.sort(key=lambda h: h[0])
+    total_n = sum(c for _, c in heads)
+    offsets, acc = {}, 0
+    for key, cnt in heads:
+        offsets[key] = acc
+        acc += cnt
+    import ray as _ray
+    off_ref = _ray.put(offsets)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        fields = [(c, b.schema.field(c).type) for c in carry]
+        out_fields = fields + [(rank_col, pa.int64())]
+        if n_tiles:
+            out_fields.append((tile_col, pa.int64()))
+        out_schema = pa.schema(out_fields)
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        omap = _ray.get(off_ref)
+        first = tuple(b.column(c)[0].as_py() for c in order_cols)
+        off = omap[first]
+        rn = off + np.arange(n, dtype=np.int64)    # 0-based
+        cols = {c: b.column(c) for c in carry}
+        cols[rank_col] = pa.array(rn + 1, pa.int64())
+        if n_tiles:
+            base, rem = total_n // n_tiles, total_n % n_tiles
+            cut = rem * (base + 1)
+            tile = np.where(rn < cut, rn // max(base + 1, 1),
+                            rem + (rn - cut) // max(base, 1)) + 1
+            cols[tile_col] = pa.array(tile.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return srt.map_batches(kernel, batch_format="pyarrow",
+                           batch_size=None)
 
 
 def running_totals(ds: "ray.data.Dataset", key_col: str,

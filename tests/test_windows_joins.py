@@ -461,3 +461,40 @@ class TestIntervalCountJoin:
         got = interval_count_join(rd.from_pandas(df), "user_id", "ts",
                                   "is_probe", "is_build", 60).to_pandas()
         assert len(got) == 0
+
+
+class TestGlobalRank:
+    @pytest.mark.parametrize("num_blocks", [1, 9])
+    def test_parity_vs_pandas(self, ray_session, num_blocks):
+        from dedup_restore_ray.stages.windows import global_rank
+        rng = np.random.default_rng(13)
+        n = 700
+        df = pd.DataFrame({"v": rng.integers(0, 50, n).astype(np.int64),
+                           "id": np.arange(n, dtype=np.int64)})
+        got = (global_rank(rd.from_pandas(df).repartition(num_blocks),
+                           ["v", "id"], n_tiles=7)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        sdf = df.sort_values(["v", "id"]).reset_index(drop=True)
+        sdf["rn"] = np.arange(1, n + 1, dtype=np.int64)
+        base, rem = n // 7, n % 7
+        cut = rem * (base + 1)
+        rn0 = sdf["rn"] - 1
+        sdf["tile"] = np.where(rn0 < cut, rn0 // (base + 1),
+                               rem + (rn0 - cut) // base) + 1
+        exp = (sdf[["v", "id", "rn", "tile"]].sort_values("id")
+               .reset_index(drop=True))
+        got = got[["v", "id", "rn", "tile"]] if "id" in got.columns \
+            else got
+        pd.testing.assert_frame_equal(
+            got, exp.astype({"rn": "int64", "tile": "int64"}))
+
+    def test_duplicate_values_need_tiebreak(self, ray_session):
+        """All-equal values: the unique tiebreak still yields distinct
+        block first-keys and a correct dense global numbering."""
+        from dedup_restore_ray.stages.windows import global_rank
+        df = pd.DataFrame({"v": np.zeros(40, dtype=np.int64),
+                           "id": np.arange(40, dtype=np.int64)})
+        got = (global_rank(rd.from_pandas(df).repartition(5),
+                           ["v", "id"])
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        assert got["rn"].tolist() == list(range(1, 41))
