@@ -2941,6 +2941,68 @@ def q_dormant_rich_customers(sf_dir: str,
     return agg.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q_editdist_pairs_docs(sf_dir: str, prefix_len: int = 100,
+                          max_dist: int = 20):
+    """Edit-distance near-dup rail with PREFIX BLOCKING (the classic
+    record-linkage blocking key): documents sharing their first 100
+    chars become candidate pairs via ONE 16-byte-hash sort, each pair
+    verified with the exact numpy Levenshtein DP
+    (functions/editdist.py — matches SQL levenshtein() bit-for-bit).
+    Per-pair work is a vectorized DP; pair counts are bounded by the
+    blocking-group sizes (same discipline as the LSH bucket caps)."""
+    import hashlib
+    from dedup_restore_ray.functions.editdist import levenshtein
+    from dedup_restore_ray.stages.groups import group_bounds, sorted_split
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def add_pfx(b: pa.Table) -> pa.Table:
+        blake = hashlib.blake2b
+        pfx = [blake(t[:prefix_len].encode(), digest_size=16).digest()
+               for t in b.column("text").to_pylist()]
+        return pa.table({"pfx": pa.array(pfx, pa.binary(16)),
+                         "doc_id": b.column("doc_id"),
+                         "text": b.column("text")})
+
+    def pair_kernel(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("id_a", pa.int64()),
+                                ("id_b", pa.int64()),
+                                ("dist", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, ["pfx"])
+        ids = np.asarray(b.column("doc_id"))
+        texts = b.column("text").to_pylist()
+        ia, ib, dd = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    d = levenshtein(texts[i], texts[j])
+                    if d <= max_dist:
+                        lo, hi = sorted((int(ids[i]), int(ids[j])))
+                        ia.append(lo), ib.append(hi), dd.append(d)
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64()),
+                         "dist": pa.array(dd, pa.int64())})
+
+    hashed = ds.map_batches(add_pfx, batch_format="pyarrow")
+    interior, edge = sorted_split(hashed, ["pfx", "doc_id"], ["pfx"])
+    pairs = (interior.map_batches(pair_kernel, batch_format="pyarrow",
+                                  batch_size=None)
+             .union(edge.groupby("pfx").map_groups(
+                 lambda g: pair_kernel(g.sort_by(
+                     [("pfx", "ascending"), ("doc_id", "ascending")])),
+                 batch_format="pyarrow")))
+    out = pairs.to_pandas()
+    if "id_a" not in out.columns:       # empty result has no columns
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64"),
+                            "dist": pd.Series([], dtype="int64")})
+    return (out.sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+
+
 def q_revenue_by_decile(sf_dir: str, n_tiles: int = 10):
     """Global NTILE deciles of orders by total price (no partition —
     stages/windows.global_rank: block offsets from one n_blocks-row
@@ -3193,6 +3255,7 @@ QUERIES = {
     "dup_rate_by_source": q_dup_rate_by_source,
     "weighted_stratified_sample": q_weighted_stratified_sample,
     "revenue_by_decile": q_revenue_by_decile,
+    "editdist_pairs_docs": q_editdist_pairs_docs,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
     "user_top_event_type": q_user_top_event_type,
@@ -4253,6 +4316,14 @@ ORACLE_SQL = {
         SELECT user_id, count(*)::BIGINT AS n_islands,
                max(len)::BIGINT AS longest_run
         FROM r GROUP BY 1
+    """,
+    "editdist_pairs_docs": """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.text, b.text)::BIGINT AS dist
+        FROM documents a JOIN documents b
+          ON substr(a.text, 1, 100) = substr(b.text, 1, 100)
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= 20
     """,
     "revenue_by_decile": """
         WITH r AS (

@@ -1229,3 +1229,39 @@ class TestGroupedAggregateSkewGuard:
                .agg(mn=("v", "min"), mx=("v", "max"))
                .sort_values("k").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, exp)
+
+
+class TestEditDistance:
+    def test_known_distances(self):
+        from dedup_restore_ray.functions.editdist import levenshtein
+        assert levenshtein("", "") == 0
+        assert levenshtein("abc", "") == 3
+        assert levenshtein("", "abc") == 3
+        assert levenshtein("kitten", "sitting") == 3
+        assert levenshtein("flaw", "lawn") == 2
+        assert levenshtein("abc", "abc") == 0
+        assert levenshtein("ab", "ba") == 2
+
+    def test_random_parity_vs_duckdb(self):
+        import duckdb
+        import random
+        from dedup_restore_ray.functions.editdist import levenshtein
+        con = duckdb.connect()
+        random.seed(7)
+        for _ in range(80):
+            a = "".join(random.choice("abcd e") for _ in
+                        range(random.randint(0, 40)))
+            b = "".join(random.choice("abcd e") for _ in
+                        range(random.randint(0, 40)))
+            want = con.sql("SELECT levenshtein($1, $2)",
+                           params=[a, b]).fetchone()[0]
+            assert levenshtein(a, b) == want, (a, b)
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_blocked_pairs_layout_independent(self, sf_dir):
+        from dedup_restore_ray.queries import q_editdist_pairs_docs
+        a = q_editdist_pairs_docs(sf_dir)
+        b = q_editdist_pairs_docs(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        assert (a["dist"] <= 20).all()
+        assert (a["id_a"] < a["id_b"]).all()
