@@ -2941,6 +2941,24 @@ def q_dormant_rich_customers(sf_dir: str,
     return agg.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q_substring_search_docs(sf_dir: str, pattern: str = "merge batch"):
+    """Arbitrary-substring search (SQL LIKE '%...%') through the
+    persisted trigram index (stages/trigram.py): probe <= n_grams
+    bucket partitions, gram-count candidates, exact-verify only the
+    candidate documents.  The corpus is never scanned at query time."""
+    import os
+    from dedup_restore_ray.stages.trigram import TrigramIndex
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    idx = TrigramIndex.build(ds, f"/tmp/trigram_index_{tag}_v1")
+    hits, metrics = idx.search(pattern, ds)
+    assert metrics["partitions_read"] <= metrics["partitions_total"]
+    out = hits.to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_editdist_pairs_docs(sf_dir: str, prefix_len: int = 100,
                           max_dist: int = 20):
     """Edit-distance near-dup rail with PREFIX BLOCKING (the classic
@@ -3256,6 +3274,7 @@ QUERIES = {
     "weighted_stratified_sample": q_weighted_stratified_sample,
     "revenue_by_decile": q_revenue_by_decile,
     "editdist_pairs_docs": q_editdist_pairs_docs,
+    "substring_search_docs": q_substring_search_docs,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
     "user_top_event_type": q_user_top_event_type,
@@ -4316,6 +4335,10 @@ ORACLE_SQL = {
         SELECT user_id, count(*)::BIGINT AS n_islands,
                max(len)::BIGINT AS longest_run
         FROM r GROUP BY 1
+    """,
+    "substring_search_docs": """
+        SELECT doc_id FROM documents
+        WHERE text LIKE '%merge batch%'
     """,
     "editdist_pairs_docs": """
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

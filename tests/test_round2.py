@@ -1265,3 +1265,49 @@ class TestEditDistance:
         pd.testing.assert_frame_equal(a, b)
         assert (a["dist"] <= 20).all()
         assert (a["id_a"] < a["id_b"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTrigramIndex:
+    @pytest.fixture(scope="class")
+    def idx(self, tmp_path_factory):
+        import ray.data as rd
+        from dedup_restore_ray.stages.trigram import TrigramIndex
+        texts = ["the quick brown fox", "quick silver lining",
+                 "a brown cow", "fox hunting season", "nothing here",
+                 "the quick brown dog", ""]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        ds = rd.from_arrow(t).repartition(3)
+        root = str(tmp_path_factory.mktemp("tg") / "idx")
+        return TrigramIndex.build(ds, root, num_buckets=8), ds, texts
+
+    def test_search_matches_brute_force(self, idx):
+        index, ds, texts = idx
+        for pat in ["quick brown", "brown", "fox", "season",
+                    "quick brown fox"]:
+            hits, m = index.search(pat, ds)
+            pdf = hits.to_pandas()
+            got = sorted(pdf["doc_id"]) if "doc_id" in pdf.columns else []
+            want = [i for i, t in enumerate(texts) if pat in t]
+            assert got == want, (pat, got, want)
+            assert m["partitions_read"] <= m["partitions_total"]
+
+    def test_absent_pattern_empty(self, idx):
+        index, ds, _ = idx
+        hits, m = index.search("zzzq", ds)
+        assert hits.count() == 0
+
+    def test_candidates_are_superset(self, idx):
+        index, ds, texts = idx
+        cand, _ = index.candidates("quick brown")
+        ids = set(cand.to_pandas()["doc_id"])
+        want = {i for i, t in enumerate(texts) if "quick brown" in t}
+        assert want <= ids
+
+    def test_meta_reuse(self, idx):
+        from dedup_restore_ray.stages.trigram import TrigramIndex
+        import ray.data as rd
+        index, ds, _ = idx
+        again = TrigramIndex.build(ds, index.index_dir, num_buckets=8)
+        assert again.num_rows == index.num_rows
