@@ -2959,6 +2959,92 @@ def q_substring_search_docs(sf_dir: str, pattern: str = "merge batch"):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_regex_search_docs(sf_dir: str,
+                        regex: str = "merge (batch|order)",
+                        literal: str = "merge "):
+    """Regex search at scale (the code-search trick): candidates come
+    from the trigram index probed with a REQUIRED LITERAL of the
+    pattern (every regex match must contain it), the compiled regex
+    verifies only candidate docs.  The corpus is never regex-scanned."""
+    import os
+    import re
+    import ray as _ray
+    from dedup_restore_ray.stages.trigram import TrigramIndex
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    idx = TrigramIndex.build(ds, f"/tmp/trigram_index_{tag}_v1")
+    cand, metrics = idx.candidates(literal)
+    pdf = cand.to_pandas()
+    cand_ids = (np.sort(pdf["doc_id"].to_numpy(np.int64))
+                if "doc_id" in pdf.columns else np.array([], np.int64))
+    ids_ref = _ray.put(cand_ids)
+    rx = re.compile(regex)
+
+    def verify(b: pa.Table) -> pa.Table:
+        cids = _ray.get(ids_ref)
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        if len(cids):
+            pos = np.clip(np.searchsorted(cids, ids), 0, len(cids) - 1)
+            is_cand = np.take(cids, pos) == ids
+        else:
+            is_cand = np.zeros(len(ids), dtype=bool)
+        t = b.filter(pa.array(is_cand))
+        keep = [rx.search(s) is not None
+                for s in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id").filter(
+            pa.array(keep, pa.bool_()))})
+
+    out = ds.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_user_value_trend(sf_dir: str):
+    """Per-user linear-regression slope of event value over time, as
+    an EXACT RATIONAL: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with
+    x = epoch seconds offset to 2024-01-01 and y = integer cents, so
+    every moment is an exact int64 and the oracle is bit-exact (no
+    float-covariance ordering risk).  Moments reduce through the
+    per-batch combiner + grouped sum; one small division-free row per
+    user comes out."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    X0 = 1704067200        # epoch of 2024-01-01 (keeps x^2 small)
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(b.column("ts"), pa.int64()))
+        x = us // 1_000_000 - X0
+        y = round_half_up(
+            np.asarray(b.column("value"), dtype=np.float64) * 100.0,
+            0).astype(np.int64)
+        u = np.asarray(b.column("user_id"), dtype=np.int64)
+        order = np.argsort(u, kind="stable")
+        u, x, y = u[order], x[order], y[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], u[1:] != u[:-1])))
+        t = pa.table({"user_id": pa.array(u[starts]),
+                      "sx": pa.array(np.add.reduceat(x, starts)),
+                      "sy": pa.array(np.add.reduceat(y, starts)),
+                      "sxy": pa.array(np.add.reduceat(x * y, starts)),
+                      "sxx": pa.array(np.add.reduceat(x * x, starts)),
+                      "n": pa.array(np.add.reduceat(
+                          np.ones(len(u), np.int64), starts))})
+        return t
+
+    agg = grouped_aggregate(
+        ev.map_batches(partials, batch_format="pyarrow"), ["user_id"],
+        {c: (c, "sum") for c in ["sx", "sy", "sxy", "sxx", "n"]})
+    pdf = agg.to_pandas()
+    num = pdf["n"] * pdf["sxy"] - pdf["sx"] * pdf["sy"]
+    den = pdf["n"] * pdf["sxx"] - pdf["sx"] * pdf["sx"]
+    out = pd.DataFrame({"user_id": pdf["user_id"],
+                        "slope_num": num.astype("int64"),
+                        "slope_den": den.astype("int64")})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_editdist_pairs_docs(sf_dir: str, prefix_len: int = 100,
                           max_dist: int = 20):
     """Edit-distance near-dup rail with PREFIX BLOCKING (the classic
@@ -3275,6 +3361,8 @@ QUERIES = {
     "revenue_by_decile": q_revenue_by_decile,
     "editdist_pairs_docs": q_editdist_pairs_docs,
     "substring_search_docs": q_substring_search_docs,
+    "regex_search_docs": q_regex_search_docs,
+    "user_value_trend": q_user_value_trend,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
     "user_top_event_type": q_user_top_event_type,
@@ -4339,6 +4427,24 @@ ORACLE_SQL = {
     "substring_search_docs": """
         SELECT doc_id FROM documents
         WHERE text LIKE '%merge batch%'
+    """,
+    "regex_search_docs": """
+        SELECT doc_id FROM documents
+        WHERE regexp_matches(text, 'merge (batch|order)')
+    """,
+    "user_value_trend": """
+        WITH e AS (
+          SELECT user_id,
+                 epoch(date_trunc('second', ts))::BIGINT
+                     - 1704067200 AS x,
+                 CAST(round(value * 100, 0) AS BIGINT) AS y
+          FROM events)
+        SELECT user_id,
+               (count(*) * sum(x*y) - sum(x) * sum(y))::BIGINT
+                   AS slope_num,
+               (count(*) * sum(x*x) - sum(x) * sum(x))::BIGINT
+                   AS slope_den
+        FROM e GROUP BY 1
     """,
     "editdist_pairs_docs": """
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

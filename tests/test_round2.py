@@ -1311,3 +1311,33 @@ class TestTrigramIndex:
         index, ds, _ = idx
         again = TrigramIndex.build(ds, index.index_dir, num_buckets=8)
         assert again.num_rows == index.num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRegexAndTrend:
+    def test_regex_hits_all_contain_match(self, sf_dir):
+        import re
+        from dedup_restore_ray.queries import q_regex_search_docs
+        got = q_regex_search_docs(sf_dir)
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        rx = re.compile("merge (batch|order)")
+        want = sorted(docs.doc_id[docs.text.map(
+            lambda t: rx.search(t) is not None)])
+        assert sorted(got.doc_id) == want
+
+    def test_trend_matches_numpy_lstsq_sign(self, sf_dir):
+        from dedup_restore_ray.queries import q_user_value_trend
+        got = q_user_value_trend(sf_dir)
+        assert (got["slope_den"] > 0).all()
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"])
+        u0 = int(got.user_id.iloc[0])
+        g = ev[ev.user_id == u0]
+        x = (g.ts.values.astype("datetime64[us]").astype(np.int64)
+             // 1_000_000 - 1704067200).astype(np.float64)
+        y = np.round(g.value.values * 100).astype(np.float64)
+        slope = np.polyfit(x, y, 1)[0]
+        r = got[got.user_id == u0].iloc[0]
+        assert abs(r.slope_num / r.slope_den - slope) < 1e-6 * max(
+            1.0, abs(slope))
