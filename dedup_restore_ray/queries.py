@@ -2959,6 +2959,77 @@ def q_substring_search_docs(sf_dir: str, pattern: str = "merge batch"):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_profile_lineitem(sf_dir: str, kmv_k: int = 64):
+    """ANALYZE-style table profiler: per-column min / max / null count
+    / KMV distinct estimate over lineitem, computed in ONE fused pass
+    — each batch emits one bounded partial row per column (native
+    min/max, null count, bottom-k hash candidates), the driver merges
+    n_blocks x n_cols partial rows (a reduced sketch, never data).
+    Exact-int and deterministic-hash parts make the whole profile
+    hash-checkable."""
+    from dedup_restore_ray.functions.sketch import (kmv_estimate,
+                                                    kmv_hash)
+    int_cols = ["l_orderkey", "l_suppkey", "l_linenumber"]
+    str_cols = ["l_returnflag"]
+    cols = int_cols + str_cols
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def partials(b: pa.Table) -> pa.Table:
+        rows = {"column_name": [], "min_i": [], "max_i": [],
+                "min_s": [], "max_s": [], "n_null": [], "hv": []}
+        for c in cols:
+            col = b.column(c)
+            vals = col.to_pylist()
+            nn = sum(v is None for v in vals)
+            present = [v for v in vals if v is not None]
+            hv = np.unique(kmv_hash(present))[:kmv_k] if present \
+                else np.array([], np.uint64)
+            rows["column_name"].append(c)
+            rows["n_null"].append(nn)
+            rows["hv"].append(hv.tolist())
+            if c in int_cols:
+                rows["min_i"].append(min(present) if present else None)
+                rows["max_i"].append(max(present) if present else None)
+                rows["min_s"].append(None)
+                rows["max_s"].append(None)
+            else:
+                rows["min_i"].append(None)
+                rows["max_i"].append(None)
+                rows["min_s"].append(min(present) if present else None)
+                rows["max_s"].append(max(present) if present else None)
+        return pa.table({
+            "column_name": pa.array(rows["column_name"], pa.string()),
+            "min_i": pa.array(rows["min_i"], pa.int64()),
+            "max_i": pa.array(rows["max_i"], pa.int64()),
+            "min_s": pa.array(rows["min_s"], pa.string()),
+            "max_s": pa.array(rows["max_s"], pa.string()),
+            "n_null": pa.array(rows["n_null"], pa.int64()),
+            "hv": pa.array(rows["hv"], pa.list_(pa.uint64()))})
+
+    pdf = li.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = []
+    for c in cols:
+        g = pdf[pdf.column_name == c]
+        merged = (np.concatenate([np.asarray(h, np.uint64)
+                                  for h in g["hv"]])
+                  if len(g) else np.array([], np.uint64))
+        est = kmv_estimate(merged, kmv_k)
+        if c in int_cols:
+            mn = g["min_i"].dropna()
+            mx = g["max_i"].dropna()
+            min_v = str(int(mn.min())) if len(mn) else None
+            max_v = str(int(mx.max())) if len(mx) else None
+        else:
+            mn = g["min_s"].dropna()
+            mx = g["max_s"].dropna()
+            min_v = str(mn.min()) if len(mn) else None
+            max_v = str(mx.max()) if len(mx) else None
+        out.append({"column_name": c, "min_v": min_v, "max_v": max_v,
+                    "n_null": int(g["n_null"].sum()),
+                    "est_distinct": float(round_half_up(est, 4))})
+    return pd.DataFrame(out)
+
+
 def q_regex_search_docs(sf_dir: str,
                         regex: str = "merge (batch|order)",
                         literal: str = "merge "):
@@ -3362,6 +3433,7 @@ QUERIES = {
     "editdist_pairs_docs": q_editdist_pairs_docs,
     "substring_search_docs": q_substring_search_docs,
     "regex_search_docs": q_regex_search_docs,
+    "profile_lineitem": q_profile_lineitem,
     "user_value_trend": q_user_value_trend,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
@@ -4431,6 +4503,63 @@ ORACLE_SQL = {
     "regex_search_docs": """
         SELECT doc_id FROM documents
         WHERE regexp_matches(text, 'merge (batch|order)')
+    """,
+    "profile_lineitem": """
+        WITH prof AS (
+          SELECT 'l_orderkey' AS c FROM (VALUES (1)) UNION ALL
+          SELECT 'l_suppkey' UNION ALL
+          SELECT 'l_linenumber' UNION ALL
+          SELECT 'l_returnflag'),
+        est AS (
+          SELECT c,
+            (WITH h AS (
+               SELECT DISTINCT md5_number_lower(
+                 CASE c
+                   WHEN 'l_orderkey' THEN CAST(l_orderkey AS VARCHAR)
+                   WHEN 'l_suppkey' THEN CAST(l_suppkey AS VARCHAR)
+                   WHEN 'l_linenumber'
+                     THEN CAST(l_linenumber AS VARCHAR)
+                   ELSE l_returnflag END) AS hv
+               FROM lineitem),
+             b AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+             s AS (SELECT count(*) AS nk, max(hv) AS kth FROM b)
+             SELECT CASE WHEN nk < 64 THEN nk::DOUBLE
+                    ELSE round(63.0 / (kth::DOUBLE
+                               / 18446744073709551616.0), 4)
+                    END FROM s) AS est_distinct
+          FROM prof)
+        SELECT p.c AS column_name,
+               CASE p.c
+                 WHEN 'l_orderkey' THEN
+                   (SELECT min(l_orderkey)::VARCHAR FROM lineitem)
+                 WHEN 'l_suppkey' THEN
+                   (SELECT min(l_suppkey)::VARCHAR FROM lineitem)
+                 WHEN 'l_linenumber' THEN
+                   (SELECT min(l_linenumber)::VARCHAR FROM lineitem)
+                 ELSE (SELECT min(l_returnflag) FROM lineitem)
+               END AS min_v,
+               CASE p.c
+                 WHEN 'l_orderkey' THEN
+                   (SELECT max(l_orderkey)::VARCHAR FROM lineitem)
+                 WHEN 'l_suppkey' THEN
+                   (SELECT max(l_suppkey)::VARCHAR FROM lineitem)
+                 WHEN 'l_linenumber' THEN
+                   (SELECT max(l_linenumber)::VARCHAR FROM lineitem)
+                 ELSE (SELECT max(l_returnflag) FROM lineitem)
+               END AS max_v,
+               CASE p.c
+                 WHEN 'l_orderkey' THEN
+                   (SELECT count(*) - count(l_orderkey) FROM lineitem)
+                 WHEN 'l_suppkey' THEN
+                   (SELECT count(*) - count(l_suppkey) FROM lineitem)
+                 WHEN 'l_linenumber' THEN
+                   (SELECT count(*) - count(l_linenumber)
+                    FROM lineitem)
+                 ELSE (SELECT count(*) - count(l_returnflag)
+                       FROM lineitem)
+               END::BIGINT AS n_null,
+               e.est_distinct
+        FROM prof p JOIN est e ON p.c = e.c
     """,
     "user_value_trend": """
         WITH e AS (
