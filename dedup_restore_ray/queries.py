@@ -2959,6 +2959,25 @@ def q_substring_search_docs(sf_dir: str, pattern: str = "merge batch"):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dup_cluster_histogram(sf_dir: str):
+    """Histogram of exact-duplicate cluster sizes (how big are the
+    copy groups) — the dedup report's shape statistic.  Cluster sizes
+    come from a grouped count over canonical_id (20-byte hash sort
+    already done by exact dedup); the histogram is a second tiny
+    grouped count over the sizes."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    marked = q_exact_dedup_docs(sf_dir)
+    sizes = grouped_aggregate(
+        marked.select_columns(["canonical_id"]), ["canonical_id"], {},
+        count_alias="cluster_size")
+    hist = grouped_aggregate(
+        sizes.select_columns(["cluster_size"]), ["cluster_size"], {},
+        count_alias="n_clusters").to_pandas()
+    hist["cluster_size"] = hist["cluster_size"].astype("int64")
+    hist["n_clusters"] = hist["n_clusters"].astype("int64")
+    return hist.sort_values("cluster_size").reset_index(drop=True)
+
+
 def q_profile_lineitem(sf_dir: str, kmv_k: int = 64):
     """ANALYZE-style table profiler: per-column min / max / null count
     / KMV distinct estimate over lineitem, computed in ONE fused pass
@@ -3434,6 +3453,7 @@ QUERIES = {
     "substring_search_docs": q_substring_search_docs,
     "regex_search_docs": q_regex_search_docs,
     "profile_lineitem": q_profile_lineitem,
+    "dup_cluster_histogram": q_dup_cluster_histogram,
     "user_value_trend": q_user_value_trend,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
@@ -4503,6 +4523,12 @@ ORACLE_SQL = {
     "regex_search_docs": """
         SELECT doc_id FROM documents
         WHERE regexp_matches(text, 'merge (batch|order)')
+    """,
+    "dup_cluster_histogram": """
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters
+        FROM (SELECT count(*)::BIGINT AS cluster_size
+              FROM documents GROUP BY text)
+        GROUP BY 1
     """,
     "profile_lineitem": """
         WITH prof AS (
