@@ -2959,6 +2959,74 @@ def q_substring_search_docs(sf_dir: str, pattern: str = "merge batch"):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_source_jaccard_matrix(sf_dir: str):
+    """Corpus-comparison matrix: token-SET Jaccard between every
+    source pair, as exact integers (n_inter, n_union).  Distinct
+    (token, source) pairs are the only shuffle (vocab x sources
+    bounded); one (token, source) sort groups each token's source
+    list, pair emission per token is <= C(n_sources, 2); per-pair
+    intersections and per-source set sizes reduce through grouped
+    counts.  How similar two crawls/domains are, without comparing
+    any documents pairwise."""
+    from itertools import combinations
+    from dedup_restore_ray.functions.shingle import tokenize
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate,
+                                                 sorted_split)
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        out_s, out_t = [], []
+        for s, t in zip(b.column("source").to_pylist(),
+                        b.column("text").to_pylist()):
+            ts = set(tokenize(t))
+            out_t.extend(ts)
+            out_s.extend([s] * len(ts))
+        return pa.table({"source": pa.array(out_s, pa.string()),
+                         "tok": pa.array(out_t, pa.string())})
+
+    st = distinct_rows(ds.map_batches(toks, batch_format="pyarrow"),
+                       ["source", "tok"])
+    sizes = grouped_aggregate(st.select_columns(["source"]),
+                              ["source"], {},
+                              count_alias="n").to_pandas()
+    szmap = dict(zip(sizes["source"], sizes["n"].astype(int)))
+
+    def pair_kernel(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("source_a", pa.string()),
+                                ("source_b", pa.string())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        from dedup_restore_ray.stages.groups import group_bounds
+        starts, ends = group_bounds(b, ["tok"])
+        srcs = b.column("source").to_pylist()
+        aa, bb = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            group = sorted(srcs[s:e])
+            for x, y in combinations(group, 2):
+                aa.append(x), bb.append(y)
+        return pa.table({"source_a": pa.array(aa, pa.string()),
+                         "source_b": pa.array(bb, pa.string())})
+
+    interior, edge = sorted_split(st, ["tok", "source"], ["tok"])
+    pairs = (interior.map_batches(pair_kernel, batch_format="pyarrow",
+                                  batch_size=None)
+             .union(edge.groupby("tok").map_groups(
+                 lambda g: pair_kernel(g.sort_by(
+                     [("tok", "ascending"), ("source", "ascending")])),
+                 batch_format="pyarrow")))
+    inter = grouped_aggregate(pairs, ["source_a", "source_b"], {},
+                              count_alias="n_inter").to_pandas()
+    inter["n_inter"] = inter["n_inter"].astype("int64")
+    inter["n_union"] = (inter["source_a"].map(szmap)
+                        + inter["source_b"].map(szmap)
+                        - inter["n_inter"]).astype("int64")
+    return (inter.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
 def q_dup_cluster_histogram(sf_dir: str):
     """Histogram of exact-duplicate cluster sizes (how big are the
     copy groups) — the dedup report's shape statistic.  Cluster sizes
@@ -3454,6 +3522,7 @@ QUERIES = {
     "regex_search_docs": q_regex_search_docs,
     "profile_lineitem": q_profile_lineitem,
     "dup_cluster_histogram": q_dup_cluster_histogram,
+    "source_jaccard_matrix": q_source_jaccard_matrix,
     "user_value_trend": q_user_value_trend,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
@@ -4523,6 +4592,24 @@ ORACLE_SQL = {
     "regex_search_docs": """
         SELECT doc_id FROM documents
         WHERE regexp_matches(text, 'merge (batch|order)')
+    """,
+    "source_jaccard_matrix": """
+        WITH st AS (
+          SELECT DISTINCT source,
+                 unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+          FROM documents),
+        sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS inter
+          FROM st a JOIN st b
+            ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT p.source_a, p.source_b, p.inter::BIGINT AS n_inter,
+               (sa.n + sb.n - p.inter)::BIGINT AS n_union
+        FROM pairs p
+        JOIN sz sa ON sa.source = p.source_a
+        JOIN sz sb ON sb.source = p.source_b
     """,
     "dup_cluster_histogram": """
         SELECT cluster_size, count(*)::BIGINT AS n_clusters
