@@ -2579,6 +2579,60 @@ def q_clicks_before_error(sf_dir: str, window_seconds: int = 300):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_zonemap_append_events(sf_dir: str):
+    """Incremental zone-store maintenance (state/zonemap.append): the
+    store is built over even event_ids only, the odd half is appended
+    against the FROZEN zone layout (new files in the hit zones, TRUE
+    per-zone bounds widened in meta), and the same 3-day range rollup
+    as zonemap_range_events must hash-match SQL over the FULL table —
+    lost or double-appended rows fail loudly."""
+    import os
+    import shutil
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.state.zonemap import ZoneMapStore
+    tag = os.path.basename(os.path.normpath(sf_dir))
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "event_type",
+                                     "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(b.column("ts"), pa.int64()))
+        cents = round_half_up(
+            np.asarray(b.column("value"), dtype=np.float64) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"event_id": b.column("event_id"),
+                         "ts_epoch": pa.array(us // 1_000_000,
+                                              pa.int64()),
+                         "event_type": b.column("event_type"),
+                         "cents": pa.array(cents)})
+
+    rows = ev.map_batches(prep, batch_format="pyarrow")
+
+    def parity(b: pa.Table, keep_even: bool) -> pa.Table:
+        even = np.asarray(b.column("event_id")) % 2 == 0
+        return b.filter(pa.array(even if keep_even else ~even))
+
+    root = f"/tmp/zonemap_append_{tag}_v1"
+    shutil.rmtree(root, ignore_errors=True)
+    store = ZoneMapStore.build(
+        rows.map_batches(lambda b: parity(b, True),
+                         batch_format="pyarrow"),
+        root, "ts_epoch", num_zones=16)
+    n = store.append(rows.map_batches(lambda b: parity(b, False),
+                                      batch_format="pyarrow"))
+    assert n > 0
+    zmin = min(z["zmin"] for z in store.zones)
+    lo = zmin + 86400 * 3
+    hi = lo + 86400 * 3 - 1
+    ds, stats = store.read_range(lo, hi)
+    assert stats["zones_read"] < stats["zones_total"]
+    return grouped_aggregate(
+        ds.select_columns(["event_type", "cents"]), ["event_type"],
+        {"total_cents": ("cents", "sum")},
+        count_alias="n_events").to_pandas()
+
+
 def inverted_index_for(sf_dir: str):
     """Build (or reuse — meta manifest) the persisted hash-partitioned
     inverted index for an sf_dir's documents (stages/invindex.py)."""
@@ -3505,6 +3559,7 @@ QUERIES = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "quantile_filter_docs": q_quantile_filter_docs,
     "zonemap_range_events": q_zonemap_range_events,
+    "zonemap_append_events": q_zonemap_append_events,
     "moving_sum_events": q_moving_sum_events,
     "event_paths": q_event_paths,
     "order_count_distribution": q_order_count_distribution,
@@ -4800,6 +4855,19 @@ ORACLE_SQL = {
         FROM events GROUP BY 1
     """,
     "zonemap_range_events": """
+        WITH e AS (
+          SELECT epoch(date_trunc('second', ts))::BIGINT AS ep,
+                 event_type,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events),
+        b AS (SELECT min(ep) + 259200 AS lo FROM e)
+        SELECT event_type, sum(cents)::BIGINT AS total_cents,
+               count(*)::BIGINT AS n_events
+        FROM e, b
+        WHERE ep >= lo AND ep <= lo + 259199
+        GROUP BY 1
+    """,
+    "zonemap_append_events": """
         WITH e AS (
           SELECT epoch(date_trunc('second', ts))::BIGINT AS ep,
                  event_type,

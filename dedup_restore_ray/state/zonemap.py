@@ -96,6 +96,53 @@ class ZoneMapStore:
         return cls(root, meta)
 
     # ------------------------------------------------------------------
+    def append(self, ds: "rd.Dataset") -> int:
+        """Incremental store maintenance against the FROZEN zone
+        layout (lo/width from build; values outside the built range
+        clamp into the edge zones, whose TRUE min/max then widen).
+        New rows land as new Parquet files in their zone directories —
+        resident partitions untouched, the same append discipline as
+        the IVF / hash stores.  Returns the appended row count."""
+        zone_col = self.meta["zone_col"]
+        lo, width = self.meta["lo"], self.meta["width"]
+        nz = self.meta["num_zones"]
+
+        def add_zone(b: pa.Table) -> pa.Table:
+            v = np.asarray(b.column(zone_col), dtype=np.int64)
+            z = np.clip((v - lo) // width, 0, nz - 1)
+            return b.append_column("zone", pa.array(z, pa.int64()))
+
+        zoned = ds.map_batches(add_zone, batch_format="pyarrow")
+        n_new = zoned.count()
+        if n_new == 0:
+            return 0
+        zoned.sort([zone_col]).write_parquet(self.root,
+                                             partition_cols=["zone"])
+        from dedup_restore_ray.stages.groups import grouped_aggregate
+        ztab = grouped_aggregate(
+            zoned.select_columns(["zone", zone_col]), ["zone"],
+            {"zmin": (zone_col, "min"), "zmax": (zone_col, "max")},
+            count_alias="rows").to_pandas()
+        by_zone = {z["zone"]: z for z in self.zones}
+        for r in ztab.itertuples():
+            z = by_zone.get(int(r.zone))
+            if z is None:
+                by_zone[int(r.zone)] = {"zone": int(r.zone),
+                                        "zmin": int(r.zmin),
+                                        "zmax": int(r.zmax),
+                                        "rows": int(r.rows)}
+            else:
+                z["zmin"] = min(z["zmin"], int(r.zmin))
+                z["zmax"] = max(z["zmax"], int(r.zmax))
+                z["rows"] += int(r.rows)
+        self.meta["zones"] = sorted(by_zone.values(),
+                                    key=lambda z: z["zone"])
+        self.zones = self.meta["zones"]
+        json.dump(self.meta, open(os.path.join(self.root, META_NAME),
+                                  "w"))
+        return int(n_new)
+
+    # ------------------------------------------------------------------
     def _zone_files(self, zone: int) -> list[str]:
         d = os.path.join(self.root, f"zone={zone}")
         return [os.path.join(d, f) for f in sorted(os.listdir(d))

@@ -1341,3 +1341,35 @@ class TestRegexAndTrend:
         r = got[got.user_id == u0].iloc[0]
         assert abs(r.slope_num / r.slope_den - slope) < 1e-6 * max(
             1.0, abs(slope))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZoneMapAppend:
+    def test_append_parity_and_out_of_range_clamp(self, tmp_path):
+        import ray.data as rd
+        from dedup_restore_ray.state.zonemap import ZoneMapStore
+        rng = np.random.default_rng(8)
+        base = pa.table({
+            "ts_epoch": pa.array(rng.integers(0, 1000, 500), pa.int64()),
+            "k": pa.array(np.arange(500, dtype=np.int64))})
+        # appended rows include values OUTSIDE the built range
+        extra = pa.table({
+            "ts_epoch": pa.array(
+                np.concatenate([rng.integers(0, 1000, 200),
+                                [-50, 1500]]).astype(np.int64)),
+            "k": pa.array(np.arange(500, 702, dtype=np.int64))})
+        root = str(tmp_path / "zm")
+        s = ZoneMapStore.build(rd.from_arrow(base).repartition(4),
+                               root, "ts_epoch", num_zones=8)
+        n = s.append(rd.from_arrow(extra).repartition(3))
+        assert n == 202
+        full = pd.concat([base.to_pandas(), extra.to_pandas()])
+        for lo, hi in [(100, 299), (-100, 0), (900, 2000)]:
+            ds, stats = s.read_range(lo, hi)
+            pdf = ds.to_pandas()
+            got = sorted(pdf["k"]) if "k" in pdf.columns else []
+            want = sorted(full.k[(full.ts_epoch >= lo)
+                                 & (full.ts_epoch <= hi)])
+            assert got == want, (lo, hi)
+        # meta rows account for every row
+        assert sum(z["rows"] for z in s.zones) == 702
