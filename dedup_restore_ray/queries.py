@@ -3171,6 +3171,59 @@ def q_profile_lineitem(sf_dir: str, kmv_k: int = 64):
     return pd.DataFrame(out)
 
 
+def q_multi_pattern_search(sf_dir: str,
+                           patterns: tuple = ("merge batch",
+                                              "fast table",
+                                              "row scan")):
+    """Batch substring search: several patterns answered through ONE
+    trigram index (one probe + one verify pass per pattern, all
+    reusing the persisted postings).  Output rows are (pattern,
+    doc_id) matches."""
+    import os
+    from dedup_restore_ray.stages.trigram import TrigramIndex
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    idx = TrigramIndex.build(ds, f"/tmp/trigram_index_{tag}_v1")
+    frames = []
+    for p in patterns:
+        hits, _m = idx.search(p, ds)
+        pdf = hits.to_pandas()
+        ids = pdf["doc_id"] if "doc_id" in pdf.columns else \
+            pd.Series([], dtype="int64")
+        frames.append(pd.DataFrame({"pattern": p,
+                                    "doc_id": ids.astype("int64")}))
+    out = pd.concat(frames, ignore_index=True)
+    return (out.sort_values(["pattern", "doc_id"])
+            .reset_index(drop=True))
+
+
+def q_customer_balance_percentile(sf_dir: str):
+    """Global percent_rank of every customer by account balance
+    (stages/windows.global_rank — partition-free window, block-offset
+    broadcast).  percent_rank = (rn-1)/(n-1) evaluated with the same
+    fixed float formula both sides; cents tiebreak by custkey makes
+    the ordering deterministic."""
+    from dedup_restore_ray.stages.windows import global_rank
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_acctbal"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("c_acctbal"),
+                       dtype=np.float64) * 100.0, 0).astype(np.int64)
+        return pa.table({"cents": pa.array(cents),
+                         "c_custkey": b.column("c_custkey")})
+
+    ranked = global_rank(cust.map_batches(to_cents,
+                                          batch_format="pyarrow"),
+                         ["cents", "c_custkey"],
+                         carry_cols=["c_custkey"]).to_pandas()
+    n = len(ranked)
+    ranked["pct_rank"] = (ranked["rn"] - 1) / float(n - 1)
+    out = ranked[["c_custkey", "pct_rank"]]
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def q_regex_search_docs(sf_dir: str,
                         regex: str = "merge (batch|order)",
                         literal: str = "merge "):
@@ -3575,6 +3628,8 @@ QUERIES = {
     "editdist_pairs_docs": q_editdist_pairs_docs,
     "substring_search_docs": q_substring_search_docs,
     "regex_search_docs": q_regex_search_docs,
+    "multi_pattern_search": q_multi_pattern_search,
+    "customer_balance_percentile": q_customer_balance_percentile,
     "profile_lineitem": q_profile_lineitem,
     "dup_cluster_histogram": q_dup_cluster_histogram,
     "source_jaccard_matrix": q_source_jaccard_matrix,
@@ -4671,6 +4726,25 @@ ORACLE_SQL = {
         FROM (SELECT count(*)::BIGINT AS cluster_size
               FROM documents GROUP BY text)
         GROUP BY 1
+    """,
+    "multi_pattern_search": """
+        SELECT 'merge batch' AS pattern, doc_id FROM documents
+        WHERE text LIKE '%merge batch%'
+        UNION ALL
+        SELECT 'fast table', doc_id FROM documents
+        WHERE text LIKE '%fast table%'
+        UNION ALL
+        SELECT 'row scan', doc_id FROM documents
+        WHERE text LIKE '%row scan%'
+    """,
+    "customer_balance_percentile": """
+        SELECT c_custkey,
+               (row_number() OVER (
+                    ORDER BY CAST(round(c_acctbal * 100, 0) AS BIGINT),
+                             c_custkey) - 1)::DOUBLE
+               / ((SELECT count(*) FROM customer) - 1)::DOUBLE
+                   AS pct_rank
+        FROM customer
     """,
     "profile_lineitem": """
         WITH prof AS (
