@@ -3081,6 +3081,73 @@ def q_source_jaccard_matrix(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_revenue_by_region(sf_dir: str):
+    """Q5-complete supply-side chain: lineitem revenue rolled up to
+    the supplier's REGION (lineitem -> supplier -> nation -> region).
+    Revenue is exact in 1e-4 units (price_cents x (100 - disc_pct),
+    both integers), per-supplier partials pre-combine in every batch,
+    ONE sort-scatter attaches the supplier's nationkey (supplier
+    scales with the data — never a driver map), and only the genuinely
+    constant nation (25) / region (5) tables resolve driver-side."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.joins import left_lookup
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_extendedprice",
+                                     "l_discount"])
+
+    def combiner(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("l_extendedprice"),
+                       dtype=np.float64) * 100.0, 0).astype(np.int64)
+        disc = round_half_up(
+            np.asarray(b.column("l_discount"),
+                       dtype=np.float64) * 100.0, 0).astype(np.int64)
+        rev4 = cents * (100 - disc)
+        sk = np.asarray(b.column("l_suppkey"), dtype=np.int64)
+        order = np.argsort(sk, kind="stable")
+        sk, rev4 = sk[order], rev4[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], sk[1:] != sk[:-1])))
+        return pa.table({
+            "l_suppkey": pa.array(sk[starts]),
+            "rev4": pa.array(np.add.reduceat(rev4, starts)),
+            "n": pa.array(np.add.reduceat(
+                np.ones(len(sk), np.int64), starts))})
+
+    per_supp = grouped_aggregate(
+        li.map_batches(combiner, batch_format="pyarrow"),
+        ["l_suppkey"], {"rev4": ("rev4", "sum"), "n": ("n", "sum")})
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda b: pa.table({"l_suppkey": b.column("s_suppkey"),
+                            "s_nationkey": pc.cast(
+                                b.column("s_nationkey"), pa.int64())}),
+        batch_format="pyarrow")
+    tagged = left_lookup(per_supp, supp, "l_suppkey", "s_nationkey",
+                         default=-1)
+    per_nation = grouped_aggregate(
+        tagged.select_columns(["s_nationkey", "rev4", "n"]),
+        ["s_nationkey"],
+        {"rev4": ("rev4", "sum"), "n": ("n", "sum")}).to_pandas()
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"])
+    nk2r = dict(zip(nation.n_nationkey.astype(int),
+                    nation.n_regionkey.astype(int)))
+    rk2name = dict(zip(region.r_regionkey.astype(int),
+                       region.r_name))
+    per_nation["r_name"] = per_nation["s_nationkey"].map(
+        lambda k: rk2name[nk2r[int(k)]])
+    out = (per_nation.groupby("r_name", as_index=False)
+           .agg(rev4_total=("rev4", "sum"),
+                n_lineitems=("n", "sum")))
+    out["rev4_total"] = out["rev4_total"].astype("int64")
+    out["n_lineitems"] = out["n_lineitems"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
 def q_dup_cluster_histogram(sf_dir: str):
     """Histogram of exact-duplicate cluster sizes (how big are the
     copy groups) — the dedup report's shape statistic.  Cluster sizes
@@ -3633,6 +3700,7 @@ QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "dup_cluster_histogram": q_dup_cluster_histogram,
     "source_jaccard_matrix": q_source_jaccard_matrix,
+    "revenue_by_region": q_revenue_by_region,
     "user_value_trend": q_user_value_trend,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
@@ -4702,6 +4770,21 @@ ORACLE_SQL = {
     "regex_search_docs": """
         SELECT doc_id FROM documents
         WHERE regexp_matches(text, 'merge (batch|order)')
+    """,
+    "revenue_by_region": """
+        WITH li AS (
+          SELECT l_suppkey,
+                 CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                     AS rev4
+          FROM lineitem)
+        SELECT r_name, sum(li.rev4)::BIGINT AS rev4_total,
+               count(*)::BIGINT AS n_lineitems
+        FROM li
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY 1
     """,
     "source_jaccard_matrix": """
         WITH st AS (
