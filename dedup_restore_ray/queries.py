@@ -3148,6 +3148,48 @@ def q_revenue_by_region(sf_dir: str):
     return out.sort_values("r_name").reset_index(drop=True)
 
 
+def q_clean_corpus_docs(sf_dir: str):
+    """END-TO-END cleaning pipeline, oracle-checked as one chained
+    result: Gopher-style quality filter -> exact dedup (first-wins)
+    among the survivors -> the FINAL cleaned corpus as (source,
+    doc_id, md5 of text) rows.  The filter runs in the scan (no
+    shuffle), the dedup is the single 20-byte-hash sort; the md5
+    column makes the oracle a byte-identity check on the whole
+    pipeline output, not just counts."""
+    import hashlib
+    from dedup_restore_ray.functions.textstats import (
+        gopher_keep_mask, quality_filter_counts)
+    from dedup_restore_ray.stages.exact import exact_dedup_mark
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def filt(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        c = quality_filter_counts(texts)
+        t = b.filter(pa.array(gopher_keep_mask(c), pa.bool_()))
+        kept_texts = t.column("text").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "content_hash": pa.array(content_hashes(kept_texts),
+                                     pa.binary(20)),
+            "text_md5": pa.array(
+                [hashlib.md5(s.encode()).hexdigest()
+                 for s in kept_texts], pa.string())})
+
+    marked = exact_dedup_mark(ds.map_batches(filt,
+                                             batch_format="pyarrow"))
+
+    def canon(b: pa.Table) -> pa.Table:
+        keep = pc.invert(b.column("is_dup"))
+        t = b.filter(keep)
+        return pa.table({"source": t.column("source"),
+                         "doc_id": t.column("doc_id"),
+                         "text_md5": t.column("text_md5")})
+
+    out = marked.map_batches(canon, batch_format="pyarrow").to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True))
+
+
 def q_dup_cluster_histogram(sf_dir: str):
     """Histogram of exact-duplicate cluster sizes (how big are the
     copy groups) — the dedup report's shape statistic.  Cluster sizes
@@ -3701,6 +3743,7 @@ QUERIES = {
     "dup_cluster_histogram": q_dup_cluster_histogram,
     "source_jaccard_matrix": q_source_jaccard_matrix,
     "revenue_by_region": q_revenue_by_region,
+    "clean_corpus_docs": q_clean_corpus_docs,
     "user_value_trend": q_user_value_trend,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
@@ -4247,6 +4290,42 @@ ORACLE_SQL = {
                 AND 5 * n_punct <= n_chars
                 AND 10 * n_upper <= 3 * n_chars) AS kept
         FROM g
+    """,
+    "clean_corpus_docs": rf"""
+        WITH f AS (
+          SELECT doc_id,
+                 coalesce(regexp_extract_all(lower(coalesce(text, '')),
+                                             '\w+'), []) AS t,
+                 coalesce(length(text), 0) AS n_chars,
+                 length(regexp_extract_all(coalesce(text, ''),
+                                           '[^\w\s]')) AS n_punct,
+                 length(regexp_extract_all(coalesce(text, ''),
+                                           '[A-Z]')) AS n_upper
+          FROM documents),
+        g AS (
+          SELECT doc_id, length(t) AS n_tokens,
+                 coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                   AS sum_len,
+                 len(list_filter(t, x -> list_contains([{_STOP_SQL}], x)))
+                   AS stop_hits,
+                 n_chars, n_punct, n_upper
+          FROM f),
+        kept AS (
+          SELECT d.doc_id, d.text, d.source
+          FROM documents d JOIN g USING (doc_id)
+          WHERE g.n_tokens >= 5 AND g.n_tokens <= 50000
+            AND g.sum_len >= 2 * g.n_tokens
+            AND g.sum_len <= 12 * g.n_tokens
+            AND 20 * g.stop_hits >= g.n_tokens
+            AND 5 * g.n_punct <= g.n_chars
+            AND 10 * g.n_upper <= 3 * g.n_chars),
+        dd AS (
+          SELECT source, doc_id, text,
+                 doc_id = min(doc_id) OVER (PARTITION BY text)
+                     AS is_canon
+          FROM kept)
+        SELECT source, doc_id, md5(text) AS text_md5
+        FROM dd WHERE is_canon
     """,
     "decontaminate_docs": r"""
         WITH toks AS (
