@@ -3148,6 +3148,96 @@ def q_revenue_by_region(sf_dir: str):
     return out.sort_values("r_name").reset_index(drop=True)
 
 
+def q_session_length_histogram(sf_dir: str, gap_us: int = 1_800_000_000):
+    """Distribution of session lengths (events per 30-min-gap
+    session) across all users — the two-level streaming aggregate:
+    ONE (user, ts, event_id) sort; inside a block session lengths fall
+    out of a diff over session-start indices (sessions cannot span
+    users, same run-length trick as gaps_islands); a tiny grouped
+    count builds the histogram."""
+    from dedup_restore_ray.stages.groups import (group_bounds,
+                                                 grouped_aggregate,
+                                                 sorted_split)
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                         "event_id": b.column("event_id")})
+
+    def kernel(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("session_len", pa.int64())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, _ends = group_bounds(b, ["user_id"])
+        ts = np.asarray(b.column("ts_us"), dtype=np.int64)
+        new_s = np.ones(n, dtype=bool)
+        new_s[1:] = ts[1:] - ts[:-1] > gap_us
+        new_s[starts] = True
+        s_idx = np.flatnonzero(new_s)
+        return pa.table({"session_len": pa.array(
+            np.diff(np.append(s_idx, n)), pa.int64())})
+
+    rows = ev.map_batches(prep, batch_format="pyarrow")
+    interior, edge = sorted_split(rows, ["user_id", "ts_us",
+                                         "event_id"], ["user_id"])
+    lens = (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby("user_id").map_groups(
+                lambda g: kernel(g.sort_by(
+                    [("user_id", "ascending"), ("ts_us", "ascending"),
+                     ("event_id", "ascending")])),
+                batch_format="pyarrow")))
+    hist = grouped_aggregate(lens, ["session_len"], {},
+                             count_alias="n_sessions").to_pandas()
+    hist["session_len"] = hist["session_len"].astype("int64")
+    hist["n_sessions"] = hist["n_sessions"].astype("int64")
+    return hist.sort_values("session_len").reset_index(drop=True)
+
+
+def q_diversified_top_orders(sf_dir: str, per_cust: int = 2,
+                             k: int = 10):
+    """Diversified global top-k: the 10 highest-value orders overall
+    with AT MOST 2 per customer (result diversification).  The
+    per-group cap is one grouped_topk sort; the global head reduces
+    through per-block top-k partials (k rows per block to the
+    driver)."""
+    from dedup_restore_ray.stages.groups import grouped_topk
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("o_totalprice"),
+                       dtype=np.float64) * 100.0, 0).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey"),
+                         "cents": pa.array(cents)})
+
+    capped = grouped_topk(orders.map_batches(to_cents,
+                                             batch_format="pyarrow"),
+                          ["o_custkey"],
+                          [("cents", True), ("o_orderkey", False)],
+                          k=per_cust)
+
+    def block_head(b: pa.Table) -> pa.Table:
+        cents = np.asarray(b.column("cents"), dtype=np.int64)
+        keys = np.asarray(b.column("o_orderkey"), dtype=np.int64)
+        order = np.lexsort((keys, -cents))[:k]
+        return b.take(pa.array(order))
+
+    parts = (capped.map_batches(block_head, batch_format="pyarrow")
+             .to_pandas())
+    out = (parts.sort_values(["cents", "o_orderkey"],
+                             ascending=[False, True]).head(k)
+           [["o_orderkey", "o_custkey", "cents"]]
+           .reset_index(drop=True))
+    return out
+
+
 def q_clean_corpus_docs(sf_dir: str):
     """END-TO-END cleaning pipeline, oracle-checked as one chained
     result: Gopher-style quality filter -> exact dedup (first-wins)
@@ -3744,6 +3834,8 @@ QUERIES = {
     "source_jaccard_matrix": q_source_jaccard_matrix,
     "revenue_by_region": q_revenue_by_region,
     "clean_corpus_docs": q_clean_corpus_docs,
+    "session_length_histogram": q_session_length_histogram,
+    "diversified_top_orders": q_diversified_top_orders,
     "user_value_trend": q_user_value_trend,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
@@ -4290,6 +4382,39 @@ ORACLE_SQL = {
                 AND 5 * n_punct <= n_chars
                 AND 10 * n_upper <= 3 * n_chars) AS kept
         FROM g
+    """,
+    "session_length_histogram": """
+        WITH s AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sid AS (
+          SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+          FROM s),
+        ln AS (SELECT user_id, sess, count(*) AS session_len
+               FROM sid GROUP BY 1, 2)
+        SELECT session_len::BIGINT AS session_len,
+               count(*)::BIGINT AS n_sessions
+        FROM ln GROUP BY 1
+    """,
+    "diversified_top_orders": """
+        WITH r AS (SELECT o_orderkey, o_custkey,
+                          CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                              AS cents
+                   FROM orders),
+        t AS (SELECT * FROM r
+              QUALIFY row_number() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY cents DESC, o_orderkey) <= 2)
+        SELECT o_orderkey, o_custkey, cents FROM t
+        ORDER BY cents DESC, o_orderkey LIMIT 10
     """,
     "clean_corpus_docs": rf"""
         WITH f AS (
