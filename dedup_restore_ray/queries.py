@@ -3021,7 +3021,12 @@ def q_source_jaccard_matrix(sf_dir: str):
     list, pair emission per token is <= C(n_sources, 2); per-pair
     intersections and per-source set sizes reduce through grouped
     counts.  How similar two crawls/domains are, without comparing
-    any documents pairwise."""
+    any documents pairwise.
+
+    Scale contract: the SOURCE SET is assumed bounded (crawl
+    snapshots / curated domains — the full pairwise matrix is
+    inherently O(|sources|^2) rows); the document and token
+    dimensions stream at any size."""
     from itertools import combinations
     from dedup_restore_ray.functions.shingle import tokenize
     from dedup_restore_ray.stages.groups import (distinct_rows,

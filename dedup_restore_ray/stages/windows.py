@@ -283,7 +283,12 @@ def partition_totals(ds: "ray.data.Dataset", keys: list[str],
     + np.repeat back onto the rows — no separate aggregate + scatter
     round trip.  ``value_col`` must be integer-typed for bit-exact SQL
     parity."""
-    carry = carry_cols or list(ds.schema().names)
+    if carry_cols is None:
+        schema = ds.schema()        # None for an EMPTY dataset
+        carry = (list(schema.names) if schema is not None
+                 else [*keys, value_col])
+    else:
+        carry = carry_cols
 
     def kernel(b: pa.Table) -> pa.Table:
         fields = [(c, b.schema.field(c).type) for c in carry]
