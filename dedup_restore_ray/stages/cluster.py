@@ -114,6 +114,10 @@ def cluster_label_propagation(edges: "ray.data.Dataset",
 
 def _pa_schema(ds: "ray.data.Dataset") -> pa.Schema:
     s = ds.schema()
+    if s is None:       # empty dataset: Dataset.schema() returns None
+        raise ValueError(
+            "dataset has no schema (empty input to a join/scatter "
+            "stage) — filter/guard empty sides before the rendezvous")
     return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
 
 
