@@ -3153,6 +3153,70 @@ def q_revenue_by_region(sf_dir: str):
     return out.sort_values("r_name").reset_index(drop=True)
 
 
+def q_equidepth_value_bins(sf_dir: str, k: int = 256):
+    """Equi-depth binning: quartile edges come from the deterministic
+    sample-quantile sketch (bounded state, no value sort), then ONE
+    exact binning pass counts and sums each bin — the
+    approximate-structure-guides-exact-pass composition.  Both the
+    edges and the final bins hash-check because the sketch sample is
+    md5-deterministic and SQL can replay it."""
+    from dedup_restore_ray.functions.sketch import (
+        sample_quantile_candidates, sample_quantile_estimate)
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("value"), dtype=np.float64) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"event_id": b.column("event_id"),
+                         "cents": pa.array(cents)})
+
+    rows = ev.map_batches(prep, batch_format="pyarrow")
+
+    def block_cands(b: pa.Table) -> pa.Table:
+        hv, ids, vals = sample_quantile_candidates(
+            np.asarray(b.column("event_id")),
+            np.asarray(b.column("cents"), dtype=np.int64), k)
+        return pa.table({"hv": pa.array(hv, pa.uint64()),
+                         "event_id": pa.array(ids, pa.int64()),
+                         "val": pa.array(vals, pa.int64())})
+
+    cands = (rows.map_batches(block_cands, batch_format="pyarrow")
+             .to_pandas())
+    edges, _n = sample_quantile_estimate(
+        cands["hv"].to_numpy(), cands["event_id"].to_numpy(),
+        cands["val"].to_numpy(), k, (0.25, 0.5, 0.75))
+    e1, e2, e3 = edges
+
+    def binify(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("cents"), dtype=np.int64).astype(
+            np.float64)
+        bins = np.ones(len(c), np.int64) * 4
+        bins[c <= e3] = 3
+        bins[c <= e2] = 2
+        bins[c <= e1] = 1
+        # per-batch combiner: 4 partial rows out
+        out_b, out_n, out_s = [], [], []
+        for bi in (1, 2, 3, 4):
+            m = bins == bi
+            out_b.append(bi)
+            out_n.append(int(m.sum()))
+            out_s.append(int(np.asarray(
+                b.column("cents"))[m].sum()))
+        return pa.table({"bin": pa.array(out_b, pa.int64()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "total_cents": pa.array(out_s, pa.int64())})
+
+    parts = rows.map_batches(binify, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("bin", as_index=False)
+           .agg(n_events=("n", "sum"),
+                total_cents=("total_cents", "sum")))
+    out["n_events"] = out["n_events"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def q_session_length_histogram(sf_dir: str, gap_us: int = 1_800_000_000):
     """Distribution of session lengths (events per 30-min-gap
     session) across all users — the two-level streaming aggregate:
@@ -3840,6 +3904,7 @@ QUERIES = {
     "revenue_by_region": q_revenue_by_region,
     "clean_corpus_docs": q_clean_corpus_docs,
     "session_length_histogram": q_session_length_histogram,
+    "equidepth_value_bins": q_equidepth_value_bins,
     "diversified_top_orders": q_diversified_top_orders,
     "user_value_trend": q_user_value_trend,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
@@ -4387,6 +4452,27 @@ ORACLE_SQL = {
                 AND 5 * n_punct <= n_chars
                 AND 10 * n_upper <= 3 * n_chars) AS kept
         FROM g
+    """,
+    "equidepth_value_bins": """
+        WITH e AS (SELECT event_id,
+                          CAST(round(value * 100, 0) AS BIGINT)
+                              AS cents
+                   FROM events),
+        s AS (SELECT cents FROM e
+              QUALIFY row_number() OVER (
+                  ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
+                           event_id) <= 256),
+        ed AS (SELECT quantile_cont(cents, 0.25) AS e1,
+                      quantile_cont(cents, 0.5) AS e2,
+                      quantile_cont(cents, 0.75) AS e3
+               FROM s)
+        SELECT (CASE WHEN cents <= e1 THEN 1
+                     WHEN cents <= e2 THEN 2
+                     WHEN cents <= e3 THEN 3
+                     ELSE 4 END)::BIGINT AS bin,
+               count(*)::BIGINT AS n_events,
+               sum(cents)::BIGINT AS total_cents
+        FROM e, ed GROUP BY 1
     """,
     "session_length_histogram": """
         WITH s AS (
