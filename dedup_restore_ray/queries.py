@@ -2656,6 +2656,32 @@ def q_term_lookup_docs(sf_dir: str):
     return df.sort_values("term").reset_index(drop=True)
 
 
+def q_and_search_docs(sf_dir: str,
+                      terms: tuple = ("join", "hash", "window")):
+    """Boolean AND retrieval: documents containing ALL query terms,
+    answered from the persisted inverted index (pruned read of <=
+    len(terms) bucket partitions; postings are per-doc-distinct so a
+    grouped count == n_terms is exact containment — no text is
+    touched)."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    idx = inverted_index_for(sf_dir)
+    post, metrics = idx.lookup(sorted(set(terms)))
+    assert metrics["partitions_read"] <= metrics["partitions_total"]
+    per_doc = grouped_aggregate(post.select_columns(["doc_id"]),
+                                ["doc_id"], {}, count_alias="nt")
+    need = len(set(terms))
+
+    def full(b: pa.Table) -> pa.Table:
+        keep = np.asarray(b.column("nt")) == need
+        return pa.table(
+            {"doc_id": b.column("doc_id").filter(pa.array(keep))})
+
+    out = per_doc.map_batches(full, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_order_rank_windows(sf_dir: str):
     """RANK / DENSE_RANK / NTILE(4) per customer over order price
     (stages/windows.rank_windows): one (custkey, price, orderkey) sort
@@ -3905,6 +3931,7 @@ QUERIES = {
     "clean_corpus_docs": q_clean_corpus_docs,
     "session_length_histogram": q_session_length_histogram,
     "equidepth_value_bins": q_equidepth_value_bins,
+    "and_search_docs": q_and_search_docs,
     "diversified_top_orders": q_diversified_top_orders,
     "user_value_trend": q_user_value_trend,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
@@ -4452,6 +4479,15 @@ ORACLE_SQL = {
                 AND 5 * n_punct <= n_chars
                 AND 10 * n_upper <= 3 * n_chars) AS kept
         FROM g
+    """,
+    "and_search_docs": """
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '\\w+') AS t
+          FROM documents)
+        WHERE list_contains(t, 'join')
+          AND list_contains(t, 'hash')
+          AND list_contains(t, 'window')
     """,
     "equidepth_value_bins": """
         WITH e AS (SELECT event_id,
