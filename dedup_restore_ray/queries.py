@@ -2682,6 +2682,66 @@ def q_and_search_docs(sf_dir: str,
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_hybrid_search_docs(sf_dir: str, k: int = 10, list_k: int = 20):
+    """HYBRID retrieval: BM25 keyword ranking (persisted inverted
+    index, pruned probes) fused with embedding-cosine ranking
+    (query = vector 0; vec_id aligns with doc_id in this corpus) by
+    reciprocal-rank fusion, rrf = 1/(60+r_bm25) + 1/(60+r_cos).
+    BM25 per-doc totals sum in integer 1e-4 units (float cross-term
+    addition order can't flip a rank) and cosine ranks use the
+    4-decimal rounded scores — both rank lists and the fused top-k
+    are therefore SQL-reproducible."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    idx = inverted_index_for(sf_dir)
+    terms = ["join", "spark", "vector"]
+    scores, _m = idx.bm25_contributions(terms)
+
+    def to_micro(b: pa.Table) -> pa.Table:
+        # round to 4 decimals FIRST (the precision at which the BM25
+        # scores are oracle-verified), then to integer 1e-4 units —
+        # the same double rounding as the SQL side
+        r4 = round_half_up(np.asarray(b.column("bm25"),
+                                      dtype=np.float64), 4)
+        micro = round_half_up(r4 * 10000.0, 0).astype(np.int64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "micro": pa.array(micro)})
+
+    totals = grouped_aggregate(
+        scores.map_batches(to_micro, batch_format="pyarrow"),
+        ["doc_id"], {"s": ("micro", "sum")})
+
+    def block_head(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("s"), dtype=np.int64)
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((ids, -s))[:list_k]
+        return b.take(pa.array(order))
+
+    bm = (totals.map_batches(block_head, batch_format="pyarrow")
+          .to_pandas().sort_values(["s", "doc_id"],
+                                   ascending=[False, True])
+          .head(list_k).reset_index(drop=True))
+    bm["r"] = np.arange(1, len(bm) + 1)
+
+    cos = q_similarity_topk(sf_dir, n_queries=1, k=list_k + 10)
+    cos = (cos.rename(columns={"vec_id": "doc_id"})
+           .sort_values(["score", "doc_id"], ascending=[False, True])
+           .head(list_k).reset_index(drop=True))
+    cos["r"] = np.arange(1, len(cos) + 1)
+
+    fused: dict[int, float] = {}
+    for df in (bm, cos):
+        for row in df.itertuples():
+            fused[int(row.doc_id)] = (fused.get(int(row.doc_id), 0.0)
+                                      + 1.0 / (60 + int(row.r)))
+    out = pd.DataFrame({"doc_id": list(fused.keys()),
+                        "rrf": list(fused.values())})
+    out = (out.sort_values(["rrf", "doc_id"],
+                           ascending=[False, True]).head(k)
+           .reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 def q_order_rank_windows(sf_dir: str):
     """RANK / DENSE_RANK / NTILE(4) per customer over order price
     (stages/windows.rank_windows): one (custkey, price, orderkey) sort
@@ -3932,6 +3992,7 @@ QUERIES = {
     "session_length_histogram": q_session_length_histogram,
     "equidepth_value_bins": q_equidepth_value_bins,
     "and_search_docs": q_and_search_docs,
+    "hybrid_search_docs": q_hybrid_search_docs,
     "diversified_top_orders": q_diversified_top_orders,
     "user_value_trend": q_user_value_trend,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
@@ -4479,6 +4540,52 @@ ORACLE_SQL = {
                 AND 5 * n_punct <= n_chars
                 AND 10 * n_upper <= 3 * n_chars) AS kept
         FROM g
+    """,
+    "hybrid_search_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        nz AS (SELECT doc_id, t, length(t) AS dl FROM toks
+               WHERE length(t) > 0),
+        stats AS (SELECT count(*) AS n,
+                         sum(dl)::DOUBLE / count(*) AS avgdl FROM nz),
+        tf AS (SELECT doc_id, unnest(t) AS term, dl FROM nz),
+        tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf,
+                       any_value(dl) AS dl
+                FROM tf WHERE term IN ('join', 'spark', 'vector')
+                GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tfc
+               GROUP BY term),
+        bmc AS (
+          SELECT tfc.doc_id,
+                 CAST(round(round(
+                        ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                        * (tfc.tf * (1.2 + 1))
+                        / (tfc.tf + 1.2 * (1 - 0.75
+                           + 0.75 * tfc.dl / stats.avgdl)), 4)
+                      * 10000, 0) AS BIGINT) AS micro
+          FROM tfc JOIN df ON tfc.term = df.term CROSS JOIN stats),
+        bm AS (SELECT doc_id, sum(micro) AS s FROM bmc GROUP BY 1),
+        bmr AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY s DESC, doc_id)
+                           AS r
+                FROM bm QUALIFY r <= 20),
+        q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+              WHERE vec_id = 0),
+        cs AS (SELECT vec_id AS doc_id,
+                      round(list_cosine_similarity(
+                          qe, embedding::DOUBLE[]), 4) AS sc
+               FROM embeddings, q),
+        csr AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY sc DESC, doc_id)
+                           AS r
+                FROM cs QUALIFY r <= 20),
+        u AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+                     coalesce(1.0 / (60 + b.r), 0)
+                     + coalesce(1.0 / (60 + c.r), 0) AS rrf
+              FROM bmr b FULL OUTER JOIN csr c
+                ON b.doc_id = c.doc_id)
+        SELECT doc_id, rrf FROM u ORDER BY rrf DESC, doc_id LIMIT 10
     """,
     "and_search_docs": """
         SELECT doc_id FROM (
