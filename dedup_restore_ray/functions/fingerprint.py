@@ -108,26 +108,49 @@ def batch_lgram_hashes(texts: list[str], L: int) -> list[np.ndarray]:
     return out
 
 
+_POW_CACHE: dict[str, np.ndarray | int] = {"n": 0}
+
+
+def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Process-cached P^1..P^n / P^-1..P^-n tables (data-independent —
+    recomputing them per batch was two full-size accumulate passes of
+    pure allocation traffic on every signature batch)."""
+    if _POW_CACHE["n"] < n:
+        size = max(n, 1 << 16, _POW_CACHE["n"] * 2)
+        with np.errstate(over="ignore"):
+            _POW_CACHE["powP"] = np.multiply.accumulate(
+                np.full(size, _BASE, dtype=U64), dtype=U64)
+            _POW_CACHE["powPinv"] = np.multiply.accumulate(
+                np.full(size, _BASE_INV, dtype=U64), dtype=U64)
+        _POW_CACHE["n"] = size
+    return _POW_CACHE["powP"], _POW_CACHE["powPinv"]
+
+
 def _global_kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
     """O(n) rolling polynomial hash of every k-window via modular-
     inverse prefix sums:  h[i] = P^{i+k-1} * (S[i+k] - S[i])  with
     S[m] = Σ_{t<m} d[t]·P^{-t}  (all mod 2^64) — identical values to
-    the k-pass shifted-add loop, in ~6 vectorized passes."""
+    the k-pass shifted-add loop.  Allocation-lean: power tables are
+    process-cached and the result is built in place (3 temporaries,
+    vs 6+ in the naive form — cold page faults on fresh numpy arrays
+    are the multi-worker scaling limiter on shared hosts)."""
     n = len(data)
     m = n - k + 1
+    powP, powPinv = _pow_tables(n)
     with np.errstate(over="ignore"):
-        powP = np.multiply.accumulate(
-            np.full(n, _BASE, dtype=U64), dtype=U64)          # P^1..P^n
-        powPinv = np.multiply.accumulate(
-            np.full(n, _BASE_INV, dtype=U64), dtype=U64)      # P^-1..P^-n
         # d[t] * P^-t  (P^0 for t=0)
         term = data.astype(U64)
-        term[1:] = term[1:] * powPinv[: n - 1]
-        S = np.concatenate((np.zeros(1, U64), np.cumsum(term, dtype=U64)))
-        coeff = np.empty(m, dtype=U64)
-        coeff[0] = powP[k - 2] if k >= 2 else np.uint64(1)    # P^{k-1}
-        coeff[1:] = powP[k - 1 : n - 1]                        # P^{i+k-1}
-        return coeff * (S[k:] - S[:-k])
+        np.multiply(term[1:], powPinv[: n - 1], out=term[1:])
+        S = np.empty(n + 1, dtype=U64)
+        S[0] = 0
+        np.cumsum(term, dtype=U64, out=S[1:])
+        h = S[k:] - S[:-k]
+        if k >= 2:
+            h[0] = h[0] * powP[k - 2]                          # P^{k-1}
+            np.multiply(h[1:], powP[k - 1 : n - 1], out=h[1:])  # P^{i+k-1}
+        elif m >= 2:
+            np.multiply(h[1:], powP[: m - 1], out=h[1:])       # P^i, k==1
+        return h
 
 
 def _batched_window_min(h: np.ndarray, doc_starts: np.ndarray,
