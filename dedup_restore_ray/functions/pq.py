@@ -47,6 +47,8 @@ def pq_train(x: np.ndarray, m: int = 8, ksub: int = 256,
     n, d = x.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    if ksub > 256:
+        raise ValueError(f"ksub={ksub} > 256: codes are uint8")
     ds = d // m
     ksub = min(ksub, n)
     books = np.empty((m, ksub, ds), dtype=np.float32)
@@ -61,6 +63,8 @@ def pq_encode(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     subspace, Euclidean)."""
     x = np.asarray(x, dtype=np.float32)
     m, ksub, ds = codebooks.shape
+    if ksub > 256:
+        raise ValueError(f"ksub={ksub} > 256: codes are uint8")
     codes = np.empty((len(x), m), dtype=np.uint8)
     for j in range(m):
         sub = x[:, j * ds:(j + 1) * ds]

@@ -10,6 +10,50 @@ list; queries probe the nearest ``num_probe`` lists only.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def list_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """``list<float>`` / ``fixed_size_list`` Arrow column -> [n, d]
+    numpy matrix via ONE ``pc.list_flatten`` + reshape — no per-row
+    Python (``np.stack(col.to_pylist())`` was the hottest-numeric-path
+    anti-pattern: a Python object per row per batch).  Raises on
+    ragged rows or nulls, which would silently misalign the reshape."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if col.null_count:
+        raise ValueError("list_to_matrix: column has null rows")
+    flat = pc.list_flatten(col)
+    if flat.null_count:
+        raise ValueError("list_to_matrix: column has null elements")
+    d, rem = divmod(len(flat), n)
+    if rem:
+        raise ValueError(
+            f"list_to_matrix: ragged list column ({len(flat)} values "
+            f"across {n} rows)")
+    mat = flat.to_numpy(zero_copy_only=False).reshape(n, d)
+    return mat.astype(dtype, copy=False)
+
+
+def fixed_binary_to_matrix(col, width: int) -> np.ndarray:
+    """``fixed_size_binary(width)`` Arrow column -> [n, width] uint8
+    matrix, zero-copy from the Arrow data buffer (the per-row
+    ``b"".join(col.to_pylist())`` it replaces materialized every code
+    as a Python bytes object)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("fixed_binary_to_matrix: column has nulls")
+    n = len(col)
+    if n == 0:
+        return np.empty((0, width), dtype=np.uint8)
+    a = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+    start = col.offset * width
+    return a[start:start + n * width].reshape(n, width)
 
 
 def l2_normalize(m: np.ndarray, eps: float = 1e-12) -> np.ndarray:

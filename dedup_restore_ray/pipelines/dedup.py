@@ -63,11 +63,18 @@ class ExtractText:
         return _WS_RE.sub(" ", no_tags.decode("utf-8", "replace")).strip()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        if any(t is None for t in texts):
-            htmls = batch.column(self.html_col).to_pylist()
-            texts = [t if t is not None else self.extract_one(h)
-                     for t, h in zip(texts, htmls)]
+        tcol = batch.column(self.text_col)
+        if tcol.null_count == 0:
+            # common case: nothing to extract — no Python per row
+            if pa.types.is_string(tcol.type):
+                return batch
+            out = batch.drop_columns([self.text_col])
+            return out.append_column(self.text_col,
+                                     tcol.cast(pa.string()))
+        texts = tcol.to_pylist()
+        htmls = batch.column(self.html_col).to_pylist()
+        texts = [t if t is not None else self.extract_one(h)
+                 for t, h in zip(texts, htmls)]
         out = batch.drop_columns([self.text_col])
         return out.append_column(self.text_col, pa.array(texts, pa.string()))
 

@@ -24,7 +24,9 @@ from dedup_restore_ray.sources.io import read_parquet_clean
 from dedup_restore_ray.functions.hashing import content_hashes
 from dedup_restore_ray.functions.shingle import ShingleEncoder, token_counts, tokenize
 from dedup_restore_ray.functions.similarity import (cosine_topk_block,
-                                                    l2_normalize, merge_topk)
+                                                    fixed_binary_to_matrix,
+                                                    l2_normalize,
+                                                    list_to_matrix, merge_topk)
 from dedup_restore_ray.functions.textstats import (_STOPWORDS_EN,
                                                    detect_language,
                                                    quality_features)
@@ -405,8 +407,16 @@ def q_click_purchase_matrix(sf_dir: str):
             ["user_id", "day_epoch"], {out_col: ("pv", "sum")})
 
         def pack(b: pa.Table) -> pa.Table:
-            k = (np.asarray(b.column("user_id"), dtype=np.int64) << 31) \
-                | np.asarray(b.column("day_epoch"), dtype=np.int64)
+            # pack DAYS since epoch (20 bits reaches year 4840), not
+            # epoch seconds — seconds overflow the low field in 2038
+            # and silently corrupt the join key via overlapping bits.
+            uid = np.asarray(b.column("user_id"), dtype=np.int64)
+            day = np.asarray(b.column("day_epoch"), dtype=np.int64) // 86400
+            if len(day) and (day.min() < 0 or int(day.max()) >> 20
+                             or int(uid.max()) >> 43):
+                raise ValueError("click_purchase key pack overflow: "
+                                 "day outside [0, 2^20) or user_id >= 2^43")
+            k = (uid << 20) | day
             return b.append_column("k", pa.array(k, pa.int64()))
 
         return agg.map_batches(pack, batch_format="pyarrow")
@@ -716,7 +726,7 @@ def q_similarity_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
 
     def partial(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
-        vecs = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        vecs = list_to_matrix(batch.column("embedding"))
         ids = np.asarray(batch.column("vec_id"))
         top_ids, top_scores = cosine_topk_block(qm, vecs, ids, k)
         nq, kk = top_ids.shape
@@ -886,14 +896,16 @@ def q_ann_pq(sf_dir: str, n_queries: int = 5, k: int = 10,
     built in one encode pass and the scan reads the codes dataset, so
     at scale the full-precision table is read twice-ever: once to
     encode, once for the (tiny) shortlist gather.  Codebooks train on
-    a deterministic head sample, like the IVF index."""
+    a deterministic hash-rank sample across all blocks, like the IVF
+    index (a head sample sees one cluster of a sorted corpus)."""
     from dedup_restore_ray.functions.pq import (pq_adc_scores, pq_encode,
                                                 pq_train)
+    from dedup_restore_ray.stages.ann import _hash_rank_sample
     qids, qn = _load_queries(sf_dir, n_queries)
-    sample = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                             columns=["embedding"]).head(2000)
-    xs = l2_normalize(np.stack(sample["embedding"].to_numpy())
-                      .astype(np.float64))
+    xs = l2_normalize(_hash_rank_sample(
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]),
+        "vec_id", "embedding", 2000))
     books = pq_train(xs, m=m, ksub=ksub)
     bref = ray.put(books)
     qref = ray.put(qn.astype(np.float32))
@@ -902,23 +914,19 @@ def q_ann_pq(sf_dir: str, n_queries: int = 5, k: int = 10,
                              columns=["vec_id", "embedding"])
 
     def encode(b: pa.Table) -> pa.Table:
-        vecs = l2_normalize(np.stack(b.column("embedding").to_pylist())
-                            .astype(np.float64))
+        vecs = l2_normalize(list_to_matrix(b.column("embedding")))
         codes = pq_encode(vecs.astype(np.float32), ray.get(bref))
-        return pa.table({"vec_id": b.column("vec_id"),
-                         "code": pa.array(list(codes.tobytes()[i * m:
-                                               (i + 1) * m]
-                                          for i in range(len(codes))),
-                                          pa.binary(m))})
+        code_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), len(codes),
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return pa.table({"vec_id": b.column("vec_id"), "code": code_arr})
 
     codes_ds = emb.map_batches(encode, batch_format="pyarrow").materialize()
 
     def scan(b: pa.Table) -> pa.Table:
         books_ = ray.get(bref)
         q = ray.get(qref)
-        codes = np.frombuffer(
-            b"".join(b.column("code").to_pylist()),
-            dtype=np.uint8).reshape(-1, m)
+        codes = fixed_binary_to_matrix(b.column("code"), m)
         ids = np.asarray(b.column("vec_id"), dtype=np.int64)
         scores = pq_adc_scores(q, codes, books_)
         r = min(shortlist, scores.shape[1])
@@ -2851,8 +2859,7 @@ def q_label_centroids(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         labs = np.asarray(pc.cast(b.column("label").combine_chunks(),
                                   pa.int64()))
-        vecs = np.stack(b.column("embedding").to_pylist()
-                        ).astype(np.float64)
+        vecs = list_to_matrix(b.column("embedding"))
         order = np.argsort(labs, kind="stable")
         sl, sv = labs[order], vecs[order]
         starts = np.flatnonzero(np.concatenate(

@@ -29,7 +29,41 @@ import ray.data as rd
 from dedup_restore_ray.config import PipelineConfig
 from dedup_restore_ray.functions.similarity import (cosine_topk_block,
                                                     ivf_assign, kmeans_fit,
-                                                    l2_normalize, merge_topk)
+                                                    fixed_binary_to_matrix,
+                                                    l2_normalize,
+                                                    list_to_matrix, merge_topk)
+
+
+def _hash_rank_sample(emb: "rd.Dataset", id_col: str, vec_col: str,
+                      sample_size: int) -> np.ndarray:
+    """Deterministic uniform training sample ACROSS ALL BLOCKS via
+    splitmix64-rank bottom-k: each block emits its sample_size
+    hash-smallest rows, a tiny sort+limit merges them into the global
+    bottom-k (bottom-k of a concat of bottom-ks == global bottom-k).
+    Replaces the head-of-dataset ``limit(n)`` sample, which on a
+    sorted / time-ordered corpus fed the k-means fit a single cluster
+    and silently degraded list balance and probe pruning."""
+    from dedup_restore_ray.functions.hashing import mix64
+
+    def bottomk(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col)
+        if pa.types.is_integer(ids.type):
+            hv = mix64(np.asarray(ids, dtype=np.int64)
+                       .view(np.uint64))
+        else:
+            from dedup_restore_ray.functions.sketch import kmv_hash
+            hv = kmv_hash(ids.to_pylist())
+        order = np.argsort(hv, kind="stable")[:sample_size]
+        t = b.select([vec_col]).take(pa.array(order, pa.int64()))
+        # keep uint64: an int64 view would flip the order of hashes
+        # >= 2^63 and break the bottom-k merge
+        return t.append_column("__hv", pa.array(hv[order], pa.uint64()))
+
+    cands = emb.map_batches(bottomk, batch_format="pyarrow",
+                            batch_size=None)
+    sel = cands.sort("__hv").take_batch(sample_size,
+                                        batch_format="pyarrow")
+    return list_to_matrix(sel.column(vec_col))
 
 
 class IVFIndex:
@@ -66,9 +100,7 @@ class IVFIndex:
                 return cls(index_dir, np.load(
                     os.path.join(index_dir, "centroids.npy")),
                     meta["num_rows"], books)
-        sample = np.stack(
-            [r[vec_col] for r in emb.limit(sample_size).take_all()]
-        ).astype(np.float64)
+        sample = _hash_rank_sample(emb, id_col, vec_col, sample_size)
         cent = kmeans_fit(sample, cfg.ivf_num_centroids, seed=seed)
         books = None
         if pq_m:
@@ -78,8 +110,7 @@ class IVFIndex:
 
         def assign(batch: pa.Table) -> pa.Table:
             c, bks = ray.get(cent_ref)
-            vecs = np.stack(batch.column(vec_col).to_pylist()
-                            ).astype(np.float64)
+            vecs = list_to_matrix(batch.column(vec_col))
             lists = ivf_assign(vecs, c)
             cols = {id_col: batch.column(id_col),
                     vec_col: batch.column(vec_col),
@@ -89,10 +120,10 @@ class IVFIndex:
                 m = bks.shape[0]
                 codes = pq_encode(
                     l2_normalize(vecs).astype(np.float32), bks)
-                raw = codes.tobytes()
-                cols["code"] = pa.array(
-                    [raw[i * m:(i + 1) * m] for i in range(len(codes))],
-                    pa.binary(m))
+                cols["code"] = pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(m), len(codes),
+                    [None, pa.py_buffer(
+                        np.ascontiguousarray(codes).tobytes())])
                 # duplicate of the partition key as a data column: the
                 # codes-only scan needs per-row list membership without
                 # touching the float vectors
@@ -137,8 +168,7 @@ class IVFIndex:
 
         def assign(batch: pa.Table) -> pa.Table:
             c, bks = ray.get(cent_ref)
-            vecs = np.stack(batch.column(vec_col).to_pylist()
-                            ).astype(np.float64)
+            vecs = list_to_matrix(batch.column(vec_col))
             lists = ivf_assign(vecs, c)
             cols = {id_col: batch.column(id_col),
                     vec_col: batch.column(vec_col),
@@ -148,10 +178,10 @@ class IVFIndex:
                 m = bks.shape[0]
                 codes = pq_encode(
                     l2_normalize(vecs).astype(np.float32), bks)
-                raw = codes.tobytes()
-                cols["code"] = pa.array(
-                    [raw[i * m:(i + 1) * m] for i in range(len(codes))],
-                    pa.binary(m))
+                cols["code"] = pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(m), len(codes),
+                    [None, pa.py_buffer(
+                        np.ascontiguousarray(codes).tobytes())])
                 cols["lid"] = pa.array(lists, pa.int64())
             return pa.table(cols)
 
@@ -209,8 +239,7 @@ class IVFIndex:
 
         def partial(batch: pa.Table) -> pa.Table:
             qm, pr, cent = ray.get(ref)
-            vecs = np.stack(batch.column(vec_col).to_pylist()
-                            ).astype(np.float64)
+            vecs = list_to_matrix(batch.column(vec_col))
             ids = np.asarray(batch.column(id_col))
             lists = ivf_assign(vecs, cent)
             out_q, out_id, out_s = [], [], []
@@ -290,9 +319,7 @@ class IVFIndex:
 
         def scan(batch: pa.Table) -> pa.Table:
             qm, pr, books = ray.get(ref)
-            codes = np.frombuffer(
-                b"".join(batch.column("code").to_pylist()),
-                dtype=np.uint8).reshape(-1, m)
+            codes = fixed_binary_to_matrix(batch.column("code"), m)
             ids = np.asarray(batch.column(id_col), dtype=np.int64)
             lids = np.asarray(batch.column("lid"), dtype=np.int64)
             scores = pq_adc_scores(qm, codes, books)

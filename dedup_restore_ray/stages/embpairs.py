@@ -27,7 +27,8 @@ import ray
 import ray.data as rd
 
 from dedup_restore_ray.config import PipelineConfig
-from dedup_restore_ray.functions.similarity import l2_normalize
+from dedup_restore_ray.functions.similarity import (l2_normalize,
+                                                    list_to_matrix)
 
 
 @ray.remote
@@ -36,10 +37,8 @@ def _block_pair_task(ti: pa.Table, tj: pa.Table, same: bool,
                      vec_col: str) -> pa.Table:
     ids_i = np.asarray(ti.column(id_col))
     ids_j = np.asarray(tj.column(id_col))
-    vi = l2_normalize(np.stack(ti.column(vec_col).to_pylist())
-                      .astype(np.float64))
-    vj = l2_normalize(np.stack(tj.column(vec_col).to_pylist())
-                      .astype(np.float64))
+    vi = l2_normalize(list_to_matrix(ti.column(vec_col)))
+    vj = l2_normalize(list_to_matrix(tj.column(vec_col)))
     s = vi @ vj.T
     bi, bj = np.nonzero(s >= threshold)
     a, b, sc = ids_i[bi], ids_j[bj], s[bi, bj]
@@ -110,7 +109,7 @@ def hyperplane_lsh_pairs(emb: "rd.Dataset", threshold: float,
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         pm = ray.get(proj_ref)
-        vecs = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        vecs = list_to_matrix(batch.column(vec_col))
         bits = (vecs @ pm) >= 0                          # [n, nbits]
         n = len(vecs)
         # pack each band's bits into one uint64 key, salted by band idx
@@ -161,8 +160,8 @@ def hyperplane_lsh_pairs(emb: "rd.Dataset", threshold: float,
             return pa.table({"u": pa.array([], pa.int64()),
                              "v": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
-        vu = l2_normalize(np.stack(b.column("vec_u").to_pylist()))
-        vv = l2_normalize(np.stack(b.column("vec").to_pylist()))
+        vu = l2_normalize(list_to_matrix(b.column("vec_u")))
+        vv = l2_normalize(list_to_matrix(b.column("vec")))
         cos = np.einsum("ij,ij->i", vu, vv)
         keep = cos >= threshold
         return pa.table({

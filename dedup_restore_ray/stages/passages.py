@@ -58,10 +58,19 @@ def _passage_rows(b: pa.Table, id_col: str, text_col: str,
     orders: list[int] = []
     blake = hashlib.blake2b
     for d, t in zip(ids, texts):
+        if int(d) >> (63 - _ORDER_BITS):
+            raise ValueError(
+                f"doc_id {d} >= 2^{63 - _ORDER_BITS}: passage-order "
+                "packing would bleed into doc-id bits")
         base = int(d) << _ORDER_BITS
+        j = -1
         for j, p in enumerate(passage_split(tokenize(t), window)):
             hashes.append(blake(p.encode("utf-8"), digest_size=16).digest())
             orders.append(base | j)
+        if j > _ORDER_MASK:
+            raise ValueError(
+                f"doc {d} has {j + 1} passages > 2^{_ORDER_BITS}: "
+                "order packing would overflow into doc-id bits")
     return pa.table({"phash": pa.array(hashes, pa.binary(16)),
                      "order": pa.array(orders, pa.int64())})
 

@@ -459,8 +459,13 @@ def rank_windows(ds: "ray.data.Dataset", key_col: str,
         vals = b.column(value_col).combine_chunks()
         new_val = np.ones(n, dtype=bool)
         if n > 1:
-            neq = pc.not_equal(vals.slice(1), vals.slice(0, n - 1))
-            new_val[1:] = np.asarray(neq.fill_null(True))
+            # null-safe: two NULLs are ordering PEERS (same rank), a
+            # NULL next to a non-null is a new value — matches SQL
+            # rank()/dense_rank() semantics over nullable columns.
+            a, bb = vals.slice(1), vals.slice(0, n - 1)
+            neq = pc.not_equal(a, bb).fill_null(False)
+            null_flip = pc.xor(pc.is_null(a), pc.is_null(bb))
+            new_val[1:] = np.asarray(neq) | np.asarray(null_flip)
         new_val[starts] = True
         run_start = np.maximum.accumulate(np.where(new_val, idx, -1))
         rnk = run_start - gstart + 1
@@ -520,6 +525,13 @@ def global_rank(ds: "ray.data.Dataset", order_cols: list[str],
     heads = [(tuple(r[c] for c in order_cols), r["__cnt"])
              for r in srt.map_batches(head, batch_format="pyarrow",
                                       batch_size=None).take_all()]
+    for key, _ in heads:
+        if any(v is None or v != v for v in key):
+            raise ValueError(
+                "global_rank order_cols must be non-null, non-NaN: "
+                f"block head {key!r} — NULL/NaN break the Python-side "
+                "block-offset ordering (and violate the unique-tiebreak "
+                "contract)")
     heads.sort(key=lambda h: h[0])
     total_n = sum(c for _, c in heads)
     offsets, acc = {}, 0
