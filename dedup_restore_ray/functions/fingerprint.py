@@ -27,7 +27,9 @@ def kgram_hashes(text: str, k: int) -> np.ndarray:
     """uint64 rolling hashes of every k-char window (vectorized: k
     shifted adds over the byte array — k C-loops, no Python per-char
     loop).  len(text) < k -> empty."""
-    data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    data = np.frombuffer(
+        text if isinstance(text, bytes)
+        else text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
     n = len(data)
     if n < k:
         return np.empty(0, dtype=U64)
@@ -79,9 +81,10 @@ def batch_lgram_hashes(texts: list[str], L: int) -> list[np.ndarray]:
     Two docs share an L-char substring iff their hash sets intersect
     (up to 64-bit collisions, ~2^-64 per cross pair) — the exact-verify
     primitive for the substring-dedup pass: shared normalized run
-    >= L chars ⟺ shared L-gram.
+    >= L chars ⟺ shared L-gram.  Accepts str or utf-8 bytes per doc.
     """
-    enc = [t.encode("utf-32-le") for t in texts]
+    enc = [(t.decode("utf-8", "surrogatepass") if isinstance(t, bytes)
+            else t).encode("utf-32-le") for t in texts]
     lens = np.fromiter((len(e) >> 2 for e in enc), dtype=np.int64,
                        count=len(enc))
     n = int(lens.sum())
@@ -196,8 +199,12 @@ def batch_winnowed_fingerprints(texts: list[str], k: int, window: int
     hash + ONE batched van Herk sliding-min; per doc only the final
     unique() remains.  Values identical to winnowed_fingerprints per
     doc (same hash formula; winnowing value sets are tie-rule
-    invariant)."""
-    enc = [t.encode("utf-8", "surrogatepass") for t in texts]
+    invariant).  Accepts str or pre-encoded bytes per text (the
+    signature stage encodes the normalized text ONCE and reuses the
+    bytes for SHA-1 + fingerprints — re-encoding here was a full
+    corpus-size copy per batch)."""
+    enc = [t if isinstance(t, bytes) else
+           t.encode("utf-8", "surrogatepass") for t in texts]
     lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
     if lens.sum() == 0:
         return [np.empty(0, dtype=U64) for _ in texts]

@@ -38,6 +38,50 @@ def combine64(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
         return mix64(np.asarray(a, U64) * _SM_M1 + np.asarray(b, U64))
 
 
+def arrow_row_hashes(col) -> np.ndarray:
+    """uint64 hash per row of an Arrow (Chunked)Array with NO per-row
+    Python.  Integers: splitmix64 (a bijection).  Strings/binary: one
+    polynomial rolling hash over the flat byte buffer evaluated per
+    row via the value offsets (the fingerprint.py prefix-sum trick),
+    finalized with mix64 mixed with the row length."""
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return mix64(np.asarray(col).astype(U64))
+    if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+            or pa.types.is_binary(col.type)
+            or pa.types.is_large_binary(col.type)):
+        raise TypeError(f"arrow_row_hashes: unsupported type {col.type}")
+    if col.null_count:
+        raise ValueError("arrow_row_hashes: nulls unsupported")
+    n = len(col)
+    if n == 0:
+        return np.empty(0, U64)
+    odt = (np.int64 if (pa.types.is_large_string(col.type)
+                        or pa.types.is_large_binary(col.type))
+           else np.int32)
+    off = np.frombuffer(col.buffers()[1], dtype=odt)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    start, end = off[0], off[-1]
+    d = data[start:end]
+    off = off - start
+    from dedup_restore_ray.functions.fingerprint import _BASE_INV, _pow_tables
+    m = len(d)
+    powP, powPinv = _pow_tables(m + 1)
+    with np.errstate(over="ignore"):
+        term = d.astype(U64)
+        if m > 1:
+            np.multiply(term[1:], powPinv[:m - 1], out=term[1:])
+        S = np.empty(m + 1, dtype=U64)
+        S[0] = 0
+        np.cumsum(term, dtype=U64, out=S[1:])
+        h = (S[off[1:]] - S[off[:-1]]) * powP[np.minimum(off[1:], m)]
+        lengths = (off[1:] - off[:-1]).astype(U64)
+        return mix64(h ^ mix64(lengths))
+
+
 def hash_bytes_u64(data: bytes, seed: int = 0) -> int:
     """Scalar 64-bit hash of bytes via blake2b (deterministic, process-independent)."""
     h = hashlib.blake2b(data, digest_size=8, salt=seed.to_bytes(8, "little"))
@@ -78,7 +122,8 @@ def sha1_digest(data: bytes) -> bytes:
 
 def content_hashes(texts) -> list[bytes]:
     """SHA-1 per text (hot path is the C sha1 in hashlib; the Python loop
-    only dispatches)."""
-    return [hashlib.sha1(t.encode("utf-8", "surrogatepass")).digest()
+    only dispatches).  Accepts str or pre-encoded utf-8 bytes."""
+    return [hashlib.sha1(t if isinstance(t, bytes)
+                         else t.encode("utf-8", "surrogatepass")).digest()
             if t is not None else b"\x00" * 20
             for t in texts]

@@ -262,10 +262,12 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     # (norm-hash pairs arrive through the bucket stream and verify at
     # Jaccard exactly 1 — incl. the zero-shingle group, since
     # jaccard(∅, ∅) = 1 — so no separate edge rail is needed.)
-    near_edges = verified.select_columns(["u", "v"]).materialize()
-    n_edges = near_edges.count()
+    # verified is already materialized and every verified pair IS an
+    # edge — re-materializing the (u, v) projection was a pure extra
+    # barrier (round-2 verdict #7)
+    near_edges = verified.select_columns(["u", "v"])
+    n_edges = metrics["verified_pairs"]
     metrics["cluster_edges"] = n_edges
-    _lap("edges")
     if cluster_strategy == "auto":
         cluster_strategy = ("union_find"
                             if n_edges <= cfg.broadcast_limit

@@ -37,19 +37,42 @@ from dedup_restore_ray.stages.groups import group_bounds, sorted_split
 
 
 def canonical_store(docs: "ray.data.Dataset", assignments: "ray.data.Dataset",
-                    id_col: str = "doc_id", text_col: str = "text"
+                    id_col: str = "doc_id", text_col: str = "text",
+                    broadcast_limit: int | None = None
                     ) -> "ray.data.Dataset":
     """The deduplicated store: text of canonical docs only (the
     'containers' — unique content, stored once).
 
-    Canonical membership is broadcast as a packed sorted uint64
-    id-hash array (zero-copy from the object store; a Python set would
-    fully unpickle in every task) and tested with one vectorized
-    searchsorted per batch — same pattern as the canonical filter in
-    pipelines/dedup.py."""
-    import pyarrow.compute as pc
-    from dedup_restore_ray.stages.verify import _id_hashes
+    Scale-gated on the canonical count (cfg.broadcast_limit default):
 
+    - small store: canonical membership is broadcast as a packed
+      sorted uint64 id-hash array (zero-copy from the object store; a
+      Python set would fully unpickle in every task) and tested with
+      one vectorized searchsorted per batch — same pattern as the
+      canonical filter in pipelines/dedup.py;
+    - beyond the gate: NO driver-side pack (at 10^9 canonicals the
+      packed array is 8 GB driver-resident) — a sort-scatter semi
+      join (stages/cluster._scatter_lookup) keeps exactly the docs
+      whose id appears among the non-dup assignment rows, fully
+      distributed."""
+    import pyarrow.compute as pc
+
+    if broadcast_limit is None:
+        from dedup_restore_ray.config import PipelineConfig
+        broadcast_limit = PipelineConfig().broadcast_limit
+
+    def count_canon(b: pa.Table) -> pa.Table:
+        dup = pc.sum(pc.cast(b.column("is_dup"), pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([b.num_rows - dup], pa.int64())})
+
+    n_canon = assignments.map_batches(
+        count_canon, batch_format="pyarrow").sum("n") or 0
+
+    if n_canon > broadcast_limit:
+        return _canonical_store_scatter(docs, assignments, id_col,
+                                        text_col)
+
+    from dedup_restore_ray.stages.verify import _id_hashes
     canon_parts = []
     for b in assignments.iter_batches(batch_size=65536,
                                       batch_format="pyarrow"):
@@ -69,6 +92,34 @@ def canonical_store(docs: "ray.data.Dataset", assignments: "ray.data.Dataset",
         return out.rename_columns(["canonical_id", "stored_text"])
 
     return docs.map_batches(filt, batch_format="pyarrow")
+
+
+def _canonical_store_scatter(docs: "ray.data.Dataset",
+                             assignments: "ray.data.Dataset",
+                             id_col: str, text_col: str
+                             ) -> "ray.data.Dataset":
+    """Distributed canonical-store derivation: semi join of docs
+    against the non-dup assignment keys via ONE sort-scatter — no
+    driver-resident id pack, no iter_batches on the driver."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+
+    def canon_keys(b: pa.Table) -> pa.Table:
+        keep = pc.invert(b.column("is_dup").combine_chunks())
+        sel = b.filter(keep)
+        return pa.table({
+            id_col: sel.column("doc_id"),
+            "__m": pa.array(np.zeros(sel.num_rows, np.int8), pa.int8())})
+
+    keys = assignments.map_batches(canon_keys, batch_format="pyarrow")
+    hits = _scatter_lookup(docs.select_columns([id_col, text_col]),
+                           keys, key_col=id_col, payload_col="__m",
+                           out_cols=[id_col, text_col])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return (b.select([id_col, text_col])
+                .rename_columns(["canonical_id", "stored_text"]))
+
+    return hits.map_batches(finish, batch_format="pyarrow")
 
 
 def windowed_restore(assignments: "ray.data.Dataset",

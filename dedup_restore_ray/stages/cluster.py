@@ -308,6 +308,24 @@ def cluster_label_propagation_distributed(edges: "ray.data.Dataset",
     except Exception:
         fold_width = 8
 
+    # convergence: min-label propagation is monotone, so the label
+    # multiset shrinks strictly until fixpoint — compare a cheap
+    # order-independent reduction instead of a join.  Hashing is fully
+    # vectorized (arrow_row_hashes: splitmix64 / rolling-hash over the
+    # flat string buffer, no to_pylist), and each round computes ONE
+    # signature: last round's new_sig is this round's old_sig.
+    def lsum(b: pa.Table) -> pa.Table:
+        from dedup_restore_ray.functions.hashing import arrow_row_hashes
+        h = arrow_row_hashes(b.column("label"))
+        with np.errstate(over="ignore"):
+            s = int(np.sum(h, dtype=np.uint64))
+        return pa.table({"s": pa.array([s], pa.uint64())})
+
+    def sig_of(ds: "ray.data.Dataset") -> int:
+        return sum(r["s"] for r in ds.map_batches(
+            lsum, batch_format="pyarrow").take_all()) & 0xFFFFFFFFFFFFFFFF
+
+    prev_sig = sig_of(labels)
     for _round in range(cfg.max_label_rounds):
         msgs = _scatter_lookup(refs, labels, key_col="node",
                                payload_col="label", out_cols=["dst"])
@@ -322,25 +340,11 @@ def cluster_label_propagation_distributed(edges: "ray.data.Dataset",
         folded = msgs.union(labels).repartition(fold_width).materialize()
         new_labels = grouped_aggregate(
             folded, ["node"], {"label": ("label", "min")}).materialize()
-        # convergence: min-label propagation is monotone, so the label
-        # multiset shrinks strictly until fixpoint — compare a cheap
-        # global reduction instead of a join
-        def lsum(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            h = np.asarray(
-                pc.cast(b.column("label"), pa.string()).to_pylist(),
-                dtype=object)
-            from dedup_restore_ray.stages.verify import _id_hashes
-            s = int(np.sum(_id_hashes(list(h))) & 0xFFFFFFFFFFFFFFFF)
-            return pa.table({"s": pa.array([s], pa.uint64())})
-
-        old_sig = sum(r["s"] for r in labels.map_batches(
-            lsum, batch_format="pyarrow").take_all()) & 0xFFFFFFFFFFFFFFFF
-        new_sig = sum(r["s"] for r in new_labels.map_batches(
-            lsum, batch_format="pyarrow").take_all()) & 0xFFFFFFFFFFFFFFFF
+        new_sig = sig_of(new_labels)
         labels = new_labels
-        if old_sig == new_sig:
+        if new_sig == prev_sig:
             break
+        prev_sig = new_sig
     assert labels.count() == n_nodes
     return labels
 

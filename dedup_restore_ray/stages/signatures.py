@@ -77,7 +77,12 @@ class SignatureStage:
                if self.emit_minhash or self.emit_bucket_keys else None)
         sh = simhash_signatures(flat, offsets)
         chashes = content_hashes([t if t is not None else "" for t in texts])
-        norm = [" ".join(toks) for toks in token_lists]
+        # normalized text is encoded to utf-8 ONCE; SHA-1, winnowed
+        # fingerprints and lgrams all consume the same bytes objects
+        # (three separate encodes were pure allocation traffic — the
+        # measured multi-worker scaling limiter of this stage)
+        norm = [(" ".join(toks)).encode("utf-8", "surrogatepass")
+                for toks in token_lists]
         nhashes = content_hashes(norm)
         ntok = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
                            count=len(token_lists))
