@@ -414,6 +414,250 @@ def windowed_restore_cached(assignments: "ray.data.Dataset",
     }
 
 
+class ChunkCachedWindowGather:
+    """Chunk-cache counters with the e/p split (reference R9/R11,
+    src/chunk_cache.c:131-527 + src/look_ahead.c:310-443
+    ``restore_assemble_buf_write``): the LRU is divided by a separation
+    pointer (``s_ptr``) into **e-chunks** — known future reuse inside
+    the current look-ahead window, kept at the MRU head — and
+    **p-chunks** — no known reuse, parked in a probationary region that
+    evictions drain FIRST (only when the p region is empty does the e
+    region lose its LRU tail).  The future-reuse predicate is the
+    reference's ``chunk_used_again_in_window`` (src/look_ahead.c:83-99):
+    does the same chunk appear again among the window's remaining refs?
+
+    ``pcache_size`` (the p-region population, src/chunk_cache.c:510-519)
+    is the adaptivity signal the reference's controller reads
+    (``current_pcache``, src/look_ahead.c:1204, src/trace_work.c:430):
+    a large p cache means the window carries little known reuse and the
+    look-ahead window should grow.
+
+    Granularity note: this engine stores one text per canonical, so
+    chunk == container here and the reference's 'prefetch sibling
+    chunks of the read container' step has no analogue; the read path
+    inserts the fetched row at the MRU head as an e-chunk, exactly as
+    ``add_2_chunk_cache_head`` does (src/chunk_cache.c:131-183).
+
+    Deployed as ``map_batches(..., batch_size=window_size,
+    concurrency=1)`` over window-ordered refs, so each batch IS one
+    look-ahead window — single-stream, reference-faithful counters
+    (same contract as CachedWindowGather above)."""
+
+    def __init__(self, cache_size: int):
+        import collections
+        # insertion end (last=True) = MRU side of each region; the
+        # p region's insertion end models 'just after s_ptr'
+        self.e: "collections.OrderedDict" = collections.OrderedDict()
+        self.p: "collections.OrderedDict" = collections.OrderedDict()
+        self.cache_size = cache_size
+        self.container_read = 0
+        self.cache_hit = 0
+        self.pcache_max = 0
+
+    def _evict(self) -> None:
+        while len(self.e) + len(self.p) > self.cache_size:
+            if self.p:                      # drain probationary first
+                self.p.popitem(last=False)
+            elif self.e:                    # s_ptr at tail: e loses LRU
+                self.e.popitem(last=False)
+            else:
+                break
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from dedup_restore_ray.stages.verify import _id_hashes
+        ch = _id_hashes(batch.column("canonical_id"))
+        # chunk_used_again_in_window: position i has a LATER occurrence
+        # of the same canonical within this window (consumed refs leave
+        # the look-ahead table, so only later refs count)
+        used_again = np.zeros(len(ch), bool)
+        if len(ch) > 1:
+            order = np.argsort(ch, kind="stable")
+            sch = ch[order]
+            used_again[order[:-1][sch[:-1] == sch[1:]]] = True
+        for h, ua in zip(ch.tolist(), used_again.tolist()):
+            if h in self.e or h in self.p:
+                self.cache_hit += 1
+                # move_2_chunk_cache_head / move_2_..._after_s_prt:
+                # promote to e on known reuse, demote to p otherwise
+                self.e.pop(h, None)
+                self.p.pop(h, None)
+                (self.e if ua else self.p)[h] = True
+            else:
+                self.container_read += 1     # cache_miss + container read
+                self.e[h] = True             # read path -> MRU head, e
+                self._evict()
+        self.pcache_max = max(self.pcache_max, len(self.p))
+        return pa.table({
+            "container_read": pa.array([self.container_read], pa.int64()),
+            "cache_hit": pa.array([self.cache_hit], pa.int64()),
+            "e_num": pa.array([len(self.e)], pa.int64()),
+            "p_num": pa.array([len(self.p)], pa.int64()),
+            "p_max": pa.array([self.pcache_max], pa.int64())})
+
+
+def windowed_restore_chunkcache(assignments: "ray.data.Dataset",
+                                store: "ray.data.Dataset",
+                                cache_size: int = 30,
+                                window_size: int = 1024,
+                                order_cols: tuple = ("doc_id",)) -> dict:
+    """Windowed restore through the e/p-split chunk cache (reference
+    R9/R11): refs stream in look-ahead windows of ``window_size``
+    through an actor-held LRU whose probationary region is evicted
+    first and whose e region holds rows with known in-window reuse.
+
+    Limits (tested): cache_size=0 degenerates to one read per ref
+    (``regular_assemble``, src/look_ahead.c:149-179); cache_size >=
+    #canonicals reads each stored row exactly once (the one-shot
+    restore).  Returns the reference's counter family
+    (src/optsmr.c:319-324) plus the e/p occupancy signal."""
+    from dedup_restore_ray.stages.groups import presort_coalesce
+    refs = presort_coalesce(assignments.select_columns(
+        [*order_cols, "canonical_id"])).sort(list(order_cols))
+    rows = refs.map_batches(
+        ChunkCachedWindowGather, batch_format="pyarrow",
+        batch_size=window_size, concurrency=1,
+        fn_constructor_args=(cache_size,)).take_all()
+    reads = max((r["container_read"] for r in rows), default=0)
+    hits = max((r["cache_hit"] for r in rows), default=0)
+    last = max(rows, key=lambda r: r["container_read"] + r["cache_hit"],
+               default=None)
+    return {
+        "total_container_read": reads,
+        "cache_hit": hits,
+        "cache_miss": reads,
+        "ecache_size": last["e_num"] if last else 0,
+        "pcache_size": last["p_num"] if last else 0,
+        "pcache_max": max((r["p_max"] for r in rows), default=0),
+        "cache_size": cache_size,
+        "window_size": window_size,
+    }
+
+
+def windowed_restore_faa(assignments: "ray.data.Dataset",
+                         store: "ray.data.Dataset",
+                         window_size: int = 1024,
+                         faa_windows: int = 8,
+                         order_cols: tuple = ("doc_id",)) -> dict:
+    """FAA multi-window scatter (reference R13, 'forward assembly
+    area', src/adaptive_faa.c:266-462): keep ``faa_windows`` assembly
+    buffers in flight and fill EVERY in-flight window's slots from one
+    container read, so a canonical shared by several of those windows
+    is fetched once per FAA group instead of once per window.
+
+    Ray formulation: identical single sort-scatter + per-window digest
+    kernel as ``windowed_restore_distributed``, with the container-read
+    counter keyed on ``faa_group = window_id // faa_windows`` — the
+    distinct (faa_group, canonical) count IS 'one read fills all
+    in-flight windows'.  Byte-identity is unchanged: per-window digests
+    (and so ``restored_merkle``) are invariant in ``faa_windows``,
+    while ``total_container_read`` shrinks monotonically toward the
+    one-shot limit (global distinct canonicals) as it grows.
+
+    faa_windows=1 reproduces ``windowed_restore_distributed`` exactly.
+    """
+    import hashlib
+
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import presort_coalesce
+
+    if faa_windows < 1:
+        raise ValueError("faa_windows must be >= 1")
+    refs = presort_coalesce(assignments.select_columns(
+        [*order_cols, "canonical_id"])).sort(list(order_cols)).materialize()
+    n_refs = refs.count()
+    if n_refs == 0:
+        return {"total_container_read": 0, "restored_rows": 0,
+                "restored_bytes": 0, "window_size": window_size,
+                "faa_windows": faa_windows,
+                "restored_merkle": hashlib.sha1(b"").hexdigest()}
+    refs_w = _window_ids(refs, order_cols, window_size)
+
+    gathered = _scatter_lookup(
+        refs_w, store, key_col="canonical_id", payload_col="stored_text",
+        out_cols=["window_id", "canonical_id", *order_cols])
+
+    faa = int(faa_windows)
+
+    # per-window digest/rows/bytes + per-FAA-group distinct-canonical
+    # counts in ONE pass (same kernel shape as digest_block above; the
+    # group key for container reads is window_id // faa)
+    def digest_block(b: pa.Table) -> pa.Table:
+        empty = pa.table({"window_id": pa.array([], pa.int64()),
+                          "digest": pa.array([], pa.string()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "n_bytes": pa.array([], pa.int64()),
+                          "n_containers": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        wid_np = np.asarray(b.column("window_id").combine_chunks())
+        gid = wid_np // faa
+        b = b.append_column("__faa_group", pa.array(gid, pa.int64()))
+        starts, ends = group_bounds(b, ["window_id"])
+        g_starts, g_ends = group_bounds(b, ["__faa_group"])
+        texts = b.column("stored_text").to_pylist()
+        canon = b.column("canonical_id")
+        wids, digs, nrows, nbytes = [], [], [], []
+        for s, e in zip(starts, ends):
+            h = hashlib.sha1()
+            wb = 0
+            for t in texts[s:e]:
+                t = t or ""
+                wb += len(t)
+                h.update(t.encode())
+                h.update(b"\x00")
+            wids.append(int(wid_np[int(s)]))
+            digs.append(h.hexdigest())
+            nrows.append(int(e - s))
+            nbytes.append(wb)
+        # container reads: distinct canonicals per FAA group — emitted
+        # on the group's FIRST window row so totals sum once per group
+        ncont = [0] * len(wids)
+        wpos = 0
+        for s, e in zip(g_starts, g_ends):
+            while wpos < len(starts) and starts[wpos] < s:
+                wpos += 1
+            ncont[wpos] = len(pc.unique(canon.slice(int(s), int(e - s))))
+        return pa.table({"window_id": pa.array(wids, pa.int64()),
+                         "digest": pa.array(digs, pa.string()),
+                         "n_rows": pa.array(nrows, pa.int64()),
+                         "n_bytes": pa.array(nbytes, pa.int64()),
+                         "n_containers": pa.array(ncont, pa.int64())})
+
+    # FAA groups are the residual-pass unit: a group split across
+    # blocks must be digested whole (same contract as sorted_split's
+    # window_id split above, one level coarser)
+    def with_group(b: pa.Table) -> pa.Table:
+        wid_np = np.asarray(b.column("window_id").combine_chunks())
+        return b.append_column("__g", pa.array(wid_np // faa, pa.int64()))
+
+    grouped = gathered.map_batches(with_group, batch_format="pyarrow")
+    interior, edge = sorted_split(grouped, ["__g", *order_cols], ["__g"])
+    dig_rows = (interior.map_batches(digest_block, batch_format="pyarrow",
+                                     batch_size=None)
+                .union(edge.groupby("__g").map_groups(
+                    lambda g: digest_block(g.sort_by(
+                        [("__g", "ascending")]
+                        + [(c, "ascending") for c in order_cols])),
+                    batch_format="pyarrow"))).take_all()
+    restored_rows = sum(r["n_rows"] for r in dig_rows)
+    if restored_rows != n_refs:
+        raise KeyError(
+            f"{n_refs - restored_rows} recipe refs point at canonicals "
+            f"absent from the store (windowed_restore_faa)")
+    merkle = hashlib.sha1()
+    for r in sorted(dig_rows, key=lambda r: r["window_id"]):
+        merkle.update(r["digest"].encode())
+    return {
+        "total_container_read": int(sum(r["n_containers"]
+                                        for r in dig_rows)),
+        "restored_rows": int(restored_rows),
+        "restored_bytes": int(sum(r["n_bytes"] for r in dig_rows)),
+        "window_size": window_size,
+        "faa_windows": faa_windows,
+        "restored_merkle": merkle.hexdigest(),
+    }
+
+
 def restore_corpus(assignments: "ray.data.Dataset",
                    store: "ray.data.Dataset",
                    strategy: str = "sort") -> "ray.data.Dataset":

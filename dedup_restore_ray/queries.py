@@ -1197,6 +1197,58 @@ def q_windowed_restore_docs(sf_dir: str, window_size: int = 64):
     })
 
 
+def q_windowed_restore_faa_docs(sf_dir: str, window_size: int = 64,
+                                faa_windows: int = 4):
+    """FAA multi-window scatter counters (reference R13,
+    src/adaptive_faa.c:266-462): ``faa_windows`` look-ahead windows are
+    in flight at once and one container read fills every in-flight
+    window's slots, so total_container_read counts distinct
+    (faa-group, canonical) instead of (window, canonical).  The oracle
+    recomputes the counters relationally (the faa group IS a window of
+    window_size * faa_windows refs for the read counter, while
+    restored_rows/bytes are unchanged)."""
+    from dedup_restore_ray.pipelines.restore import (
+        canonical_store, windowed_restore_faa)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    marked = q_exact_dedup_docs(sf_dir).materialize()
+    store = canonical_store(docs, marked)
+    m = windowed_restore_faa(
+        marked.select_columns(["doc_id", "canonical_id"]), store,
+        window_size=window_size, faa_windows=faa_windows)
+    return pd.DataFrame({
+        "total_container_read": [m["total_container_read"]],
+        "restored_rows": [m["restored_rows"]],
+        "restored_bytes": [m["restored_bytes"]],
+    })
+
+
+def q_windowed_restore_chunkcache_docs(sf_dir: str, cache_size: int = 16,
+                                       window_size: int = 64):
+    """Chunk-cache (e/p split) counters for the windowed restore
+    (reference R9/R11, src/chunk_cache.c:131-527): LRU with a
+    probationary region evicted first; e-chunks = known future reuse in
+    the current window.  Counters are an exact serial cache simulation
+    (LRU state is order-dependent), so there is no SQL oracle — the
+    limit contracts (cache=0 == one read per ref == regular_assemble;
+    cache >= #canonicals == one-shot restore) are pytest-verified
+    instead (tests/test_restore_state.py)."""
+    from dedup_restore_ray.pipelines.restore import (
+        canonical_store, windowed_restore_chunkcache)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    marked = q_exact_dedup_docs(sf_dir).materialize()
+    store = canonical_store(docs, marked)
+    m = windowed_restore_chunkcache(
+        marked.select_columns(["doc_id", "canonical_id"]), store,
+        cache_size=cache_size, window_size=window_size)
+    return pd.DataFrame({
+        "total_container_read": [m["total_container_read"]],
+        "cache_hit": [m["cache_hit"]],
+        "ecache_size": [m["ecache_size"]],
+        "pcache_size": [m["pcache_size"]],
+        "pcache_max": [m["pcache_max"]],
+    })
+
+
 def q_trace_dedup(sf_dir: str):
     """Trace-shaped exact dedup (FIXTURES.md F2): lineitem rows as
     ordered chunk refs (file=l_orderkey, seq=l_linenumber), fingerprint
@@ -3909,6 +3961,8 @@ QUERIES = {
     "restore_docs": q_restore_docs,
     "update_restore_docs": q_update_restore_docs,
     "windowed_restore_docs": q_windowed_restore_docs,
+    "windowed_restore_faa_docs": q_windowed_restore_faa_docs,
+    "windowed_restore_chunkcache_docs": q_windowed_restore_chunkcache_docs,
     "trace_dedup": q_trace_dedup,
     "trace_dedup_stats": q_trace_dedup_stats,
     "sessionize_events": q_sessionize_events,
@@ -4292,6 +4346,23 @@ ORACLE_SQL = {
           FROM r)
         SELECT (SELECT count(*) FROM
                   (SELECT DISTINCT window_id, canonical_id FROM w))
+                 AS total_container_read,
+               (SELECT count(*) FROM w) AS restored_rows,
+               (SELECT sum(length(text))::BIGINT FROM documents)
+                 AS restored_bytes
+    """,
+    "windowed_restore_faa_docs": """
+        WITH r AS (
+          SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY text) AS canonical_id
+          FROM documents),
+        w AS (
+          SELECT canonical_id,
+                 CAST(FLOOR((row_number() OVER (ORDER BY doc_id) - 1)
+                            / 256) AS BIGINT) AS faa_group
+          FROM r)
+        SELECT (SELECT count(*) FROM
+                  (SELECT DISTINCT faa_group, canonical_id FROM w))
                  AS total_container_read,
                (SELECT count(*) FROM w) AS restored_rows,
                (SELECT sum(length(text))::BIGINT FROM documents)

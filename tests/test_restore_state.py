@@ -224,3 +224,147 @@ class TestCanonicalStoreScaleGate:
             strategy="sort").to_pandas()
         got = dict(zip(restored.doc_id, restored.restored_text))
         assert all(got[i] == t for i, t in enumerate(texts))
+
+
+def _dup_corpus(n=400, k=40):
+    """n refs over k distinct payloads, heavy duplication."""
+    import ray.data as rd
+    from dedup_restore_ray.stages.exact import exact_dedup
+    from dedup_restore_ray.functions.hashing import content_hashes
+    texts = [f"payload number {i % k} with some body text"
+             for i in range(n)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    def add_hash(b):
+        h = content_hashes(b.column("text").to_pylist())
+        return b.append_column("content_hash", pa.array(h, pa.binary(20)))
+
+    marked = exact_dedup(docs.map_batches(
+        add_hash, batch_format="pyarrow")).materialize()
+    from dedup_restore_ray.pipelines.restore import canonical_store
+    store = canonical_store(docs, marked).materialize()
+    return marked, store
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChunkCache:
+    """e/p-split chunk-cache counters (reference R9/R11,
+    src/chunk_cache.c:131-527): limit parity + the e/p state machine."""
+
+    def test_limit_parity(self):
+        from dedup_restore_ray.pipelines.restore import (
+            windowed_restore_chunkcache)
+        marked, store = _dup_corpus(400, 40)
+        refs = marked.select_columns(["doc_id", "canonical_id"])
+        # cache=0 degenerates to one read per ref (regular_assemble,
+        # src/look_ahead.c:149-179)
+        m0 = windowed_restore_chunkcache(refs, store, cache_size=0,
+                                         window_size=64)
+        assert m0["total_container_read"] == 400
+        assert m0["cache_hit"] == 0
+        assert m0["ecache_size"] == m0["pcache_size"] == 0
+        # cache >= #canonicals reads each stored row exactly once
+        # (the one-shot restore limit)
+        minf = windowed_restore_chunkcache(refs, store, cache_size=10_000,
+                                           window_size=64)
+        assert minf["total_container_read"] == 40
+        assert minf["cache_hit"] == 360
+        # finite cache sits between the limits, monotone in size
+        m8 = windowed_restore_chunkcache(refs, store, cache_size=8,
+                                         window_size=64)
+        m24 = windowed_restore_chunkcache(refs, store, cache_size=24,
+                                          window_size=64)
+        assert 40 <= m24["total_container_read"] \
+            <= m8["total_container_read"] <= 400
+        assert m8["total_container_read"] + m8["cache_hit"] == 400
+
+    def test_ep_state_machine(self):
+        """Hand-stepped windows against the reference semantics:
+        hits promote on known in-window reuse and demote otherwise;
+        eviction drains the probationary region first."""
+        from dedup_restore_ray.pipelines.restore import (
+            ChunkCachedWindowGather)
+
+        def window(ids):
+            return pa.table({"canonical_id": pa.array(ids, pa.int64())})
+
+        g = ChunkCachedWindowGather(cache_size=2)
+        r1 = g(window([7, 7, 9]))
+        # 7: miss->e; 7 again: hit, no later reuse -> demoted to p;
+        # 9: miss->e
+        assert r1["container_read"][0].as_py() == 2
+        assert r1["cache_hit"][0].as_py() == 1
+        assert r1["e_num"][0].as_py() == 1      # {9}
+        assert r1["p_num"][0].as_py() == 1      # {7}
+        # new canonical evicts the probationary 7, not the e-chunk 9
+        r2 = g(window([11]))
+        assert r2["container_read"][0].as_py() == 3
+        assert r2["e_num"][0].as_py() == 2      # {9, 11}
+        assert r2["p_num"][0].as_py() == 0
+        # 9 survived in the e region (hit); with no later in-window
+        # reuse the hit demotes it to the probationary region
+        # (move_2_chunk_cache_after_s_prt, src/look_ahead.c:406-410)
+        r3 = g(window([9]))
+        assert r3["container_read"][0].as_py() == 3
+        assert r3["cache_hit"][0].as_py() == 2
+        assert r3["e_num"][0].as_py() == 1      # {11}
+        assert r3["p_num"][0].as_py() == 1      # {9}
+
+    def test_p_eviction_order_is_fifo_from_tail(self):
+        """p-chunks inserted after s_ptr push older p-chunks toward
+        the tail; eviction takes the tail (src/chunk_cache.c:294-346)."""
+        from dedup_restore_ray.pipelines.restore import (
+            ChunkCachedWindowGather)
+        g = ChunkCachedWindowGather(cache_size=2)
+        # make 1 and 2 probationary (hit with no later in-window reuse),
+        # in that demotion order: 1 older than 2 in the p region
+        g(pa.table({"canonical_id": pa.array([1, 2, 1, 2], pa.int64())}))
+        assert len(g.p) == 2 and len(g.e) == 0
+        # one insert -> evicts oldest p (1); 2 must still be cached
+        g(pa.table({"canonical_id": pa.array([5], pa.int64())}))
+        hits_before = g.cache_hit
+        g(pa.table({"canonical_id": pa.array([2], pa.int64())}))
+        assert g.cache_hit == hits_before + 1
+        g(pa.table({"canonical_id": pa.array([1], pa.int64())}))
+        assert g.cache_hit == hits_before + 1   # 1 was the eviction victim
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFAAScatter:
+    """R13 multi-window scatter (src/adaptive_faa.c:266-462): one
+    container read fills every in-flight window's slots."""
+
+    def test_faa_one_reproduces_windowed_restore(self):
+        from dedup_restore_ray.pipelines.restore import (
+            windowed_restore_distributed, windowed_restore_faa)
+        marked, store = _dup_corpus(400, 40)
+        refs = marked.select_columns(["doc_id", "canonical_id"])
+        base = windowed_restore_distributed(refs, store, window_size=32)
+        faa1 = windowed_restore_faa(refs, store, window_size=32,
+                                    faa_windows=1)
+        for key in ("total_container_read", "restored_rows",
+                    "restored_bytes", "restored_merkle"):
+            assert faa1[key] == base[key], key
+
+    def test_reads_shrink_bytes_invariant(self):
+        from dedup_restore_ray.pipelines.restore import (
+            windowed_restore_distributed, windowed_restore_faa)
+        marked, store = _dup_corpus(400, 40)
+        refs = marked.select_columns(["doc_id", "canonical_id"])
+        runs = {f: windowed_restore_faa(refs, store, window_size=16,
+                                        faa_windows=f)
+                for f in (1, 4, 100)}
+        # byte-identity: per-window digests do not depend on how many
+        # windows share a container read
+        assert len({r["restored_merkle"] for r in runs.values()}) == 1
+        assert all(r["restored_rows"] == 400 for r in runs.values())
+        # container reads shrink monotonically toward the one-shot limit
+        assert runs[1]["total_container_read"] >= \
+            runs[4]["total_container_read"] >= \
+            runs[100]["total_container_read"] == 40
+        # a group of faa windows reads like ONE window of w*faa refs
+        eq = windowed_restore_distributed(refs, store, window_size=64)
+        assert runs[4]["total_container_read"] == \
+            eq["total_container_read"]
