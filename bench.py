@@ -169,14 +169,29 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
+    def fresh_probe() -> float:
+        # first-touch bandwidth is only meaningful in a FRESH process
+        # (a warm process reuses its freed pages fault-free)
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import bench; print(bench._host_memband_mb_s())"],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return float(out.stdout.strip().splitlines()[-1])
+
+    probes = [fresh_probe()]
     lo, hi = SCALING_LOW, SCALING_HIGH
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     runs = {lo: [], hi: []}
     for _ in range(repeats):               # interleaved A/B, best-of-N
         runs[lo].append(run(lo)["value"])
         runs[hi].append(run(hi)["value"])
+        probes.append(fresh_probe())
     t_lo, t_hi = min(runs[lo]), min(runs[hi])
     eff = (t_lo / t_hi) / (hi / lo)
+    import statistics
+    per_repeat = [round((a / b) / (hi / lo), 3)
+                  for a, b in zip(runs[lo], runs[hi])]
     return {
         "metric": "scaling_efficiency",
         "cpus_low": lo, "cpus_high": hi,
@@ -186,6 +201,12 @@ def run_scaling() -> dict:
         "docs_per_sec_low": round(SCALING_DOCS / t_lo, 1),
         "docs_per_sec_high": round(SCALING_DOCS / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        # the north_rule robustness evidence: per-repeat pairings +
+        # median, with the host first-touch-bandwidth probe between
+        # every repeat (interpretation denominator, see BASELINE.md)
+        "per_repeat_efficiency": per_repeat,
+        "median_efficiency": round(statistics.median(per_repeat), 3),
+        "host_memband_probes_mb_s": probes,
     }
 
 

@@ -26,6 +26,8 @@ original for every doc (verified in tests via content hashes).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -654,6 +656,254 @@ def windowed_restore_faa(assignments: "ray.data.Dataset",
         "restored_bytes": int(sum(r["n_bytes"] for r in dig_rows)),
         "window_size": window_size,
         "faa_windows": faa_windows,
+        "restored_merkle": merkle.hexdigest(),
+    }
+
+
+@dataclass
+class AdaptiveState:
+    """Controller state for the adaptive FAA/LAW re-split (reference
+    R14, ``adaptive_faa_adjust`` src/adaptive_faa.c:158-263 + the
+    re-split loop src/trace_work.c:744-830).  The invariant the
+    reference maintains: ``faa + cache == mem`` — a FIXED memory
+    budget of assembly-buffer slots is re-divided between in-flight
+    FAA windows and chunk-cache capacity every step
+    (``cache_change = 1 - faa_change``, src/trace_work.c:787-790);
+    the look-ahead window length (``law``, in windows) moves
+    independently inside [2*mem, 20*mem] (src/adaptive_faa.c:166-168).
+    Thresholds are the reference's constants, parameterized where its
+    values encode its 4 KiB-chunk scale (``p_threshold`` is its
+    ``p_num < 512`` gate, src/adaptive_faa.c:259-262)."""
+    mem: int                  # fixed budget: faa + cache (windows)
+    faa: int                  # in-flight FAA windows
+    law: int                  # look-ahead window length, in windows
+    p_threshold: int = 512    # min pcache to justify extending law
+    effective_faa: int = 0    # consecutive low-read windows
+    effective_cache: int = 0  # consecutive high-read windows
+
+    @property
+    def cache(self) -> int:
+        return self.mem - self.faa
+
+    @property
+    def faa_low(self) -> int:
+        return 2
+
+    @property
+    def faa_high(self) -> int:
+        return max(2, 5 * self.mem // 8)
+
+    @property
+    def law_low(self) -> int:
+        return 2 * self.mem
+
+    @property
+    def law_high(self) -> int:
+        return 20 * self.mem
+
+
+def adaptive_adjust(st: AdaptiveState, reads_w: int, pcache_w: int) -> None:
+    """One controller step after consuming a window (reference
+    ``adaptive_faa_adjust``): container reads above the reference's
+    effectiveness bar (>2 per window, src/adaptive_faa.c:169) mark the
+    FAA ineffective and shift budget toward the cache; a long effective
+    streak (> 6*faa windows, src/adaptive_faa.c:183) grows the FAA by
+    2.  The look-ahead window extends by the reference's proportional
+    step (law_high/70 - law/70, src/adaptive_faa.c:210-212) only while
+    the probationary cache is populated (its ``p_num`` gate) — a large
+    p cache means little known reuse, so more look-ahead is needed to
+    find it.  Mutates ``st`` in place; the budget invariant
+    ``faa + cache == mem`` holds on every exit path."""
+    if reads_w > 2:
+        st.effective_faa = 0
+        st.effective_cache += 1
+    else:
+        st.effective_faa += 1
+        st.effective_cache = 0
+
+    if st.effective_faa > 6 * st.faa:
+        # FAA effective: grow it (budget moves cache -> faa)
+        if st.faa + 2 <= st.faa_high:
+            st.faa += 2
+        st.effective_faa = 0
+    elif st.effective_cache > 0:
+        # misses dominate: shrink FAA (budget moves faa -> cache),
+        # and look further ahead if the p cache says reuse is sparse
+        if st.faa - 1 >= st.faa_low:
+            st.faa -= 1
+        st.effective_cache = 0
+        if pcache_w >= st.p_threshold:
+            law_try = st.law_high // 70 - st.law // 70
+            st.law = min(st.law + max(law_try, 0), st.law_high)
+    st.faa = min(max(st.faa, st.faa_low), st.faa_high)
+    st.law = min(max(st.law, st.law_low), st.law_high)
+
+
+def adaptive_windowed_restore(assignments: "ray.data.Dataset",
+                              store: "ray.data.Dataset",
+                              window_size: int = 1024,
+                              mem_windows: int = 32,
+                              initial_faa: int = 8,
+                              p_threshold: int | None = None,
+                              order_cols: tuple = ("doc_id",)) -> dict:
+    """Adaptive FAA restore (reference R14, src/adaptive_faa.c:158-263
+    + src/trace_work.c:744-830): the fixed memory budget of
+    ``mem_windows`` assembly-buffer slots is re-split between in-flight
+    FAA windows and cache capacity as the recipe streams, driven by
+    per-window container reads and the probationary-cache signal.
+
+    Ray formulation — three bounded passes, no driver-resident store:
+
+    1. ONE sort-scatter gather + per-window stats pass (digest, rows,
+       bytes, distinct canonicals, singleton canonicals — the pcache
+       proxy: a canonical seen once in its window has no known reuse,
+       exactly the reference's p-chunk);
+    2. a pure driver walk over the O(#windows) stat rows running the
+       reference's controller (``adaptive_adjust``) to decide each
+       window's FAA group — driver state is the controller struct plus
+       one int per window;
+    3. ONE distributed pass counting distinct (faa_group, canonical)
+       under the DECIDED grouping — the exact container reads the
+       multi-window scatter performs (R13 semantics per group).
+
+    Byte-identity: per-window digests are grouping-independent, so
+    ``restored_merkle`` equals ``windowed_restore_distributed``'s for
+    the same window_size (tested).  Returns counters + the controller
+    trajectory (faa/law per window) for the reference's
+    ``look_ahead_log`` parity."""
+    import hashlib
+
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import presort_coalesce
+
+    refs = presort_coalesce(assignments.select_columns(
+        [*order_cols, "canonical_id"])).sort(list(order_cols)).materialize()
+    n_refs = refs.count()
+    if n_refs == 0:
+        return {"total_container_read": 0, "restored_rows": 0,
+                "restored_bytes": 0, "window_size": window_size,
+                "faa_trajectory": [], "law_trajectory": [],
+                "restored_merkle": hashlib.sha1(b"").hexdigest()}
+    refs_w = _window_ids(refs, order_cols, window_size)
+    gathered = _scatter_lookup(
+        refs_w, store, key_col="canonical_id", payload_col="stored_text",
+        out_cols=["window_id", "canonical_id", *order_cols]).materialize()
+
+    # ---- pass 1: per-window stats --------------------------------------
+    def window_stats(b: pa.Table) -> pa.Table:
+        empty = pa.table({"window_id": pa.array([], pa.int64()),
+                          "digest": pa.array([], pa.string()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "n_bytes": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64()),
+                          "n_singleton": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        starts, ends = group_bounds(b, ["window_id"])
+        texts = b.column("stored_text").to_pylist()
+        canon = b.column("canonical_id")
+        wids, digs, nrows, nbytes, ndis, nsing = [], [], [], [], [], []
+        for s, e in zip(starts, ends):
+            h = hashlib.sha1()
+            wb = 0
+            for t in texts[s:e]:
+                t = t or ""
+                wb += len(t)
+                h.update(t.encode())
+                h.update(b"\x00")
+            vc = pc.value_counts(canon.slice(int(s), int(e - s)))
+            wids.append(b.column("window_id")[int(s)].as_py())
+            digs.append(h.hexdigest())
+            nrows.append(int(e - s))
+            nbytes.append(wb)
+            ndis.append(len(vc))
+            nsing.append(int(pc.sum(pc.equal(
+                vc.field("counts"), pa.scalar(1))).as_py() or 0))
+        return pa.table({"window_id": pa.array(wids, pa.int64()),
+                         "digest": pa.array(digs, pa.string()),
+                         "n_rows": pa.array(nrows, pa.int64()),
+                         "n_bytes": pa.array(nbytes, pa.int64()),
+                         "n_distinct": pa.array(ndis, pa.int64()),
+                         "n_singleton": pa.array(nsing, pa.int64())})
+
+    interior, edge = sorted_split(gathered, ["window_id", *order_cols],
+                                  ["window_id"])
+    stat_rows = (interior.map_batches(window_stats, batch_format="pyarrow",
+                                      batch_size=None)
+                 .union(edge.groupby("window_id").map_groups(
+                     lambda g: window_stats(g.sort_by(
+                         [("window_id", "ascending")]
+                         + [(c, "ascending") for c in order_cols])),
+                     batch_format="pyarrow"))).take_all()
+    stat_rows.sort(key=lambda r: r["window_id"])
+    restored_rows = sum(r["n_rows"] for r in stat_rows)
+    if restored_rows != n_refs:
+        raise KeyError(
+            f"{n_refs - restored_rows} recipe refs point at canonicals "
+            f"absent from the store (adaptive_windowed_restore)")
+
+    # ---- pass 2: driver controller walk (O(#windows) state) ------------
+    if p_threshold is None:
+        p_threshold = 512
+    st = AdaptiveState(mem=mem_windows,
+                       faa=min(max(initial_faa, 2),
+                               max(2, 5 * mem_windows // 8)),
+                       law=2 * mem_windows, p_threshold=p_threshold)
+    groups = np.empty(len(stat_rows), dtype=np.int64)
+    faa_traj, law_traj = [], []
+    gid = 0
+    fill = 0
+    for i, r in enumerate(stat_rows):
+        groups[i] = gid
+        fill += 1
+        if fill >= st.faa:       # this FAA group of windows is full
+            gid += 1
+            fill = 0
+        faa_traj.append(st.faa)
+        law_traj.append(st.law)
+        adaptive_adjust(st, r["n_distinct"], r["n_singleton"])
+
+    # ---- pass 3: exact reads under the decided grouping ----------------
+    wid_min = stat_rows[0]["window_id"]
+    group_ref = ray.put(groups)
+
+    def stamp_group(b: pa.Table) -> pa.Table:
+        g = ray.get(group_ref)
+        wid_np = np.asarray(b.column("window_id").combine_chunks())
+        return b.append_column(
+            "__g", pa.array(g[wid_np - wid_min], pa.int64()))
+
+    def group_reads(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        starts, ends = group_bounds(b, ["__g"])
+        canon = b.column("canonical_id")
+        ns = [len(pc.unique(canon.slice(int(s), int(e - s))))
+              for s, e in zip(starts, ends)]
+        return pa.table({"n": pa.array(ns, pa.int64())})
+
+    stamped = gathered.map_batches(stamp_group, batch_format="pyarrow")
+    g_interior, g_edge = sorted_split(stamped, ["__g", "canonical_id"],
+                                      ["__g"])
+    reads = (g_interior.map_batches(group_reads, batch_format="pyarrow",
+                                    batch_size=None)
+             .union(g_edge.groupby("__g").map_groups(
+                 lambda g: group_reads(g.sort_by(
+                     [("__g", "ascending"),
+                      ("canonical_id", "ascending")])),
+                 batch_format="pyarrow"))).sum("n") or 0
+
+    merkle = hashlib.sha1()
+    for r in stat_rows:
+        merkle.update(r["digest"].encode())
+    return {
+        "total_container_read": int(reads),
+        "restored_rows": int(restored_rows),
+        "restored_bytes": int(sum(r["n_bytes"] for r in stat_rows)),
+        "window_size": window_size,
+        "mem_windows": mem_windows,
+        "faa_trajectory": faa_traj,
+        "law_trajectory": law_traj,
         "restored_merkle": merkle.hexdigest(),
     }
 

@@ -1249,6 +1249,36 @@ def q_windowed_restore_chunkcache_docs(sf_dir: str, cache_size: int = 16,
     })
 
 
+def q_adaptive_restore_docs(sf_dir: str, window_size: int = 64,
+                            mem_windows: int = 4):
+    """Adaptive FAA restore counters (reference R14,
+    src/adaptive_faa.c:158-263): a fixed memory budget of assembly
+    slots is re-split between in-flight FAA windows and cache as the
+    recipe streams, driven by per-window container reads and the
+    probationary-cache signal.  The controller trajectory is an exact
+    deterministic simulation (pytest-verified, tests/test_adaptive.py);
+    no SQL oracle — but byte identity and counter bounds vs the fixed
+    windowed restore are asserted in tests."""
+    from dedup_restore_ray.pipelines.restore import (
+        adaptive_windowed_restore, canonical_store)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    marked = q_exact_dedup_docs(sf_dir).materialize()
+    store = canonical_store(docs, marked)
+    m = adaptive_windowed_restore(
+        marked.select_columns(["doc_id", "canonical_id"]), store,
+        window_size=window_size, mem_windows=mem_windows,
+        p_threshold=8)
+    return pd.DataFrame({
+        "total_container_read": [m["total_container_read"]],
+        "restored_rows": [m["restored_rows"]],
+        "restored_bytes": [m["restored_bytes"]],
+        "final_faa": [m["faa_trajectory"][-1] if m["faa_trajectory"]
+                      else 0],
+        "final_law": [m["law_trajectory"][-1] if m["law_trajectory"]
+                      else 0],
+    })
+
+
 def q_trace_dedup(sf_dir: str):
     """Trace-shaped exact dedup (FIXTURES.md F2): lineitem rows as
     ordered chunk refs (file=l_orderkey, seq=l_linenumber), fingerprint
@@ -3963,6 +3993,7 @@ QUERIES = {
     "windowed_restore_docs": q_windowed_restore_docs,
     "windowed_restore_faa_docs": q_windowed_restore_faa_docs,
     "windowed_restore_chunkcache_docs": q_windowed_restore_chunkcache_docs,
+    "adaptive_restore_docs": q_adaptive_restore_docs,
     "trace_dedup": q_trace_dedup,
     "trace_dedup_stats": q_trace_dedup_stats,
     "sessionize_events": q_sessionize_events,
