@@ -95,10 +95,10 @@ def batch_lgram_hashes(texts: list[str], L: int) -> list[np.ndarray]:
                 out.append(np.empty(0, dtype=U64))
             else:
                 data = np.frombuffer(enc[i], dtype=np.uint32)
-                out.append(np.unique(mix64(_global_kgram_hashes(data, L))))
+                out.append(np.unique(_global_kgram_hashes(data, L, mixed=True)))
         return out
     data = np.frombuffer(b"".join(enc), dtype=np.uint32)
-    acc = mix64(_global_kgram_hashes(data, L))
+    acc = _global_kgram_hashes(data, L, mixed=True)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     hlens = np.maximum(lens - L + 1, 0)
     out = []
@@ -129,14 +129,19 @@ def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
     return _POW_CACHE["powP"], _POW_CACHE["powPinv"]
 
 
-def _global_kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
+def _global_kgram_hashes(data: np.ndarray, k: int,
+                         mixed: bool = False) -> np.ndarray:
     """O(n) rolling polynomial hash of every k-window via modular-
     inverse prefix sums:  h[i] = P^{i+k-1} * (S[i+k] - S[i])  with
     S[m] = Σ_{t<m} d[t]·P^{-t}  (all mod 2^64) — identical values to
     the k-pass shifted-add loop.  Allocation-lean: power tables are
-    process-cached and the result is built in place (3 temporaries,
-    vs 6+ in the naive form — cold page faults on fresh numpy arrays
-    are the multi-worker scaling limiter on shared hosts)."""
+    process-cached, the result reuses the term buffer, and with
+    ``mixed=True`` the splitmix64 finalizer runs in place with the
+    prefix-sum buffer as scratch (2 temporaries total, vs 10+ in the
+    naive form — cold page faults on fresh numpy arrays are the
+    multi-worker scaling limiter on shared hosts)."""
+    from dedup_restore_ray.functions.hashing import mix64_inplace
+
     n = len(data)
     m = n - k + 1
     powP, powPinv = _pow_tables(n)
@@ -147,12 +152,15 @@ def _global_kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
         S = np.empty(n + 1, dtype=U64)
         S[0] = 0
         np.cumsum(term, dtype=U64, out=S[1:])
-        h = S[k:] - S[:-k]
+        h = term[:m]                       # reuse term's pages
+        np.subtract(S[k:], S[: m], out=h)
         if k >= 2:
             h[0] = h[0] * powP[k - 2]                          # P^{k-1}
             np.multiply(h[1:], powP[k - 1 : n - 1], out=h[1:])  # P^{i+k-1}
         elif m >= 2:
             np.multiply(h[1:], powP[: m - 1], out=h[1:])       # P^i, k==1
+        if mixed:
+            h = mix64_inplace(h, scratch=S)
         return h
 
 
@@ -167,21 +175,43 @@ def _batched_window_min(h: np.ndarray, doc_starts: np.ndarray,
     """
     n_docs = len(doc_lens)
     blocks = np.maximum((doc_lens + w - 1) // w, 1)
-    pad_starts = np.concatenate(([0], np.cumsum(blocks[:-1] * w)))
-    total = int((blocks * w).sum())
-    padded = np.full(total, _MAX_U64, dtype=U64)
-    # scatter each doc's hashes into its padded region (vectorized)
-    src_idx = np.repeat(doc_starts, doc_lens) + _ramp(doc_lens)
-    dst_idx = np.repeat(pad_starts, doc_lens) + _ramp(doc_lens)
-    padded[dst_idx] = h[src_idx]
+    pad_w = blocks * w
+    pad_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(pad_w[:-1], out=pad_starts[1:])
+    total = int(pad_w.sum())
+    # per-doc slice copies (2 tiny numpy calls per doc) replace the
+    # three full-size int64 index arrays (repeat + arange + fancy
+    # gather/scatter) of the vectorized form — ~6x less memory traffic,
+    # and fresh-page faults on big temporaries are the measured
+    # multi-worker scaling limiter on shared hosts.
+    padded = np.empty(total, dtype=U64)
+    ds_l = doc_starts.tolist()
+    dl_l = doc_lens.tolist()
+    ps_l = pad_starts.tolist()
+    pw_l = pad_w.tolist()
+    for s, l, p, b in zip(ds_l, dl_l, ps_l, pw_l):
+        padded[p:p + l] = h[s:s + l]
+        padded[p + l:p + b] = _MAX_U64          # tail padding only
     a = padded.reshape(-1, w)
-    prefix = np.minimum.accumulate(a, axis=1).reshape(-1)
-    suffix = np.minimum.accumulate(a[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    # suffix minima written straight into a flat buffer through a
+    # reversed view (no [::-1].reshape copy-back); prefix minima in
+    # place into `padded` itself.
+    suffix = np.empty(total, dtype=U64)
+    np.minimum.accumulate(a[:, ::-1], axis=1,
+                          out=suffix.reshape(-1, w)[:, ::-1])
+    np.minimum.accumulate(a, axis=1, out=a)
+    prefix = padded
     # valid window starts per doc: 0 .. max(len - w, 0)
     n_wins = np.maximum(doc_lens - w, 0) + 1
-    win_idx = np.repeat(pad_starts, n_wins) + _ramp(n_wins)
-    mins = np.minimum(suffix[win_idx], prefix[win_idx + w - 1])
-    offsets = np.concatenate(([0], np.cumsum(n_wins)))
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_wins, out=offsets[1:])
+    mins = np.empty(int(offsets[-1]), dtype=U64)
+    off_l = offsets.tolist()
+    for i, p in enumerate(ps_l):
+        o0, o1 = off_l[i], off_l[i + 1]
+        nw = o1 - o0
+        np.minimum(suffix[p:p + nw], prefix[p + w - 1:p + w - 1 + nw],
+                   out=mins[o0:o1])
     return mins, offsets
 
 
@@ -193,40 +223,56 @@ def _ramp(counts: np.ndarray) -> np.ndarray:
     return out
 
 
-def batch_winnowed_fingerprints(texts: list[str], k: int, window: int
-                                ) -> list[np.ndarray]:
-    """Winnowed fingerprints for a whole batch: ONE O(n) global rolling
-    hash + ONE batched van Herk sliding-min; per doc only the final
-    unique() remains.  Values identical to winnowed_fingerprints per
+def batch_winnowed_fingerprints_csr(texts: list[str], k: int, window: int
+                                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowed fingerprints for a whole batch as CSR (flat sorted-
+    unique values, int64 offsets per doc): ONE O(n) global rolling hash
+    + ONE batched van Herk sliding-min; per doc only an IN-PLACE sort
+    of its minima slice remains, with the unique() done as one global
+    shift-compare pass.  Values identical to winnowed_fingerprints per
     doc (same hash formula; winnowing value sets are tie-rule
     invariant).  Accepts str or pre-encoded bytes per text (the
     signature stage encodes the normalized text ONCE and reuses the
     bytes for SHA-1 + fingerprints — re-encoding here was a full
     corpus-size copy per batch)."""
+    n_docs = len(texts)
+    empty = (np.empty(0, dtype=U64), np.zeros(n_docs + 1, dtype=np.int64))
     enc = [t if isinstance(t, bytes) else
            t.encode("utf-8", "surrogatepass") for t in texts]
-    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
     if lens.sum() == 0:
-        return [np.empty(0, dtype=U64) for _ in texts]
+        return empty
     data = np.frombuffer(b"".join(enc), dtype=np.uint8)
     n = len(data)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     if n < k:
-        return [winnowed_fingerprints(t, k, window) for t in texts]
-    acc = mix64(_global_kgram_hashes(data, k))
+        fps = [winnowed_fingerprints(t, k, window) for t in texts]
+        offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum([len(f) for f in fps], out=offs[1:])
+        flat = (np.concatenate(fps) if fps else np.empty(0, dtype=U64))
+        return flat.astype(U64, copy=False), offs
+    acc = _global_kgram_hashes(data, k, mixed=True)
     # per-doc hash spans (docs shorter than k have none)
     hlens = np.maximum(lens - k + 1, 0)
     hstarts = starts  # acc[p] covers data[p:p+k], so spans share starts
     ok = hlens > 0
     if not ok.any():
-        return [np.empty(0, dtype=U64) for _ in texts]
+        return empty
     mins, offs = _batched_window_min(acc, hstarts[ok], hlens[ok], window)
-    out: list[np.ndarray] = []
-    j = 0
-    for i in range(len(texts)):
-        if not ok[i]:
-            out.append(np.empty(0, dtype=U64))
-            continue
-        out.append(np.unique(mins[offs[j]:offs[j + 1]]))
-        j += 1
-    return out
+    # sorted-unique per doc without 2 allocations/doc (in-place segment
+    # sorts + ONE global keep mask)
+    from dedup_restore_ray.functions.hashing import csr_sorted_unique
+    flat_u, offs_ok = csr_sorted_unique(mins, offs)
+    out_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    out_offs[1:][ok] = np.diff(offs_ok)
+    np.cumsum(out_offs[1:], out=out_offs[1:])
+    return flat_u, out_offs
+
+
+def batch_winnowed_fingerprints(texts: list[str], k: int, window: int
+                                ) -> list[np.ndarray]:
+    """List-of-arrays view of batch_winnowed_fingerprints_csr (compat
+    shim for tests and cold paths; the signature stage consumes the CSR
+    form directly)."""
+    flat, offs = batch_winnowed_fingerprints_csr(texts, k, window)
+    return [flat[offs[i]:offs[i + 1]] for i in range(len(texts))]

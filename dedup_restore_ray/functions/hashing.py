@@ -32,6 +32,53 @@ def mix64(x: np.ndarray | int) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def mix64_inplace(z: np.ndarray, scratch: np.ndarray | None = None
+                  ) -> np.ndarray:
+    """splitmix64 finalizer applied IN PLACE to a uint64 array, with one
+    reusable scratch buffer instead of mix64's four full-size
+    temporaries.  Fresh-page faults on large numpy temporaries are the
+    measured multi-worker scaling limiter on shared hosts — on the hot
+    signature path every avoided allocation is ~8 bytes/char of text."""
+    t = scratch[: len(z)] if scratch is not None and len(scratch) >= len(z) \
+        else np.empty_like(z)
+    with np.errstate(over="ignore"):
+        z += _SM_GAMMA
+        np.right_shift(z, np.uint64(30), out=t)
+        z ^= t
+        z *= _SM_M1
+        np.right_shift(z, np.uint64(27), out=t)
+        z ^= t
+        z *= _SM_M2
+        np.right_shift(z, np.uint64(31), out=t)
+        z ^= t
+    return z
+
+
+def csr_sorted_unique(flat: np.ndarray, offsets: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment sorted-unique over a CSR layout with NO per-segment
+    allocations: in-place slice sorts (flat is MUTATED), then one global
+    shift-compare keep mask + cumsum for the new offsets.  Replaces a
+    np.unique call per segment (2 allocations each) on hot signature
+    paths."""
+    n_seg = len(offsets) - 1
+    if len(flat) == 0:
+        return flat, np.zeros(n_seg + 1, dtype=np.int64)
+    off_l = offsets.tolist()
+    for j in range(n_seg):
+        flat[off_l[j]:off_l[j + 1]].sort()
+    keep = np.empty(len(flat), dtype=bool)
+    keep[0] = True
+    np.not_equal(flat[1:], flat[:-1], out=keep[1:])
+    keep[offsets[:-1][np.diff(offsets) > 0]] = True   # segment restarts
+    csum = np.cumsum(keep)
+    out_offs = np.zeros(n_seg + 1, dtype=np.int64)
+    nonempty = offsets[1:] > offsets[:-1]
+    out_offs[1:][nonempty] = csum[offsets[1:][nonempty] - 1]
+    np.maximum.accumulate(out_offs, out=out_offs)     # carry over empties
+    return flat[keep], out_offs
+
+
 def combine64(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
     """Order-sensitive combination of two 64-bit hash arrays."""
     with np.errstate(over="ignore"):

@@ -80,19 +80,55 @@ class ShingleEncoder:
 
     def encode_tokens(self, token_lists) -> tuple[np.ndarray, np.ndarray]:
         """CSR shingle hashes from pre-tokenized docs (lets callers
-        tokenize once and reuse the tokens for counts/normalization)."""
-        per_doc = []
-        offsets = np.zeros(len(token_lists) + 1, dtype=np.int64)
-        for i, toks in enumerate(token_lists):
-            if toks:
-                wh = self.hasher.hash_words(toks)
-                sh = shingle_hashes_for_tokens(wh, self.k)
-            else:
-                sh = np.empty(0, dtype=U64)
-            per_doc.append(sh)
-            offsets[i + 1] = offsets[i] + len(sh)
-        flat = (np.concatenate(per_doc) if per_doc else np.empty(0, dtype=U64))
-        return flat.astype(U64, copy=False), offsets
+        tokenize once and reuse the tokens for counts/normalization).
+
+        The k-pass rolling polynomial runs ONCE over the batch's flat
+        word-hash array (in place), each doc contributing its valid
+        window span — values identical to the per-doc form, but one
+        numpy dispatch per pass instead of one per doc, and the
+        per-doc np.unique is the shared in-place-sort global-mask pass
+        (csr_sorted_unique).  Docs with 0 < n < k tokens keep the
+        per-doc path (one shingle with effective k = n)."""
+        from dedup_restore_ray.functions.hashing import csr_sorted_unique
+
+        k = self.k
+        n_docs = len(token_lists)
+        counts = np.fromiter((len(t) for t in token_lists),
+                             dtype=np.int64, count=n_docs)
+        total = int(counts.sum())
+        if total == 0:
+            return (np.empty(0, dtype=U64),
+                    np.zeros(n_docs + 1, dtype=np.int64))
+        all_words: list[str] = []
+        for toks in token_lists:
+            all_words.extend(toks)
+        wh = self.hasher.hash_words(all_words)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        n_sh = np.where(counts >= k, counts - k + 1,
+                        np.minimum(counts, 1))
+        raw_offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n_sh, out=raw_offs[1:])
+        raw = np.empty(int(raw_offs[-1]), dtype=U64)
+        m = total - k + 1
+        if m >= 1:
+            with np.errstate(over="ignore"):
+                acc = wh[:m].astype(U64, copy=True)
+                for j in range(1, k):
+                    np.multiply(acc, _POLY, out=acc)
+                    np.add(acc, wh[j:j + m], out=acc)
+        st_l = starts.tolist()
+        cn_l = counts.tolist()
+        ro_l = raw_offs.tolist()
+        for i in range(n_docs):
+            c = cn_l[i]
+            if c >= k:
+                s = st_l[i]
+                raw[ro_l[i]:ro_l[i + 1]] = acc[s:s + c - k + 1]
+            elif c:
+                raw[ro_l[i]] = shingle_hashes_for_tokens(
+                    wh[st_l[i]:st_l[i] + c], k)[0]
+        return csr_sorted_unique(raw, raw_offs)
 
 
 def token_counts(texts) -> np.ndarray:

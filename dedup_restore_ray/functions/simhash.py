@@ -37,7 +37,9 @@ def simhash_signatures(flat: np.ndarray, offsets: np.ndarray,
     ne_lengths = lengths[ne_rows]
     ne_starts = np.concatenate(([0], np.cumsum(ne_lengths)[:-1]))
     # remix so simhash bits are independent of the minhash input bits
-    x = mix64(flat)
+    # (copy + in-place finalizer: 2 allocations, not mix64's 5)
+    from dedup_restore_ray.functions.hashing import mix64_inplace
+    x = mix64_inplace(flat.astype(U64, copy=True))
     seg_doc_bounds = [0]
     acc = 0
     for i, l in enumerate(ne_lengths):

@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 
 from dedup_restore_ray.config import PipelineConfig
-from dedup_restore_ray.functions.fingerprint import batch_winnowed_fingerprints
+from dedup_restore_ray.functions.fingerprint import batch_winnowed_fingerprints_csr
 from dedup_restore_ray.functions.hashing import content_hashes
 from dedup_restore_ray.functions.minhash import make_permutations, minhash_signatures
 from dedup_restore_ray.functions.shingle import ShingleEncoder, normalize_text, token_counts
@@ -87,15 +87,14 @@ class SignatureStage:
         ntok = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
                            count=len(token_lists))
         nshingles = np.diff(offsets)
-        fps = batch_winnowed_fingerprints(norm, cfg.winnow_kgram, self.window)
+        fp_flat, fp_offsets = batch_winnowed_fingerprints_csr(
+            norm, cfg.winnow_kgram, self.window)
 
         shingle_list = pa.ListArray.from_arrays(
             pa.array(offsets.astype(np.int32)), pa.array(flat, pa.uint64()))
-        fp_offsets = np.zeros(len(texts) + 1, dtype=np.int32)
-        fp_offsets[1:] = np.cumsum([len(f) for f in fps], dtype=np.int64)
-        fp_flat = np.concatenate(fps) if fps else np.empty(0, dtype=np.uint64)
         fp_list = pa.ListArray.from_arrays(
-            pa.array(fp_offsets), pa.array(fp_flat, pa.uint64()))
+            pa.array(fp_offsets.astype(np.int32)),
+            pa.array(fp_flat, pa.uint64()))
 
         cols = {
             "doc_id": batch.column(self.id_col),
