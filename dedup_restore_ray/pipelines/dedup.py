@@ -242,17 +242,34 @@ def dedup_pipeline(docs: "ray.data.Dataset",
         pack_thread = threading.Thread(target=_build, daemon=True)
         pack_thread.start()
 
-    cands = cands.materialize()
-    metrics["candidate_pairs"] = cands.count()
-    _lap("candidate_pairs")
-
     # ---- verification --------------------------------------------------
     if pack_thread is not None:
+        # FUSED candidate counter (round-2 verdict #7): the candidate
+        # sort chain streams straight into the packed verify in ONE
+        # execution; the verify emits ALL candidates with their jaccard
+        # so the materialized metadata count IS candidate_pairs, and
+        # the verified subset is one cheap filter over the (small)
+        # pair table — two barriers replaced by one.
         pack_thread.join()
-        from dedup_restore_ray.stages.verify import verify_pairs_with_pack
-        verified = verify_pairs_with_pack(
-            cands, pack_ref_box["ref"], cfg).materialize()
+        from dedup_restore_ray.stages.verify import _VerifyPacked
+        checked = cands.map_batches(
+            _VerifyPacked(pack_ref_box["ref"], cfg.jaccard_threshold,
+                          emit_all=True),
+            batch_format="pyarrow").materialize()
+        metrics["candidate_pairs"] = checked.count()
+        _lap("candidate_pairs_and_verify")
+        thr = cfg.jaccard_threshold
+
+        def passed(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(b.column("jaccard"),
+                                             pa.scalar(thr)))
+
+        verified = checked.map_batches(
+            passed, batch_format="pyarrow").materialize()
     else:
+        cands = cands.materialize()
+        metrics["candidate_pairs"] = cands.count()
+        _lap("candidate_pairs")
         verified = verify_pairs(cands, canon_sigs, cfg,
                                 strategy=verify_strategy).materialize()
     metrics["verified_pairs"] = verified.count()

@@ -109,11 +109,18 @@ def _member_shingle_pack(pairs: "ray.data.Dataset",
 
 
 class _VerifyPacked:
-    """Stateless-task batch fn over the packed broadcast ref."""
+    """Stateless-task batch fn over the packed broadcast ref.
 
-    def __init__(self, pack_ref, threshold: float):
+    ``emit_all=True`` keeps REJECTED candidates too (jaccard below
+    threshold): the flagship fuses its candidate_pairs counter into
+    this pass — the materialized all-rows output's metadata count IS
+    the candidate count, and the verified subset is one cheap filter
+    over it, replacing a whole extra execution barrier."""
+
+    def __init__(self, pack_ref, threshold: float, emit_all: bool = False):
         self.ref = pack_ref
         self.threshold = threshold
+        self.emit_all = emit_all
         self._pack = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -140,6 +147,8 @@ class _VerifyPacked:
             # per-pair Python (docs missing from the pack compare as ∅)
             jac = jaccard_batch(flat, a_starts, a_lens, b_starts, b_lens)
         out = batch.append_column("jaccard", pa.array(jac))
+        if self.emit_all:
+            return out
         return out.filter(pa.array(jac >= self.threshold))
 
 
