@@ -251,7 +251,77 @@ def bucket_pairs(rows: "ray.data.Dataset", max_all: int, num_salts: int,
                                  batch_size=None)
     res = edge.groupby(key_col).map_groups(residual_pairs,
                                            batch_format="pyarrow")
-    return distinct_rows(pairs.union(res), ["u", "v"])
+    return distinct_pairs(pairs.union(res))
+
+
+def distinct_pairs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct over (u, v) pair rows, hash-keyed: the raw pair stream
+    out of the bucket kernels carries ~10x duplicate mass (every shared
+    fingerprint re-emits the same pair), and sorting 2 id columns —
+    strings for url-keyed corpora — made the distinct the measured
+    4-CPU scaling limiter of the candidate chain (19s of a 26s chain at
+    200k docs).  Instead:
+
+      1. per-batch COMBINER: uint64 pair hash (arrow_row_hashes over u,
+         v), local sort by hash, drop in-batch duplicates — the shuffle
+         then moves the ~distinct mass, not the raw mass;
+      2. ONE global sort on the u64 hash (ties broken by u, v so equal
+         pairs are adjacent even under hash collisions);
+      3. adjacent-equal dedup on (hash, u, v) — exact, collision-safe.
+    """
+    from dedup_restore_ray.functions.hashing import arrow_row_hashes
+
+    def prehash(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        out_schema = pa.schema([("ph", pa.uint64()),
+                                ("u", b.schema.field("u").type),
+                                ("v", b.schema.field("v").type)])
+        if n == 0:
+            return out_schema.empty_table()
+        with np.errstate(over="ignore"):
+            ph = (arrow_row_hashes(b.column("u"))
+                  * np.uint64(0xBF58476D1CE4E5B9)
+                  + arrow_row_hashes(b.column("v")))
+        order = np.argsort(ph, kind="stable")
+        phs = ph[order]
+        t = b.select(["u", "v"]).take(pa.array(order))
+        keep = np.empty(n, dtype=bool)
+        keep[0] = True
+        np.not_equal(phs[1:], phs[:-1], out=keep[1:])
+        if not keep.all():
+            # same-hash neighbors: keep unless (u, v) also equal
+            cand = np.flatnonzero(~keep)
+            ueq = pc.equal(t.column("u").take(pa.array(cand)),
+                           t.column("u").take(pa.array(cand - 1)))
+            veq = pc.equal(t.column("v").take(pa.array(cand)),
+                           t.column("v").take(pa.array(cand - 1)))
+            dup = np.asarray(pc.and_(ueq, veq).combine_chunks())
+            keep[cand[~dup]] = True
+        t = t.filter(pa.array(keep))
+        return pa.table({"ph": pa.array(phs[keep], pa.uint64()),
+                         "u": t.column("u"), "v": t.column("v")})
+
+    # batch_size=None: whole blocks — the combiner's dedup rate and the
+    # vectorized hash both collapse at the 1024-row default batch size
+    pre = ds.map_batches(prehash, batch_format="pyarrow", batch_size=None)
+    interior, edge = sorted_split(pre, ["ph", "u", "v"], ["ph"])
+
+    def dedup(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n < 2:
+            return b.select(["u", "v"])
+        dup = adjacent_equal(b, ["ph", "u", "v"])
+        return b.filter(pa.array(np.concatenate(([True], ~dup)))
+                        ).select(["u", "v"])
+
+    def res_dedup(g: pa.Table) -> pa.Table:
+        return dedup(g.sort_by([("ph", "ascending"), ("u", "ascending"),
+                                ("v", "ascending")]))
+
+    return (interior.map_batches(dedup, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby("ph").map_groups(res_dedup,
+                                                 batch_format="pyarrow")))
 
 
 def distinct_rows(ds: "ray.data.Dataset", keys: list[str]
