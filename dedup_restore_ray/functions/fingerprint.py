@@ -130,7 +130,8 @@ def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _global_kgram_hashes(data: np.ndarray, k: int,
-                         mixed: bool = False) -> np.ndarray:
+                         mixed: bool = False,
+                         use_scratch: bool = False) -> np.ndarray:
     """O(n) rolling polynomial hash of every k-window via modular-
     inverse prefix sums:  h[i] = P^{i+k-1} * (S[i+k] - S[i])  with
     S[m] = Σ_{t<m} d[t]·P^{-t}  (all mod 2^64) — identical values to
@@ -139,17 +140,28 @@ def _global_kgram_hashes(data: np.ndarray, k: int,
     ``mixed=True`` the splitmix64 finalizer runs in place with the
     prefix-sum buffer as scratch (2 temporaries total, vs 10+ in the
     naive form — cold page faults on fresh numpy arrays are the
-    multi-worker scaling limiter on shared hosts)."""
-    from dedup_restore_ray.functions.hashing import mix64_inplace
+    multi-worker scaling limiter on shared hosts).
+
+    With ``use_scratch=True`` the two working buffers come from the
+    process-local scratch arena (``hashing.scratch``) and the returned
+    array is a VIEW into it — valid only until the next
+    use_scratch call; callers must consume it before then.
+    """
+    from dedup_restore_ray.functions.hashing import mix64_inplace, scratch
 
     n = len(data)
     m = n - k + 1
     powP, powPinv = _pow_tables(n)
     with np.errstate(over="ignore"):
         # d[t] * P^-t  (P^0 for t=0)
-        term = data.astype(U64)
+        if use_scratch:
+            term = scratch("kg_term", n)
+            np.copyto(term, data, casting="unsafe")
+            S = scratch("kg_S", n + 1)
+        else:
+            term = data.astype(U64)
+            S = np.empty(n + 1, dtype=U64)
         np.multiply(term[1:], powPinv[: n - 1], out=term[1:])
-        S = np.empty(n + 1, dtype=U64)
         S[0] = 0
         np.cumsum(term, dtype=U64, out=S[1:])
         h = term[:m]                       # reuse term's pages
@@ -165,14 +177,21 @@ def _global_kgram_hashes(data: np.ndarray, k: int,
 
 
 def _batched_window_min(h: np.ndarray, doc_starts: np.ndarray,
-                        doc_lens: np.ndarray, w: int
+                        doc_lens: np.ndarray, w: int,
+                        use_scratch: bool = False
                         ) -> tuple[np.ndarray, np.ndarray]:
     """Sliding-window minima (values) for many docs at once via van
     Herk block prefix/suffix minima on a doc-block-aligned padded
     array.  Returns CSR (flat minima, offsets per doc).  Docs shorter
     than w emit their single overall min; the fingerprint VALUE set of
     winnowing is invariant to argmin tie rules, so value-mins suffice.
+
+    ``use_scratch=True`` sources the three working buffers from the
+    process-local arena; the returned minima are a VIEW valid until the
+    next use_scratch call.
     """
+    from dedup_restore_ray.functions.hashing import scratch
+
     n_docs = len(doc_lens)
     blocks = np.maximum((doc_lens + w - 1) // w, 1)
     pad_w = blocks * w
@@ -184,7 +203,8 @@ def _batched_window_min(h: np.ndarray, doc_starts: np.ndarray,
     # gather/scatter) of the vectorized form — ~6x less memory traffic,
     # and fresh-page faults on big temporaries are the measured
     # multi-worker scaling limiter on shared hosts.
-    padded = np.empty(total, dtype=U64)
+    padded = scratch("wm_pad", total) if use_scratch \
+        else np.empty(total, dtype=U64)
     ds_l = doc_starts.tolist()
     dl_l = doc_lens.tolist()
     ps_l = pad_starts.tolist()
@@ -196,7 +216,8 @@ def _batched_window_min(h: np.ndarray, doc_starts: np.ndarray,
     # suffix minima written straight into a flat buffer through a
     # reversed view (no [::-1].reshape copy-back); prefix minima in
     # place into `padded` itself.
-    suffix = np.empty(total, dtype=U64)
+    suffix = scratch("wm_suf", total) if use_scratch \
+        else np.empty(total, dtype=U64)
     np.minimum.accumulate(a[:, ::-1], axis=1,
                           out=suffix.reshape(-1, w)[:, ::-1])
     np.minimum.accumulate(a, axis=1, out=a)
@@ -205,7 +226,8 @@ def _batched_window_min(h: np.ndarray, doc_starts: np.ndarray,
     n_wins = np.maximum(doc_lens - w, 0) + 1
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(n_wins, out=offsets[1:])
-    mins = np.empty(int(offsets[-1]), dtype=U64)
+    mins = scratch("wm_min", int(offsets[-1])) if use_scratch \
+        else np.empty(int(offsets[-1]), dtype=U64)
     off_l = offsets.tolist()
     for i, p in enumerate(ps_l):
         o0, o1 = off_l[i], off_l[i + 1]
@@ -223,50 +245,79 @@ def _ramp(counts: np.ndarray) -> np.ndarray:
     return out
 
 
+_SEG_CHARS = 1 << 20    # chars per processing segment (scratch ~40 MB)
+
+
 def batch_winnowed_fingerprints_csr(texts: list[str], k: int, window: int
                                     ) -> tuple[np.ndarray, np.ndarray]:
     """Winnowed fingerprints for a whole batch as CSR (flat sorted-
-    unique values, int64 offsets per doc): ONE O(n) global rolling hash
-    + ONE batched van Herk sliding-min; per doc only an IN-PLACE sort
-    of its minima slice remains, with the unique() done as one global
-    shift-compare pass.  Values identical to winnowed_fingerprints per
-    doc (same hash formula; winnowing value sets are tie-rule
-    invariant).  Accepts str or pre-encoded bytes per text (the
-    signature stage encodes the normalized text ONCE and reuses the
-    bytes for SHA-1 + fingerprints — re-encoding here was a full
-    corpus-size copy per batch)."""
+    unique values, int64 offsets per doc).  Values identical to
+    winnowed_fingerprints per doc (same hash formula; winnowing value
+    sets are tie-rule invariant).  Accepts str or pre-encoded bytes per
+    text (the signature stage encodes the normalized text ONCE and
+    reuses the bytes for SHA-1 + fingerprints).
+
+    Processes the batch in ~1M-char segments of whole docs over the
+    process-local scratch arena: the rolling hash, van Herk sliding-min
+    and keep masks all live in a few MB of buffers that fault ONCE per
+    worker and stay warm.  The previous whole-batch form allocated
+    ~5 × 8 bytes/char of fresh temporaries per batch (~80 MB for a 10 MB
+    batch) — measured 14x slowdown under 4-way concurrency on this
+    host's page-fault-bandwidth-limited windows.  Per segment, adjacent-
+    equal window minima are compacted first (winnowing density ≈ 2/w),
+    so the only full-batch allocation is the ~4%-sized result."""
+    from dedup_restore_ray.functions.hashing import csr_sorted_unique, scratch
+
     n_docs = len(texts)
-    empty = (np.empty(0, dtype=U64), np.zeros(n_docs + 1, dtype=np.int64))
     enc = [t if isinstance(t, bytes) else
            t.encode("utf-8", "surrogatepass") for t in texts]
     lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
-    if lens.sum() == 0:
-        return empty
-    data = np.frombuffer(b"".join(enc), dtype=np.uint8)
-    n = len(data)
-    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    if n < k:
-        fps = [winnowed_fingerprints(t, k, window) for t in texts]
-        offs = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum([len(f) for f in fps], out=offs[1:])
-        flat = (np.concatenate(fps) if fps else np.empty(0, dtype=U64))
-        return flat.astype(U64, copy=False), offs
-    acc = _global_kgram_hashes(data, k, mixed=True)
-    # per-doc hash spans (docs shorter than k have none)
-    hlens = np.maximum(lens - k + 1, 0)
-    hstarts = starts  # acc[p] covers data[p:p+k], so spans share starts
-    ok = hlens > 0
-    if not ok.any():
-        return empty
-    mins, offs = _batched_window_min(acc, hstarts[ok], hlens[ok], window)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    pieces: list[np.ndarray] = []
+    if n_docs:
+        csum = np.cumsum(lens)
+        # doc -> segment by start offset; a segment holds whole docs and
+        # totals <= _SEG_CHARS + one doc
+        seg_id = (csum - lens) // _SEG_CHARS
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(seg_id)) + 1, [n_docs]))
+    else:
+        bounds = np.array([0], dtype=np.int64)
+    for b in range(len(bounds) - 1):
+        i0, i1 = int(bounds[b]), int(bounds[b + 1])
+        dl = lens[i0:i1]
+        hl = np.maximum(dl - k + 1, 0)
+        ok = hl > 0
+        if not ok.any():
+            continue
+        data = np.frombuffer(b"".join(enc[i0:i1]), dtype=np.uint8)
+        acc = _global_kgram_hashes(data, k, mixed=True, use_scratch=True)
+        dstarts = np.zeros(len(dl), dtype=np.int64)
+        np.cumsum(dl[:-1], out=dstarts[1:])
+        mins, offs = _batched_window_min(acc, dstarts[ok], hl[ok], window,
+                                         use_scratch=True)
+        # adjacent-equal compaction: winnowing emits each fingerprint
+        # for a run of consecutive windows; dropping in-run repeats
+        # preserves each doc's value SET exactly
+        keep = scratch("wm_keep", len(mins), dtype=bool)
+        keep[0] = True
+        np.not_equal(mins[1:], mins[:-1], out=keep[1:])
+        keep[offs[:-1]] = True          # doc restarts (all docs nonempty)
+        pieces.append(mins[keep])
+        kcum = scratch("wm_kcum", len(mins), dtype=np.int64)
+        np.cumsum(keep, out=kcum)
+        ends = kcum[offs[1:] - 1]
+        counts[i0:i1][ok] = np.diff(np.concatenate(
+            (np.zeros(1, dtype=np.int64), ends)))
+    flat = (np.concatenate(pieces) if pieces
+            else np.empty(0, dtype=U64))
+    out_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offs[1:])
+    if len(flat) == 0:
+        return flat, out_offs
     # sorted-unique per doc without 2 allocations/doc (in-place segment
     # sorts + ONE global keep mask)
-    from dedup_restore_ray.functions.hashing import csr_sorted_unique
-    flat_u, offs_ok = csr_sorted_unique(mins, offs)
-    out_offs = np.zeros(n_docs + 1, dtype=np.int64)
-    out_offs[1:][ok] = np.diff(offs_ok)
-    np.cumsum(out_offs[1:], out=out_offs[1:])
-    return flat_u, out_offs
+    return csr_sorted_unique(flat, out_offs)
 
 
 def batch_winnowed_fingerprints(texts: list[str], k: int, window: int

@@ -22,6 +22,31 @@ _SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
 _SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
 _SM_M2 = np.uint64(0x94D049BB133111EB)
 
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def scratch(name: str, size: int, dtype=U64) -> np.ndarray:
+    """Process-local grow-only scratch buffer (UNINITIALIZED view of the
+    first ``size`` elements).  Hot batch kernels that allocate full-size
+    temporaries per call pay a first-touch page fault for every page on
+    every call (numpy frees large buffers back to the OS) — on this
+    host's documented 10-100x page-fault-bandwidth swings that is the
+    multi-worker scaling limiter, not the arithmetic.  A named scratch
+    buffer faults once per worker process and stays warm.
+
+    Single-threaded use only (Ray actors/tasks run one batch at a time
+    per process); a view is valid until the next request for the same
+    name."""
+    buf = _SCRATCH.get(name)
+    dt = np.dtype(dtype)
+    if buf is None or buf.size < size or buf.dtype != dt:
+        cap = max(int(size), 1 << 14)
+        if buf is not None and buf.dtype == dt:
+            cap = max(cap, buf.size * 2)
+        buf = np.empty(cap, dtype=dt)
+        _SCRATCH[name] = buf
+    return buf[:size]
+
 
 def mix64(x: np.ndarray | int) -> np.ndarray:
     """splitmix64 finalizer: strong 64-bit avalanche mix, vectorized."""

@@ -45,6 +45,7 @@ class SignatureStage:
                  emit_minhash: bool = True,
                  emit_bucket_keys: bool = False,
                  emit_lgrams: bool = False,
+                 emit_fingerprints: bool | None = None,
                  bucket_simhash: bool = True,
                  bucket_fingerprints: bool = True,
                  bucket_norm: bool = True):
@@ -55,6 +56,12 @@ class SignatureStage:
         self.emit_minhash = emit_minhash
         self.emit_bucket_keys = emit_bucket_keys
         self.emit_lgrams = emit_lgrams
+        # standalone fingerprints column: redundant once the values are
+        # folded into bucket_keys — on the flagship path it was ~20% of
+        # the materialized signature mass with zero consumers
+        self.emit_fingerprints = (not emit_bucket_keys
+                                  if emit_fingerprints is None
+                                  else emit_fingerprints)
         self.bucket_simhash = bucket_simhash
         self.bucket_fingerprints = bucket_fingerprints
         self.bucket_norm = bucket_norm
@@ -87,14 +94,15 @@ class SignatureStage:
         ntok = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
                            count=len(token_lists))
         nshingles = np.diff(offsets)
-        fp_flat, fp_offsets = batch_winnowed_fingerprints_csr(
-            norm, cfg.winnow_kgram, self.window)
+        need_fp = (self.emit_fingerprints
+                   or (self.emit_bucket_keys and self.bucket_fingerprints))
+        fp_flat, fp_offsets = (batch_winnowed_fingerprints_csr(
+            norm, cfg.winnow_kgram, self.window) if need_fp
+            else (np.empty(0, np.uint64),
+                  np.zeros(len(texts) + 1, dtype=np.int64)))
 
         shingle_list = pa.ListArray.from_arrays(
             pa.array(offsets.astype(np.int32)), pa.array(flat, pa.uint64()))
-        fp_list = pa.ListArray.from_arrays(
-            pa.array(fp_offsets.astype(np.int32)),
-            pa.array(fp_flat, pa.uint64()))
 
         cols = {
             "doc_id": batch.column(self.id_col),
@@ -119,8 +127,10 @@ class SignatureStage:
             cols["lgrams"] = pa.ListArray.from_arrays(
                 pa.array(goffs.astype(np.int32), pa.int32()),
                 pa.array(gflat, pa.uint64()))
-        if self.bucket_fingerprints or not self.emit_bucket_keys:
-            cols["fingerprints"] = fp_list
+        if self.emit_fingerprints:
+            cols["fingerprints"] = pa.ListArray.from_arrays(
+                pa.array(fp_offsets.astype(np.int32)),
+                pa.array(fp_flat, pa.uint64()))
         if self.emit_bucket_keys:
             # fold every candidate-source key into one compact list so
             # the heavyweight minhash matrix need not be materialized
