@@ -399,7 +399,13 @@ def windowed_restore_cached(assignments: "ray.data.Dataset",
     ``cache_size`` stored rows; a read is counted only on cache miss.
     cache_size -> infinity reproduces the one-shot restore (every
     container read exactly once); cache_size = 0 degenerates to one
-    read per ref (regular_assemble, src/look_ahead.c:149-179)."""
+    read per ref (regular_assemble, src/look_ahead.c:149-179).
+
+    SERIAL BY CONTRACT (``concurrency=1``): an LRU's hit sequence is
+    only defined over one ordered stream, so this is a counters model
+    for reference parity, not a restore path — production restores go
+    through ``windowed_restore_distributed``, which computes the same
+    counter totals distributively."""
     from dedup_restore_ray.stages.groups import presort_coalesce
     refs = presort_coalesce(assignments.select_columns(
         [*order_cols, "canonical_id"])).sort(list(order_cols))
