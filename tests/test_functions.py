@@ -181,6 +181,27 @@ class TestWinnowing:
         pos, fp = winnow(h, 51)
         assert len(pos) < len(h) / 10
 
+    def test_segmented_batch_matches_per_doc(self, monkeypatch):
+        """The scratch-arena CSR kernel processes batches in whole-doc
+        segments (_SEG_CHARS); shrink the segment so a small batch
+        spans several, with empty / shorter-than-k docs landing on
+        segment boundaries, and check per-doc value sets are identical
+        to the reference per-doc path."""
+        from dedup_restore_ray.functions import fingerprint as fp_mod
+        from dedup_restore_ray.functions.fingerprint import (
+            batch_winnowed_fingerprints_csr)
+        k, w = 50, 51
+        docs = ["", "tiny", T1 * 3, "", T2 * 4, "x" * (k - 1),
+                T3 * 6, T1 + " " + T3, "", T2 * 2, "y" * k, T3 * 3]
+        monkeypatch.setattr(fp_mod, "_SEG_CHARS", 256)
+        flat, offs = batch_winnowed_fingerprints_csr(docs, k, w)
+        assert len(offs) == len(docs) + 1
+        assert int(offs[-1]) == len(flat)
+        for i, d in enumerate(docs):
+            got = flat[offs[i]:offs[i + 1]]
+            expect = np.unique(winnowed_fingerprints(d, k, w))
+            assert got.tolist() == expect.tolist(), f"doc {i}"
+
 
 class TestSuffixArray:
     def test_banana(self):
