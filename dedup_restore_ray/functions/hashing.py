@@ -92,11 +92,15 @@ def csr_sorted_unique(flat: np.ndarray, offsets: np.ndarray
     off_l = offsets.tolist()
     for j in range(n_seg):
         flat[off_l[j]:off_l[j + 1]].sort()
-    keep = np.empty(len(flat), dtype=bool)
+    # keep mask + rank cumsum from the scratch arena: two full-size
+    # temporaries per call otherwise (the compacted flat[keep] result
+    # is necessarily fresh — it is returned)
+    keep = scratch("cu_keep", len(flat), dtype=bool)
     keep[0] = True
     np.not_equal(flat[1:], flat[:-1], out=keep[1:])
     keep[offsets[:-1][np.diff(offsets) > 0]] = True   # segment restarts
-    csum = np.cumsum(keep)
+    csum = scratch("cu_csum", len(flat), dtype=np.int64)
+    np.cumsum(keep, out=csum)
     out_offs = np.zeros(n_seg + 1, dtype=np.int64)
     nonempty = offsets[1:] > offsets[:-1]
     out_offs[1:][nonempty] = csum[offsets[1:][nonempty] - 1]
@@ -172,10 +176,14 @@ class WordHasher:
         self.seed = seed
         self._max_cache = max_cache
 
-    def hash_words(self, words: list[str]) -> np.ndarray:
+    def hash_words(self, words: list[str],
+                   out: np.ndarray | None = None) -> np.ndarray:
+        """``out`` (e.g. a scratch-arena view) avoids a fresh full-size
+        allocation per batch on the hot signature path."""
         cache = self.cache
         seed = self.seed
-        out = np.empty(len(words), dtype=U64)
+        if out is None:
+            out = np.empty(len(words), dtype=U64)
         for i, w in enumerate(words):
             v = cache.get(w)
             if v is None:

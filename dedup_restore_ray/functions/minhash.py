@@ -36,6 +36,7 @@ def minhash_signatures(
     b: np.ndarray,
     perm_chunk: int = 16,
     seg_shingles: int = 16384,
+    use_scratch: bool = False,
 ) -> np.ndarray:
     """[n_docs, num_perm] uint64 signature matrix from CSR shingles.
 
@@ -47,11 +48,24 @@ def minhash_signatures(
     ``seg_shingles`` shingles x ``perm_chunk`` permutations so the
     [S, P] temporary stays ~2 MiB (LLC-resident).  Large temporaries
     make the kernel memory-bandwidth-bound and destroy multi-worker
-    scaling on shared hosts.
+    scaling on shared hosts.  The permuted-hash temporary always comes
+    from the process-local scratch arena (faults once per worker).
+
+    ``use_scratch=True`` additionally sources the RESULT matrix from
+    the arena — a VIEW valid only until the next use_scratch call;
+    for callers that fold the matrix into bucket keys and discard it
+    (the flagship), the ~1 KiB/doc result was the stage's largest
+    remaining fresh-page allocation.
     """
+    from dedup_restore_ray.functions.hashing import scratch
+
     n_docs = len(offsets) - 1
     num_perm = len(a)
-    sig = np.full((n_docs, num_perm), EMPTY_SIG, dtype=U64)
+    if use_scratch:
+        sig = scratch("mh_sig", n_docs * num_perm).reshape(n_docs, num_perm)
+        sig.fill(EMPTY_SIG)
+    else:
+        sig = np.full((n_docs, num_perm), EMPTY_SIG, dtype=U64)
     if len(flat) == 0:
         return sig
     lengths = np.diff(offsets)
@@ -80,9 +94,17 @@ def minhash_signatures(
             rows = ne_rows[d0:d1]
             for p0 in range(0, num_perm, perm_chunk):
                 p1 = min(p0 + perm_chunk, num_perm)
-                y = x[:, None] * a[None, p0:p1] + b[None, p0:p1]
-                mins = np.minimum.reduceat(y, local_starts, axis=0)
-                sig[rows, p0:p1] = mins
+                # ~2 MiB: above the malloc mmap threshold, so a fresh
+                # array would mmap+fault+munmap every iteration.
+                # PERM-MAJOR [P, S] layout: the reduceat then reduces
+                # along contiguous memory (measured 3.7x faster than
+                # the doc-major [S, P] column-strided form).
+                y = scratch("mh_y", (p1 - p0) * len(x)) \
+                    .reshape(p1 - p0, len(x))
+                np.multiply(a[p0:p1, None], x[None, :], out=y)
+                np.add(y, b[p0:p1, None], out=y)
+                mins = np.minimum.reduceat(y, local_starts, axis=1)
+                sig[rows, p0:p1] = mins.T
     return sig
 
 

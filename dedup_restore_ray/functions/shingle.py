@@ -80,18 +80,9 @@ class ShingleEncoder:
 
     def encode_tokens(self, token_lists) -> tuple[np.ndarray, np.ndarray]:
         """CSR shingle hashes from pre-tokenized docs (lets callers
-        tokenize once and reuse the tokens for counts/normalization).
+        tokenize once and reuse the tokens for counts/normalization)."""
+        from dedup_restore_ray.functions.hashing import scratch
 
-        The k-pass rolling polynomial runs ONCE over the batch's flat
-        word-hash array (in place), each doc contributing its valid
-        window span — values identical to the per-doc form, but one
-        numpy dispatch per pass instead of one per doc, and the
-        per-doc np.unique is the shared in-place-sort global-mask pass
-        (csr_sorted_unique).  Docs with 0 < n < k tokens keep the
-        per-doc path (one shingle with effective k = n)."""
-        from dedup_restore_ray.functions.hashing import csr_sorted_unique
-
-        k = self.k
         n_docs = len(token_lists)
         counts = np.fromiter((len(t) for t in token_lists),
                              dtype=np.int64, count=n_docs)
@@ -102,18 +93,47 @@ class ShingleEncoder:
         all_words: list[str] = []
         for toks in token_lists:
             all_words.extend(toks)
-        wh = self.hasher.hash_words(all_words)
+        wh = self.hasher.hash_words(all_words,
+                                    out=scratch("se_wh", total))
+        return self.encode_word_hashes(wh, counts)
+
+    def encode_word_hashes(self, wh: np.ndarray, counts: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """CSR shingle hashes from a flat word-hash array + per-doc
+        token counts (the vectorized core; the Arrow tokenizer feeds it
+        directly with a gathered dictionary lookup).
+
+        The k-pass rolling polynomial runs ONCE over the batch's flat
+        word-hash array, each doc contributing its valid window span —
+        values identical to the per-doc form, but one numpy dispatch
+        per pass instead of one per doc, and the per-doc np.unique is
+        the shared in-place-sort global-mask pass (csr_sorted_unique).
+        Docs with 0 < n < k tokens keep the per-doc path (one shingle
+        with effective k = n).  Working buffers (rolling accumulator,
+        raw shingle buffer) live in the process-local scratch arena —
+        ~2 x 8 B/token of fresh-page faults per batch otherwise; the
+        compacted result is the only fresh allocation that escapes."""
+        from dedup_restore_ray.functions.hashing import (csr_sorted_unique,
+                                                         scratch)
+
+        k = self.k
+        n_docs = len(counts)
+        total = int(counts.sum())
+        if total == 0:
+            return (np.empty(0, dtype=U64),
+                    np.zeros(n_docs + 1, dtype=np.int64))
         starts = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         n_sh = np.where(counts >= k, counts - k + 1,
                         np.minimum(counts, 1))
         raw_offs = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(n_sh, out=raw_offs[1:])
-        raw = np.empty(int(raw_offs[-1]), dtype=U64)
+        raw = scratch("se_raw", int(raw_offs[-1]))
         m = total - k + 1
         if m >= 1:
             with np.errstate(over="ignore"):
-                acc = wh[:m].astype(U64, copy=True)
+                acc = scratch("se_acc", m)
+                np.copyto(acc, wh[:m])
                 for j in range(1, k):
                     np.multiply(acc, _POLY, out=acc)
                     np.add(acc, wh[j:j + m], out=acc)
@@ -135,3 +155,93 @@ def token_counts(texts) -> np.ndarray:
     """Whitespace-word counts per text (matches DuckDB oracle:
     number of \\w+ matches in lowercased text)."""
     return np.array([len(tokenize(t)) for t in texts], dtype=np.int64)
+
+
+def arrow_token_stats(tcol, hasher: "WordHasher"):
+    """Vectorized tokenization of an Arrow string column — the hot
+    tokenize path (lower, \\w+ split, per-doc counts, normalized join)
+    runs as Arrow C++ kernels for the batch's ASCII rows, and word
+    hashing touches only the DISTINCT tokens (dictionary encode), not
+    every occurrence.  Non-ASCII rows (rare in web corpora, but every
+    synthetic corpus plants some) take the per-doc Python tokenizer
+    and are stitched back in row order — on ASCII input the two are
+    EXACTLY equivalent (Python ``\\w`` over lowercased ASCII is
+    [a-z0-9_], the split complement below), so results are independent
+    of which rows ride which path.
+
+    Returns ``(wh, counts, norm_bytes, raw_bytes)``:
+      wh           uint64 [T]  flat per-occurrence word hashes in doc
+                               order — a SCRATCH-ARENA VIEW ("se_wh"),
+                               valid until the next se_wh request
+      counts       int64 [n]   tokens per doc
+      norm_bytes   list[bytes] per-doc normalized text (tokens joined
+                               by single spaces), utf-8
+      raw_bytes    list[bytes] per-doc raw text bytes (None -> b"")
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedup_restore_ray.functions.hashing import scratch
+
+    if isinstance(tcol, pa.ChunkedArray):
+        tcol = tcol.combine_chunks()
+    n = len(tcol)
+    if n == 0:
+        return (np.empty(0, U64), np.zeros(0, np.int64), [], [])
+    if tcol.null_count:
+        tcol = tcol.fill_null("")
+    raw_bytes = tcol.cast(pa.binary()).to_pylist()
+    ascii_mask = np.asarray(pc.string_is_ascii(tcol))
+    all_ascii = bool(ascii_mask.all())
+    acol = tcol if all_ascii \
+        else tcol.filter(pa.array(ascii_mask, pa.bool_()))
+
+    low = pc.ascii_lower(acol)
+    sp = pc.split_pattern_regex(low, "[^a-z0-9_]+")
+    flat = pc.list_flatten(sp)
+    off = np.asarray(sp.offsets, dtype=np.int64)
+    mask_pa = pc.greater(pc.binary_length(flat), 0)
+    mask = np.asarray(mask_pa)
+    # per-doc nonempty-token counts + filtered list offsets, one cumsum
+    cum = np.zeros(len(mask) + 1, dtype=np.int64)
+    np.cumsum(mask, out=cum[1:])
+    a_counts = cum[off[1:]] - cum[off[:-1]]
+    ff = flat.filter(mask_pa)
+    d = pc.dictionary_encode(ff)
+    idx = np.asarray(d.indices, dtype=np.int64)
+    uh = hasher.hash_words(d.dictionary.to_pylist())
+    norm_list = pa.ListArray.from_arrays(
+        pa.array(cum[off], type=pa.int32()), ff)
+    a_norm = pc.binary_join(norm_list, " ").cast(pa.binary()).to_pylist()
+
+    if all_ascii:
+        wh = scratch("se_wh", len(idx))
+        np.take(uh, idx, out=wh)
+        return wh, a_counts, a_norm, raw_bytes
+
+    # stitch: slow rows via the Python tokenizer, in row order
+    slow_rows = np.flatnonzero(~ascii_mask)
+    slow_toks = [tokenize(tcol[int(r)].as_py()) for r in slow_rows]
+    counts = np.empty(n, dtype=np.int64)
+    counts[ascii_mask] = a_counts
+    counts[slow_rows] = [len(t) for t in slow_toks]
+    dest = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=dest[1:])
+    wh = scratch("se_wh", int(dest[-1]))
+    # ascii token spans: contiguous in (uh[idx]) order -> one scatter
+    a_rows = np.flatnonzero(ascii_mask)
+    if len(idx):
+        a_cum = np.zeros(len(a_counts) + 1, dtype=np.int64)
+        np.cumsum(a_counts, out=a_cum[1:])
+        pos = (np.repeat(dest[a_rows] - a_cum[:-1], a_counts)
+               + np.arange(len(idx), dtype=np.int64))
+        wh[pos] = uh[idx]
+    for r, toks in zip(slow_rows, slow_toks):
+        if toks:
+            hasher.hash_words(toks, out=wh[dest[r]:dest[r] + len(toks)])
+    norm_bytes: list = [None] * n
+    for i, r in enumerate(a_rows):
+        norm_bytes[r] = a_norm[i]
+    for r, toks in zip(slow_rows, slow_toks):
+        norm_bytes[int(r)] = " ".join(toks).encode("utf-8", "surrogatepass")
+    return wh, counts, norm_bytes, raw_bytes

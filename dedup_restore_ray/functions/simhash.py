@@ -36,10 +36,14 @@ def simhash_signatures(flat: np.ndarray, offsets: np.ndarray,
         return out
     ne_lengths = lengths[ne_rows]
     ne_starts = np.concatenate(([0], np.cumsum(ne_lengths)[:-1]))
-    # remix so simhash bits are independent of the minhash input bits
-    # (copy + in-place finalizer: 2 allocations, not mix64's 5)
-    from dedup_restore_ray.functions.hashing import mix64_inplace
-    x = mix64_inplace(flat.astype(U64, copy=True))
+    # remix so simhash bits are independent of the minhash input bits;
+    # the full-flat working copy lives in the process-local scratch
+    # arena (a fresh copy per batch was this kernel's largest
+    # allocation — 8 bytes/shingle of first-touch page faults)
+    from dedup_restore_ray.functions.hashing import mix64_inplace, scratch
+    x = scratch("sh_x", len(flat))
+    np.copyto(x, flat, casting="unsafe")
+    mix64_inplace(x)
     seg_doc_bounds = [0]
     acc = 0
     for i, l in enumerate(ne_lengths):

@@ -71,35 +71,34 @@ class SignatureStage:
         self.window = max(1, self.cfg.substring_min_len - self.cfg.winnow_kgram + 1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
         cfg = self.cfg
-        # tokenize ONCE per doc; counts, normalization and shingles all
-        # derive from the same token lists
-        from dedup_restore_ray.functions.shingle import tokenize
-        token_lists = [tokenize(t) for t in texts]
-        flat, offsets = self.encoder.encode_tokens(token_lists)
+        tcol = batch.column(self.text_col)
+        # tokenization runs as Arrow C++ kernels for ASCII rows (word
+        # hashing touches only DISTINCT tokens; no per-token Python
+        # object); rare non-ASCII rows take the per-doc Python
+        # tokenizer inside arrow_token_stats — bit-identical results
+        from dedup_restore_ray.functions.shingle import arrow_token_stats
+        wh, ntok, norm, raws = arrow_token_stats(tcol, self.encoder.hasher)
+        flat, offsets = self.encoder.encode_word_hashes(wh, ntok)
         # the 128-perm minhash matrix is the most expensive signature;
-        # skip it when neither the column nor the bucket keys need it
-        sig = (minhash_signatures(flat, offsets, self.perm_a, self.perm_b)
+        # skip it when neither the column nor the bucket keys need it.
+        # When the matrix is folded into bucket keys and discarded
+        # (flagship), it lives in the scratch arena — safe because the
+        # winnowing pass below uses disjoint arena names (kg_*/wm_*)
+        # and compute_bucket_keys consumes sig before this returns.
+        sig = (minhash_signatures(flat, offsets, self.perm_a, self.perm_b,
+                                  use_scratch=not self.emit_minhash)
                if self.emit_minhash or self.emit_bucket_keys else None)
         sh = simhash_signatures(flat, offsets)
-        chashes = content_hashes([t if t is not None else "" for t in texts])
-        # normalized text is encoded to utf-8 ONCE; SHA-1, winnowed
-        # fingerprints and lgrams all consume the same bytes objects
-        # (three separate encodes were pure allocation traffic — the
-        # measured multi-worker scaling limiter of this stage)
-        norm = [(" ".join(toks)).encode("utf-8", "surrogatepass")
-                for toks in token_lists]
+        chashes = content_hashes(raws)
         nhashes = content_hashes(norm)
-        ntok = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
-                           count=len(token_lists))
         nshingles = np.diff(offsets)
         need_fp = (self.emit_fingerprints
                    or (self.emit_bucket_keys and self.bucket_fingerprints))
         fp_flat, fp_offsets = (batch_winnowed_fingerprints_csr(
             norm, cfg.winnow_kgram, self.window) if need_fp
             else (np.empty(0, np.uint64),
-                  np.zeros(len(texts) + 1, dtype=np.int64)))
+                  np.zeros(len(norm) + 1, dtype=np.int64)))
 
         shingle_list = pa.ListArray.from_arrays(
             pa.array(offsets.astype(np.int32)), pa.array(flat, pa.uint64()))
@@ -114,7 +113,7 @@ class SignatureStage:
             "simhash": pa.array(sh, pa.uint64()),
         }
         if self.emit_minhash:
-            mh_offsets = np.arange(len(texts) + 1, dtype=np.int32) * cfg.num_perm
+            mh_offsets = np.arange(len(norm) + 1, dtype=np.int32) * cfg.num_perm
             cols["minhash"] = pa.ListArray.from_arrays(
                 pa.array(mh_offsets), pa.array(sig.reshape(-1), pa.uint64()))
         if self.emit_lgrams:

@@ -121,6 +121,24 @@ class TestMinHash:
         assert not np.array_equal(minhash_signatures(f, o, a1, b1),
                                   minhash_signatures(f, o, a2, b2))
 
+    def test_scratch_matches_fresh(self):
+        """use_scratch=True (arena-backed result view, flagship path)
+        is bit-identical to the fresh-allocation path, including
+        empty docs interleaved and back-to-back calls that reuse the
+        same arena pages."""
+        rng = np.random.default_rng(7)
+        a, b = make_permutations(128, 42)
+        for _ in range(4):
+            n_docs = int(rng.integers(1, 40))
+            lens = rng.integers(0, 400, n_docs)
+            lens[rng.integers(0, n_docs)] = 0
+            offs = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            flat = rng.integers(0, 1 << 63, int(offs[-1]), dtype=np.uint64)
+            ref = minhash_signatures(flat, offs, a, b)
+            got = minhash_signatures(flat, offs, a, b, use_scratch=True)
+            assert np.array_equal(ref, got)
+
 
 class TestSimHash:
     def test_similar_docs_close(self):
@@ -180,6 +198,37 @@ class TestWinnowing:
         h = kgram_hashes(text, 50)
         pos, fp = winnow(h, 51)
         assert len(pos) < len(h) / 10
+
+    def test_arrow_token_stats_matches_python(self):
+        """The Arrow C++ tokenize path (with non-ASCII rows stitched
+        through the Python tokenizer) must be bit-identical to the
+        per-doc Python path for word hashes, counts, norm bytes and
+        raw bytes — including nulls, empties, punctuation-only docs
+        and interleaved unicode rows."""
+        import pyarrow as pa
+        from dedup_restore_ray.functions.hashing import WordHasher
+        from dedup_restore_ray.functions.shingle import (arrow_token_stats,
+                                                         tokenize)
+        docs = ["The Quick-brown FOX_1 jumps!!", "", None,
+                "  lots   of   WS\t\n", "__under__score__ 123 CASE",
+                "ünïcodé tëxt höhér ça ira", "punct,only.,!?",
+                "trailing space ", "héllo wörld", " leading",
+                "normal ascii doc with words", None]
+        tcol = pa.chunked_array([docs[:5], docs[5:]], pa.string())
+        hasher = WordHasher(seed=0)
+        wh, counts, norm, raw = arrow_token_stats(tcol, hasher)
+        ref_hasher = WordHasher(seed=0)
+        pos = 0
+        for i, t in enumerate(docs):
+            toks = tokenize(t)
+            assert counts[i] == len(toks), f"doc {i}"
+            expect_wh = ref_hasher.hash_words(toks)
+            assert wh[pos:pos + len(toks)].tolist() == expect_wh.tolist(), \
+                f"doc {i}"
+            pos += len(toks)
+            assert norm[i] == " ".join(toks).encode("utf-8"), f"doc {i}"
+            assert raw[i] == (t or "").encode("utf-8"), f"doc {i}"
+        assert pos == len(wh)
 
     def test_segmented_batch_matches_per_doc(self, monkeypatch):
         """The scratch-arena CSR kernel processes batches in whole-doc
