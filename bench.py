@@ -137,16 +137,22 @@ def run_scaling_child() -> dict:
     from dedup_restore_ray.pipelines.dedup import dedup_pipeline, dedup_stats
     from dedup_restore_ray.sources.io import read_parquet_clean
     path = _scaling_corpus()
+    t_init = time.time()
     _init_ray()
+    init_sec = time.time() - t_init
     t0 = time.time()
     ds = read_parquet_clean(path, columns=["url", "text", "html"])
     res = dedup_pipeline(ds, PipelineConfig(), id_col="url",
                          text_col="text", html_col="html")
+    t_stats = time.time()
     stats = dedup_stats(res.assignments)
+    stats_sec = time.time() - t_stats
     dt = time.time() - t0
     return {"value": round(dt, 2), "n_docs": stats["total"],
             "docs_per_sec": round(stats["total"] / dt, 1),
-            "num_cpus": NUM_CPUS}
+            "num_cpus": NUM_CPUS, "ray_init_sec": round(init_sec, 2),
+            "stats_sec": round(stats_sec, 2),
+            "stage_sec": res.metrics.get("stage_sec", {})}
 
 
 def run_scaling() -> dict:

@@ -223,8 +223,12 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     # all candidate sources (LSH bands, simhash bands, substring
     # fingerprints, norm-hash rail) ride ONE bucket-row stream -> one
     # sort + pair + distinct chain
+    # hashed ids end-to-end: the bucket sort, pair kernels, distinct
+    # and packed verify all move 16-byte uint64 rows; original ids are
+    # resolved only for the (small) verified subset below
     cands = candidate_pairs(canon_sigs, cfg, use_simhash=use_simhash,
-                            use_fingerprints=use_substring, use_norm=True)
+                            use_fingerprints=use_substring, use_norm=True,
+                            ids="hashed")
 
     # For the broadcast verify, the shingle pack over all canonicals is
     # independent of the pair set — build it in a driver thread WHILE
@@ -236,8 +240,14 @@ def dedup_pipeline(docs: "ray.data.Dataset",
         from dedup_restore_ray.stages.verify import build_shingle_pack
 
         def _build():
-            pack_ref_box["ref"] = ray.put(build_shingle_pack(
-                canon_sigs.select_columns(["doc_id", "shingles"])))
+            # one driver pass gathers BOTH broadcast tables: the
+            # shingle pack for the fused verify and the hash->id
+            # resolution table for the hashed pair chain
+            ids_sorted, offsets, flat, raw_ids = build_shingle_pack(
+                canon_sigs.select_columns(["doc_id", "shingles"]),
+                return_ids=True)
+            pack_ref_box["ref"] = ray.put((ids_sorted, offsets, flat))
+            pack_ref_box["idtab"] = ray.put((ids_sorted, raw_ids))
 
         pack_thread = threading.Thread(target=_build, daemon=True)
         pack_thread.start()
@@ -251,10 +261,11 @@ def dedup_pipeline(docs: "ray.data.Dataset",
         # the verified subset is one cheap filter over the (small)
         # pair table — two barriers replaced by one.
         pack_thread.join()
+        from dedup_restore_ray.stages.pairs import resolve_pair_ids
         from dedup_restore_ray.stages.verify import _VerifyPacked
         checked = cands.map_batches(
             _VerifyPacked(pack_ref_box["ref"], cfg.jaccard_threshold,
-                          emit_all=True),
+                          emit_all=True, hashed_ids=True),
             batch_format="pyarrow").materialize()
         metrics["candidate_pairs"] = checked.count()
         _lap("candidate_pairs_and_verify")
@@ -264,10 +275,16 @@ def dedup_pipeline(docs: "ray.data.Dataset",
             return b.filter(pc.greater_equal(b.column("jaccard"),
                                              pa.scalar(thr)))
 
-        verified = checked.map_batches(
-            passed, batch_format="pyarrow").materialize()
+        # resolve original ids for the verified subset only — the raw
+        # candidate stream stays uint64 end-to-end; the resolution
+        # table was built by the same driver pass as the verify pack
+        verified = resolve_pair_ids(
+            checked.map_batches(passed, batch_format="pyarrow"),
+            canon_sigs, cfg, id_col="doc_id", extra_cols=("jaccard",),
+            table_ref=pack_ref_box["idtab"]).materialize()
     else:
-        cands = cands.materialize()
+        from dedup_restore_ray.stages.pairs import resolve_pair_ids
+        cands = resolve_pair_ids(cands, canon_sigs, cfg).materialize()
         metrics["candidate_pairs"] = cands.count()
         _lap("candidate_pairs")
         verified = verify_pairs(cands, canon_sigs, cfg,

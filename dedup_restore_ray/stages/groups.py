@@ -227,8 +227,13 @@ def _residual_bucket_pairs(group: pa.Table, id_col: str, max_all: int,
     """Whole-group pair emission (arrow-native) — same emitter as the
     interior kernel, so results don't depend on block boundaries."""
     id_type = group.schema.field(id_col).type
-    members = np.unique(np.array(group.column(id_col).to_pylist(),
-                                 dtype=object))
+    col = group.column(id_col).combine_chunks()
+    if pa.types.is_integer(id_type):
+        members = np.unique(np.asarray(col))
+        iu, iv = group_pair_indices(0, len(members), max_all, num_salts)
+        return pa.table({"u": pa.array(members[iu], id_type),
+                         "v": pa.array(members[iv], id_type)})
+    members = np.unique(np.array(col.to_pylist(), dtype=object))
     iu, iv = group_pair_indices(0, len(members), max_all, num_salts)
     return pa.table({"u": pa.array(list(members[iu]), id_type),
                      "v": pa.array(list(members[iv]), id_type)})
@@ -255,68 +260,73 @@ def bucket_pairs(rows: "ray.data.Dataset", max_all: int, num_salts: int,
 
 
 def distinct_pairs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Distinct over (u, v) pair rows, hash-keyed: the raw pair stream
-    out of the bucket kernels carries ~10x duplicate mass (every shared
-    fingerprint re-emits the same pair), and sorting 2 id columns —
-    strings for url-keyed corpora — made the distinct the measured
-    4-CPU scaling limiter of the candidate chain (19s of a 26s chain at
-    200k docs).  Instead:
+    """Distinct over (u, v) pair rows, keyed by a 128-bit pair hash:
+    the raw pair stream out of the bucket kernels carries ~10x
+    duplicate mass (every shared fingerprint re-emits the same pair),
+    and any formulation that sorts or gathers the id columns — strings
+    for url-keyed corpora — was the measured 4-CPU scaling limiter of
+    the candidate chain (a full-block string ``take`` in the combiner
+    alone cost 105s of a 147s distinct at 500k docs).  Instead:
 
-      1. per-batch COMBINER: uint64 pair hash (arrow_row_hashes over u,
-         v), local sort by hash, drop in-batch duplicates — the shuffle
-         then moves the ~distinct mass, not the raw mass;
-      2. ONE global sort on the u64 hash (ties broken by u, v so equal
-         pairs are adjacent even under hash collisions);
-      3. adjacent-equal dedup on (hash, u, v) — exact, collision-safe.
+      1. per-batch COMBINER: two independent uint64 pair hashes
+         (arrow_row_hashes over u and v with different mixers), an
+         argsort over ONE of them, and a positional keep mask mapped
+         back to input order — the only touch on the string columns is
+         a single sequential ``filter``; the shuffle then moves the
+         ~distinct mass, not the raw mass;
+      2. ONE global sort on the two u64 hashes — the id columns ride
+         as PAYLOAD, never as sort keys;
+      3. adjacent-equal dedup on (ph, ph2).  Equality of the 128-bit
+         pair hash IS pair identity, the same convention the engine
+         uses for SHA-1 content hashes (reference: 17-byte SHA-1
+         prefix as chunk identity, src/dedup.c:84); at 2^-128 the
+         collision odds are far below memory-error rates.
     """
-    from dedup_restore_ray.functions.hashing import arrow_row_hashes
+    from dedup_restore_ray.functions.hashing import arrow_row_hashes, mix64
 
     def prehash(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        out_schema = pa.schema([("ph", pa.uint64()),
+        out_schema = pa.schema([("ph", pa.uint64()), ("ph2", pa.uint64()),
                                 ("u", b.schema.field("u").type),
                                 ("v", b.schema.field("v").type)])
         if n == 0:
             return out_schema.empty_table()
         with np.errstate(over="ignore"):
-            ph = (arrow_row_hashes(b.column("u"))
-                  * np.uint64(0xBF58476D1CE4E5B9)
-                  + arrow_row_hashes(b.column("v")))
+            hu = arrow_row_hashes(b.column("u"))
+            hv = arrow_row_hashes(b.column("v"))
+            ph = hu * np.uint64(0xBF58476D1CE4E5B9) + hv
+            ph2 = mix64(hv * np.uint64(0x94D049BB133111EB) + hu)
         order = np.argsort(ph, kind="stable")
         phs = ph[order]
-        t = b.select(["u", "v"]).take(pa.array(order))
-        keep = np.empty(n, dtype=bool)
-        keep[0] = True
-        np.not_equal(phs[1:], phs[:-1], out=keep[1:])
-        if not keep.all():
-            # same-hash neighbors: keep unless (u, v) also equal
-            cand = np.flatnonzero(~keep)
-            ueq = pc.equal(t.column("u").take(pa.array(cand)),
-                           t.column("u").take(pa.array(cand - 1)))
-            veq = pc.equal(t.column("v").take(pa.array(cand)),
-                           t.column("v").take(pa.array(cand - 1)))
-            dup = np.asarray(pc.and_(ueq, veq).combine_chunks())
-            keep[cand[~dup]] = True
-        t = t.filter(pa.array(keep))
-        return pa.table({"ph": pa.array(phs[keep], pa.uint64()),
+        keep_s = np.empty(n, dtype=bool)
+        keep_s[0] = True
+        np.not_equal(phs[1:], phs[:-1], out=keep_s[1:])
+        if not keep_s.all():
+            # same-ph neighbors: keep unless ph2 also equal
+            cand = np.flatnonzero(~keep_s)
+            keep_s[cand[ph2[order[cand]] != ph2[order[cand - 1]]]] = True
+        mask = np.zeros(n, dtype=bool)
+        mask[order[keep_s]] = True
+        t = b.select(["u", "v"]).filter(pa.array(mask))
+        return pa.table({"ph": pa.array(ph[mask], pa.uint64()),
+                         "ph2": pa.array(ph2[mask], pa.uint64()),
                          "u": t.column("u"), "v": t.column("v")})
 
     # batch_size=None: whole blocks — the combiner's dedup rate and the
     # vectorized hash both collapse at the 1024-row default batch size
     pre = ds.map_batches(prehash, batch_format="pyarrow", batch_size=None)
-    interior, edge = sorted_split(pre, ["ph", "u", "v"], ["ph"])
+    interior, edge = sorted_split(pre, ["ph", "ph2"], ["ph"])
 
     def dedup(b: pa.Table) -> pa.Table:
         n = b.num_rows
         if n < 2:
             return b.select(["u", "v"])
-        dup = adjacent_equal(b, ["ph", "u", "v"])
+        dup = adjacent_equal(b, ["ph", "ph2"])
         return b.filter(pa.array(np.concatenate(([True], ~dup)))
                         ).select(["u", "v"])
 
     def res_dedup(g: pa.Table) -> pa.Table:
-        return dedup(g.sort_by([("ph", "ascending"), ("u", "ascending"),
-                                ("v", "ascending")]))
+        return dedup(g.sort_by([("ph", "ascending"), ("ph2", "ascending")]))
 
     return (interior.map_batches(dedup, batch_format="pyarrow",
                                  batch_size=None)

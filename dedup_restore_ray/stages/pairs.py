@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -56,20 +57,40 @@ class BandExpand:
 
     def __init__(self, cfg: PipelineConfig | None = None,
                  use_simhash: bool = True, use_fingerprints: bool = True,
-                 use_norm: bool = True, use_minhash: bool = True):
+                 use_norm: bool = True, use_minhash: bool = True,
+                 emit_id_hash: bool = False):
         self.cfg = cfg or PipelineConfig()
         self.use_minhash = use_minhash
         self.use_simhash = use_simhash
         self.use_fingerprints = use_fingerprints
         self.use_norm = use_norm
         self.n_simhash_bands = self.cfg.simhash_hamming_threshold + 1
+        # emit_id_hash: the doc_id column carries the uint64 id hash
+        # (stages/verify._id_hashes) instead of the raw id — the whole
+        # bucket sort + pair + distinct chain then moves 16-byte
+        # numeric rows instead of string payloads (the measured 4-CPU
+        # scaling limiter for url-keyed corpora); callers resolve ids
+        # at the chain boundary (see pairs.resolve_pair_ids)
+        self.emit_id_hash = emit_id_hash
+
+    def _ids(self, batch: pa.Table, n: int):
+        """(id column as Arrow array, replicate fn(idx)->column)."""
+        if self.emit_id_hash:
+            from dedup_restore_ray.stages.verify import _id_hashes
+            idh = _id_hashes(batch.column("doc_id"))
+            return (lambda idx: pa.array(idh[idx], pa.uint64()))
+        col = batch.column("doc_id").combine_chunks()
+        return (lambda idx: col.take(pa.array(idx)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         n = len(batch)
         if n == 0:
+            id_arr = (pa.array([], pa.uint64()) if self.emit_id_hash
+                      else batch.column("doc_id"))
             return pa.table({"bucket_key": pa.array([], pa.uint64()),
-                             "doc_id": batch.column("doc_id")})
+                             "doc_id": id_arr})
+        replicate = self._ids(batch, n)
         if "bucket_keys" in batch.schema.names:
             # keys precomputed by SignatureStage(emit_bucket_keys=True)
             bk = batch.column("bucket_keys").combine_chunks()
@@ -78,7 +99,7 @@ class BandExpand:
             return pa.table({
                 "bucket_key": pa.array(np.asarray(bk.flatten(),
                                                   dtype=U64), pa.uint64()),
-                "doc_id": batch.column("doc_id").take(pa.array(idx)),
+                "doc_id": replicate(idx),
             })
         mh = np.asarray(batch.column("minhash").combine_chunks().flatten(),
                         dtype=U64).reshape(n, cfg.num_perm)
@@ -117,9 +138,133 @@ class BandExpand:
             ids.append(np.arange(n))
         key_arr = np.concatenate(keys)
         id_idx = np.concatenate(ids)
-        doc_ids = batch.column("doc_id").take(pa.array(id_idx))
         return pa.table({"bucket_key": pa.array(key_arr, pa.uint64()),
-                         "doc_id": doc_ids})
+                         "doc_id": replicate(id_idx)})
+
+
+def resolve_pair_ids(pairs: "ray.data.Dataset",
+                     signatures: "ray.data.Dataset",
+                     cfg: PipelineConfig | None = None,
+                     id_col: str = "doc_id",
+                     extra_cols: tuple = (),
+                     n_ids_hint: int | None = None,
+                     table_ref=None) -> "ray.data.Dataset":
+    """(u, v) uint64 id-hash pairs -> (u, v) original ids (+extra_cols
+    passthrough), re-canonicalized to u < v in the ORIGINAL id order.
+
+    The hashed pair chain (BandExpand(emit_id_hash=True) -> bucket_pairs
+    -> distinct_pairs) moves only 16-byte numeric rows through its
+    sorts; this is the boundary that maps hashes back.  Two strategies:
+
+      - broadcast (default below cfg.broadcast_limit ids): one driver
+        pass over ``signatures`` builds (sorted id-hashes, ids) —
+        ~12 bytes/id — broadcast once via ray.put; each pair batch
+        resolves with two searchsorted+take gathers;
+      - scatter (beyond the limit): two sort-scatter rendezvous
+        (stages/cluster._scatter_lookup) keyed on the u64 hash.
+
+    Hash identity: 64-bit id-hash equality is the engine's established
+    id-identity convention (the packed verify and canonical filter
+    already key on it; see stages/verify._id_hashes collision note).
+    """
+    import ray
+
+    from dedup_restore_ray.stages.verify import _id_hashes
+
+    cfg = cfg or PipelineConfig()
+    extra_cols = list(extra_cols)
+    if table_ref is None:
+        n_ids = (n_ids_hint if n_ids_hint is not None
+                 else signatures.count())
+    else:
+        n_ids = 0   # prebuilt broadcast table (ray.put((idh, ids)))
+    if n_ids > cfg.broadcast_limit:
+        from dedup_restore_ray.stages.cluster import _scatter_lookup
+
+        def store_u(b: pa.Table) -> pa.Table:
+            return pa.table({"__idh": pa.array(
+                _id_hashes(b.column(id_col)), pa.uint64()),
+                "__u": b.column(id_col)})
+
+        def store_v(b: pa.Table) -> pa.Table:
+            return pa.table({"__idh": pa.array(
+                _id_hashes(b.column(id_col)), pa.uint64()),
+                "__v": b.column(id_col)})
+
+        sig_ids = signatures.select_columns([id_col])
+
+        def key_on_u(b: pa.Table) -> pa.Table:
+            return pa.table({"__idh": b.column("u"), "v": b.column("v"),
+                             **{c: b.column(c) for c in extra_cols}})
+
+        def key_on_v(b: pa.Table) -> pa.Table:
+            return pa.table({"__idh": b.column("v"), "__u": b.column("__u"),
+                             **{c: b.column(c) for c in extra_cols}})
+
+        withu = _scatter_lookup(
+            pairs.map_batches(key_on_u, batch_format="pyarrow"),
+            sig_ids.map_batches(store_u, batch_format="pyarrow"),
+            "__idh", "__u", ["v", *extra_cols])
+        withv = _scatter_lookup(
+            withu.map_batches(key_on_v, batch_format="pyarrow"),
+            sig_ids.map_batches(store_v, batch_format="pyarrow"),
+            "__idh", "__v", ["__u", *extra_cols])
+
+        def canon(b: pa.Table) -> pa.Table:
+            u, v = b.column("__u"), b.column("__v")
+            cols = {"u": pc.min_element_wise(u, v),
+                    "v": pc.max_element_wise(u, v)}
+            for c in extra_cols:
+                cols[c] = b.column(c)
+            return pa.table(cols)
+
+        return withv.map_batches(canon, batch_format="pyarrow")
+
+    if table_ref is None:
+        # broadcast: one small (hash-sorted ids) table
+        idh_parts, id_parts = [], []
+        for b in signatures.select_columns([id_col]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            idh_parts.append(_id_hashes(b.column(id_col)))
+            id_parts.append(b.column(id_col).combine_chunks())
+        if idh_parts:
+            idh = np.concatenate(idh_parts)
+            ids = pa.concat_arrays([p.combine_chunks() if isinstance(
+                p, pa.ChunkedArray) else p for p in id_parts])
+            order = np.argsort(idh, kind="stable")
+            idh = idh[order]
+            ids = ids.take(pa.array(order))
+        else:
+            idh = np.empty(0, np.uint64)
+            ids = pa.array([], pa.string())
+        table_ref = ray.put((idh, ids))
+
+    def resolve(b: pa.Table) -> pa.Table:
+        h_sorted, id_arr = ray.get(table_ref)
+        n = b.num_rows
+        if n == 0:
+            cols = {"u": id_arr.slice(0, 0), "v": id_arr.slice(0, 0)}
+            for c in extra_cols:
+                cols[c] = b.column(c)
+            return pa.table(cols)
+        uh = np.asarray(b.column("u").combine_chunks())
+        vh = np.asarray(b.column("v").combine_chunks())
+        m = len(h_sorted)
+        pu = np.minimum(np.searchsorted(h_sorted, uh), max(m - 1, 0))
+        pv = np.minimum(np.searchsorted(h_sorted, vh), max(m - 1, 0))
+        if m == 0 or not (np.all(h_sorted[pu] == uh)
+                          and np.all(h_sorted[pv] == vh)):
+            raise ValueError("resolve_pair_ids: pair member missing "
+                             "from the id table")
+        u = id_arr.take(pa.array(pu))
+        v = id_arr.take(pa.array(pv))
+        cols = {"u": pc.min_element_wise(u, v),
+                "v": pc.max_element_wise(u, v)}
+        for c in extra_cols:
+            cols[c] = b.column(c)
+        return pa.table(cols)
+
+    return pairs.map_batches(resolve, batch_format="pyarrow")
 
 
 def candidate_pairs(signatures: "ray.data.Dataset",
@@ -127,18 +272,31 @@ def candidate_pairs(signatures: "ray.data.Dataset",
                     use_simhash: bool = True,
                     use_fingerprints: bool = False,
                     use_norm: bool = False,
-                    use_minhash: bool = True) -> "ray.data.Dataset":
+                    use_minhash: bool = True,
+                    ids: str = "resolve") -> "ray.data.Dataset":
     """signatures -> distinct candidate (u, v) pairs, u < v.
 
     Band expansion (map_batches) feeds the sort-based vectorized bucket
     pairing of stages/groups.py — one sort shuffle over the band rows,
     block-level pair kernels, residual pass for boundary groups, then a
-    sort-based distinct on (u, v)."""
+    hash-keyed distinct.  The WHOLE chain runs on uint64 id hashes —
+    bucket rows and pair rows are 16-byte numeric, never strings (the
+    string payload was the measured 4-CPU scaling limiter: a 59s
+    combiner at 500k url-keyed docs).
+
+    ids: "resolve" (default) maps hashes back to original ids at the
+    boundary (broadcast table or sort-scatter beyond
+    cfg.broadcast_limit); "hashed" returns the raw uint64 pairs for
+    callers that verify/cluster on hashes and resolve later (the
+    flagship resolves only the verified subset)."""
     cfg = cfg or PipelineConfig()
     from dedup_restore_ray.stages.groups import bucket_pairs
     bands = signatures.map_batches(
         BandExpand(cfg, use_simhash=use_simhash,
                    use_fingerprints=use_fingerprints, use_norm=use_norm,
-                   use_minhash=use_minhash),
+                   use_minhash=use_minhash, emit_id_hash=True),
         batch_format="pyarrow")
-    return bucket_pairs(bands, cfg.max_bucket_pairs, cfg.num_salts)
+    pairs = bucket_pairs(bands, cfg.max_bucket_pairs, cfg.num_salts)
+    if ids == "hashed":
+        return pairs
+    return resolve_pair_ids(pairs, signatures, cfg)

@@ -117,10 +117,14 @@ class _VerifyPacked:
     the candidate count, and the verified subset is one cheap filter
     over it, replacing a whole extra execution barrier."""
 
-    def __init__(self, pack_ref, threshold: float, emit_all: bool = False):
+    def __init__(self, pack_ref, threshold: float, emit_all: bool = False,
+                 hashed_ids: bool = False):
         self.ref = pack_ref
         self.threshold = threshold
         self.emit_all = emit_all
+        # hashed_ids: u/v already carry the uint64 id hash (the hashed
+        # pair chain) — skip re-hashing
+        self.hashed_ids = hashed_ids
         self._pack = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -128,8 +132,12 @@ class _VerifyPacked:
             self._pack = ray.get(self.ref)   # three arrays, zero-copy
         ids, offsets, flat = self._pack
         n = batch.num_rows
-        uh = _id_hashes(batch.column("u"))
-        vh = _id_hashes(batch.column("v"))
+        if self.hashed_ids:
+            uh = np.asarray(batch.column("u").combine_chunks())
+            vh = np.asarray(batch.column("v").combine_chunks())
+        else:
+            uh = _id_hashes(batch.column("u"))
+            vh = _id_hashes(batch.column("v"))
         m = len(ids)
         iu = np.minimum(np.searchsorted(ids, uh), max(m - 1, 0))
         iv = np.minimum(np.searchsorted(ids, vh), max(m - 1, 0))
@@ -304,21 +312,31 @@ def verify_pairs_scatter(pairs: "ray.data.Dataset",
                 batch_format="pyarrow")))
 
 
-def build_shingle_pack(signatures: "ray.data.Dataset"):
+def build_shingle_pack(signatures: "ray.data.Dataset",
+                       return_ids: bool = False):
     """Pack EVERY doc of ``signatures`` (sorted id-hashes, CSR offsets,
     flat shingles) — no member restriction, so it can be built
     concurrently with candidate generation (pipelines/dedup.py runs it
-    in a driver thread while the pair sort executes)."""
+    in a driver thread while the pair sort executes).
+
+    ``return_ids=True`` appends a 4th element: the raw doc_id Arrow
+    array in the SAME hash-sorted order — the id-resolution table for
+    the hashed pair chain (pairs.resolve_pair_ids), gathered in this
+    same single driver pass instead of a second one."""
     ids_parts, shingle_parts, count_parts = [], [], []
+    raw_parts = [] if return_ids else None
     for b in signatures.iter_batches(batch_size=8192,
                                      batch_format="pyarrow"):
         ids_parts.append(_id_hashes(b.column("doc_id")))
         sh = b.column("shingles").combine_chunks()
         shingle_parts.append(np.asarray(sh.flatten(), dtype=np.uint64))
         count_parts.append(np.diff(np.asarray(sh.offsets)))
+        if return_ids:
+            raw_parts.append(b.column("doc_id").combine_chunks())
     if not ids_parts:
-        return (np.empty(0, np.uint64), np.zeros(1, np.int64),
+        base = (np.empty(0, np.uint64), np.zeros(1, np.int64),
                 np.empty(0, np.uint64))
+        return base + (pa.array([], pa.string()),) if return_ids else base
     ids = np.concatenate(ids_parts)
     counts = np.concatenate(count_parts).astype(np.int64)
     flat = np.concatenate(shingle_parts)
@@ -329,6 +347,9 @@ def build_shingle_pack(signatures: "ray.data.Dataset"):
     total = int(offsets[-1])
     elem_idx = (np.repeat(starts[order] - offsets[:-1], new_counts)
                 + np.arange(total, dtype=np.int64))
+    if return_ids:
+        raw = pa.concat_arrays(raw_parts).take(pa.array(order))
+        return ids[order], offsets, flat[elem_idx], raw
     return ids[order], offsets, flat[elem_idx]
 
 
