@@ -284,11 +284,26 @@ def dedup_pipeline(docs: "ray.data.Dataset",
             table_ref=pack_ref_box["idtab"]).materialize()
     else:
         from dedup_restore_ray.stages.pairs import resolve_pair_ids
-        cands = resolve_pair_ids(cands, canon_sigs, cfg).materialize()
+        cands = cands.materialize()
         metrics["candidate_pairs"] = cands.count()
         _lap("candidate_pairs")
-        verified = verify_pairs(cands, canon_sigs, cfg,
-                                strategy=verify_strategy).materialize()
+        if verify_strategy == "scatter":
+            # verify on the hashed pairs (numeric rendezvous keys);
+            # resolve raw ids over the verified subset only, via the
+            # member-filtered broadcast (one shuffle-free corpus pass)
+            from dedup_restore_ray.stages.pairs import (
+                resolve_pair_ids_member)
+            verified_h = verify_pairs(cands, canon_sigs, cfg,
+                                      strategy="scatter",
+                                      hashed_ids=True)
+            verified = resolve_pair_ids_member(
+                verified_h, canon_sigs, cfg, id_col="doc_id",
+                extra_cols=("jaccard",)).materialize()
+        else:
+            cands = resolve_pair_ids(cands, canon_sigs, cfg,
+                                     n_ids_hint=n_docs_in).materialize()
+            verified = verify_pairs(cands, canon_sigs, cfg,
+                                    strategy=verify_strategy).materialize()
     metrics["verified_pairs"] = verified.count()
     _lap("verify")
 

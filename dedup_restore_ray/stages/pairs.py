@@ -267,6 +267,59 @@ def resolve_pair_ids(pairs: "ray.data.Dataset",
     return pairs.map_batches(resolve, batch_format="pyarrow")
 
 
+def resolve_pair_ids_member(pairs: "ray.data.Dataset",
+                            signatures: "ray.data.Dataset",
+                            cfg: PipelineConfig | None = None,
+                            id_col: str = "doc_id",
+                            extra_cols: tuple = ()) -> "ray.data.Dataset":
+    """Hash->id resolution for a SMALL pair set against a LARGE corpus
+    (e.g. the verified subset in scale mode): instead of scatter-joining
+    against the full id store (two shuffles over n_docs rows), collect
+    the pair MEMBER hashes (O(pairs) driver memory), filter the
+    signature stream to members in one shuffle-free pass, and resolve
+    with the resulting small broadcast table."""
+    import ray
+
+    from dedup_restore_ray.stages.verify import _id_hashes
+
+    cfg = cfg or PipelineConfig()
+    pairs = pairs.materialize()
+    mh: list[np.ndarray] = []
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        mh.append(np.asarray(b.column("u").combine_chunks()))
+        mh.append(np.asarray(b.column("v").combine_chunks()))
+    members = (np.unique(np.concatenate(mh)) if mh
+               else np.empty(0, np.uint64))
+    member_ref = ray.put(members)
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        mem = ray.get(member_ref)
+        ih = _id_hashes(b.column(id_col))
+        pos = np.searchsorted(mem, ih)
+        pos[pos == len(mem)] = max(len(mem) - 1, 0)
+        mask = (mem[pos] == ih) if len(mem) else np.zeros(len(ih), bool)
+        sel = b.filter(pa.array(mask))
+        return pa.table({"__idh": pa.array(ih[mask], pa.uint64()),
+                         "__id": sel.column(id_col)})
+
+    idh_parts, id_parts = [], []
+    for b in signatures.select_columns([id_col]).map_batches(
+            member_rows, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        idh_parts.append(np.asarray(b.column("__idh").combine_chunks()))
+        id_parts.append(b.column("__id").combine_chunks())
+    if idh_parts:
+        idh = np.concatenate(idh_parts)
+        ids = pa.concat_arrays(id_parts)
+        order = np.argsort(idh, kind="stable")
+        table_ref = ray.put((idh[order], ids.take(pa.array(order))))
+    else:
+        table_ref = ray.put((np.empty(0, np.uint64),
+                             pa.array([], pa.string())))
+    return resolve_pair_ids(pairs, signatures, cfg, id_col=id_col,
+                            extra_cols=extra_cols, table_ref=table_ref)
+
+
 def candidate_pairs(signatures: "ray.data.Dataset",
                     cfg: PipelineConfig | None = None,
                     use_simhash: bool = True,

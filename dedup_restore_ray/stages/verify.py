@@ -162,8 +162,14 @@ class _VerifyPacked:
 
 def verify_pairs_scatter(pairs: "ray.data.Dataset",
                          signatures: "ray.data.Dataset",
-                         cfg: PipelineConfig) -> "ray.data.Dataset":
+                         cfg: PipelineConfig,
+                         hashed_ids: bool = False) -> "ray.data.Dataset":
     """Fully distributed verification — no driver-side shingle gather.
+
+    ``hashed_ids=True``: pairs carry uint64 id hashes (the hashed pair
+    chain) — the doc_id payload through both scatters is then the hash
+    itself, the output (u, v) stays hashed, and the caller resolves
+    raw ids over the (small) verified subset (pairs.resolve_pair_ids).
 
     Two sort-scatter phases on the stages/groups.py machinery:
       1. sort (doc_hash, slot): each doc group leads with its signature
@@ -178,11 +184,16 @@ def verify_pairs_scatter(pairs: "ray.data.Dataset",
     """
     from dedup_restore_ray.stages.groups import (group_bounds, sorted_split)
 
+    def pair_hashes(b: pa.Table, col: str) -> np.ndarray:
+        if hashed_ids:
+            return np.asarray(b.column(col).combine_chunks())
+        return _id_hashes(b.column(col))
+
     # member hash set (tiny: u64 per member)
     mh: list[np.ndarray] = []
     for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        mh.append(_id_hashes(b.column("u")))
-        mh.append(_id_hashes(b.column("v")))
+        mh.append(pair_hashes(b, "u"))
+        mh.append(pair_hashes(b, "v"))
     members = (np.unique(np.concatenate(mh)) if mh
                else np.empty(0, np.uint64))
     member_ref = ray.put(members)
@@ -197,28 +208,29 @@ def verify_pairs_scatter(pairs: "ray.data.Dataset",
         mask = (mem[pos] == ih) if len(mem) else np.zeros(len(ih), bool)
         sel = batch.filter(pa.array(mask))
         n = sel.num_rows
+        doc_payload = (pa.array(ih[mask], pa.uint64()) if hashed_ids
+                       else sel.column("doc_id").combine_chunks())
         return pa.table({
             "doc_hash": pa.array(ih[mask], pa.uint64()),
             "slot": pa.array(np.full(n, -1, np.int8)),
             "pair_id": pa.array(np.zeros(n, np.uint64)),
-            "doc_id": sel.column("doc_id"),
+            "doc_id": doc_payload,
             "shingles": sel.column("shingles").cast(shingle_type),
         })
 
-    id_type = None
-
     def pair_rows(batch: pa.Table) -> pa.Table:
-        uh = _id_hashes(batch.column("u"))
-        vh = _id_hashes(batch.column("v"))
+        uh = pair_hashes(batch, "u")
+        vh = pair_hashes(batch, "v")
         from dedup_restore_ray.functions.hashing import combine64
         pid = combine64(uh, vh)
         n = batch.num_rows
         doc_hash = np.concatenate([uh, vh])
         slot = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
         pair_id = np.concatenate([pid, pid])
-        doc_id = pa.concat_arrays([
-            batch.column("u").combine_chunks(),
-            batch.column("v").combine_chunks()])
+        doc_id = (pa.array(doc_hash, pa.uint64()) if hashed_ids
+                  else pa.concat_arrays([
+                      batch.column("u").combine_chunks(),
+                      batch.column("v").combine_chunks()]))
         empty_shingles = pa.ListArray.from_arrays(
             pa.array(np.zeros(2 * n + 1, np.int32)),
             pa.array([], pa.uint64()))
@@ -364,11 +376,17 @@ def verify_pairs_with_pack(pairs: "ray.data.Dataset", pack_ref,
 
 def verify_pairs(pairs: "ray.data.Dataset", signatures: "ray.data.Dataset",
                  cfg: PipelineConfig | None = None,
-                 strategy: str = "broadcast") -> "ray.data.Dataset":
+                 strategy: str = "broadcast",
+                 hashed_ids: bool = False) -> "ray.data.Dataset":
     """candidate (u,v) -> verified (u, v, jaccard >= threshold)."""
     cfg = cfg or PipelineConfig()
+    if hashed_ids and strategy != "scatter":
+        raise ValueError("hashed_ids pairs are supported by the scatter "
+                         "strategy (use _VerifyPacked(hashed_ids=True) "
+                         "for the broadcast form)")
     if strategy == "scatter":
-        return verify_pairs_scatter(pairs, signatures, cfg)
+        return verify_pairs_scatter(pairs, signatures, cfg,
+                                    hashed_ids=hashed_ids)
     if strategy == "broadcast":
         pack = _member_shingle_pack(pairs, signatures)
         ref = ray.put(pack)
