@@ -142,7 +142,13 @@ def run_scaling_child() -> dict:
     init_sec = time.time() - t_init
     t0 = time.time()
     ds = read_parquet_clean(path, columns=["url", "text", "html"])
-    res = dedup_pipeline(ds, PipelineConfig(), id_col="url",
+    # broadcast_limit is a DRIVER-MEMORY gate (the verify shingle pack
+    # is ~8 B x shingles per canonical — ~2 GB per million canonicals);
+    # raise it for the scaling corpora so every corpus size exercises
+    # the same (broadcast) pipeline shape on this 128 GiB host, instead
+    # of flipping to the all-shuffle scale path right at 2M docs.
+    cfg = PipelineConfig(broadcast_limit=max(4_000_000, SCALING_DOCS * 2))
+    res = dedup_pipeline(ds, cfg, id_col="url",
                          text_col="text", html_col="html")
     t_stats = time.time()
     stats = dedup_stats(res.assignments)

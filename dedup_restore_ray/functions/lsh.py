@@ -25,7 +25,7 @@ def compute_bucket_keys(cfg, sig: np.ndarray, simhash: np.ndarray | None,
     substring fingerprints (tag 0xF1), norm-hash rail key (tag 0xA7).
     Returns (flat uint64 keys, int64 offsets [n+1])."""
     from dedup_restore_ray.functions.minhash import EMPTY_SIG
-    from dedup_restore_ray.functions.simhash import simhash_band_keys
+    from dedup_restore_ray.functions.simhash import simhash_block_keys
     n = sig.shape[0]
     per_doc_parts: list[np.ndarray] = []
     counts = np.zeros(n, dtype=np.int64)
@@ -33,8 +33,9 @@ def compute_bucket_keys(cfg, sig: np.ndarray, simhash: np.ndarray | None,
     bk = band_keys(sig, cfg.num_bands, cfg.rows_per_band)
     cols.append(bk)
     if simhash is not None:
-        nsb = cfg.simhash_hamming_threshold + 1
-        sb = simhash_band_keys(np.asarray(simhash, U64), nsb)
+        sb = simhash_block_keys(np.asarray(simhash, U64),
+                                cfg.simhash_hamming_threshold)
+        nsb = sb.shape[1]
         sb = combine64(sb.reshape(-1), np.uint64(0x51)).reshape(n, nsb)
         empty = (sig[:, 0] == EMPTY_SIG) if n else np.zeros(0, bool)
         if empty.any():

@@ -83,6 +83,49 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     return cnt.astype(np.int64)
 
 
+def simhash_block_keys(simhash: np.ndarray, t: int = 3,
+                       num_blocks: int = 6) -> np.ndarray:
+    """[n, C(num_blocks, num_blocks-t)] uint64 candidate keys with the
+    Hamming-ball guarantee AND a collision rate that scales to web
+    corpora (Manku, Jain & Sarma, 'Detecting Near-Duplicates for Web
+    Crawling', WWW'07): split the 64-bit sketch into ``num_blocks``
+    blocks and key on every combination of ``num_blocks - t`` blocks.
+
+    Pigeonhole: <= t flipped bits touch <= t blocks, so some
+    (num_blocks - t)-subset of blocks is clean and that combination's
+    key matches.  vs the naive (t+1)-band split (16-bit key content at
+    t=3), each key here carries ~32 content bits, so RANDOM collisions
+    fall from n^2/2^16 to n^2/2^32 per key — the naive form emitted
+    7.4M pairs for 480k canonical docs (quadratic, measured); this one
+    emits the true near-Hamming pairs plus noise that stays negligible
+    into the 10^9-doc range.  For larger corpora raise num_blocks - t
+    content width (e.g. num_blocks=5, t=2 -> ~38 bits).
+    """
+    from itertools import combinations
+
+    sh = np.asarray(simhash, U64)
+    n = len(sh)
+    widths = [(64 // num_blocks) + (1 if i < 64 % num_blocks else 0)
+              for i in range(num_blocks)]
+    shifts = np.cumsum([0] + widths[:-1])
+    bvals = np.empty((n, num_blocks), dtype=U64)
+    for j in range(num_blocks):
+        bvals[:, j] = (sh >> np.uint64(shifts[j])) \
+            & np.uint64((1 << widths[j]) - 1)
+    combos = list(combinations(range(num_blocks), num_blocks - t))
+    out = np.empty((n, len(combos)), dtype=U64)
+    with np.errstate(over="ignore"):
+        for k, combo in enumerate(combos):
+            content = np.zeros(n, dtype=U64)
+            for j in combo:
+                content = (content << np.uint64(widths[j])) | bvals[:, j]
+            # mix with the combo index so different combinations never
+            # collide in one groupby key space
+            out[:, k] = mix64(content
+                              + np.uint64(k) * np.uint64(0x9E3779B97F4A7C15))
+    return out
+
+
 def simhash_band_keys(simhash: np.ndarray, num_bands: int = 4) -> np.ndarray:
     """[n, num_bands] uint64 band keys for Hamming-ball candidate
     generation: two 64-bit sketches within Hamming distance

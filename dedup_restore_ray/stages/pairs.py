@@ -34,7 +34,7 @@ from dedup_restore_ray.config import PipelineConfig
 from dedup_restore_ray.functions.hashing import U64, combine64
 from dedup_restore_ray.functions.lsh import band_keys
 from dedup_restore_ray.functions.minhash import EMPTY_SIG
-from dedup_restore_ray.functions.simhash import simhash_band_keys
+from dedup_restore_ray.functions.simhash import simhash_block_keys
 
 
 class BandExpand:
@@ -64,7 +64,9 @@ class BandExpand:
         self.use_simhash = use_simhash
         self.use_fingerprints = use_fingerprints
         self.use_norm = use_norm
-        self.n_simhash_bands = self.cfg.simhash_hamming_threshold + 1
+        from math import comb
+        t = self.cfg.simhash_hamming_threshold
+        self.n_simhash_bands = comb(6, 6 - t)   # Manku block-combo keys
         # emit_id_hash: the doc_id column carries the uint64 id hash
         # (stages/verify._id_hashes) instead of the raw id — the whole
         # bucket sort + pair + distinct chain then moves 16-byte
@@ -110,7 +112,7 @@ class BandExpand:
             ids.append(np.repeat(np.arange(n), cfg.num_bands))
         if self.use_simhash:
             sh = np.asarray(batch.column("simhash"), dtype=U64)
-            sb = simhash_band_keys(sh, self.n_simhash_bands)
+            sb = simhash_block_keys(sh, self.cfg.simhash_hamming_threshold)
             # tag simhash keyspace so it never collides with minhash keys
             sb = combine64(sb.reshape(-1), np.uint64(0x51))
             empty = (mh[:, 0] == EMPTY_SIG)

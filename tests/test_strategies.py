@@ -41,6 +41,73 @@ class TestVerifyStrategies:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestHashedPairChain:
+    """The uint64-hashed candidate chain must reproduce the string
+    chain exactly: hashed candidates + hashed scatter verify + boundary
+    resolution == string candidates + string verify, and every
+    resolution strategy (broadcast table / sort-scatter / member-
+    filtered broadcast) returns the same pairs."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, pages_corpus):
+        import ray.data as rd
+        from dedup_restore_ray.stages.pairs import candidate_pairs
+        from dedup_restore_ray.stages.signatures import SignatureStage
+        pages, _ = pages_corpus
+        cfg = PipelineConfig()
+        docs = rd.from_arrow(pages.select(["url", "text"])
+                             .rename_columns(["doc_id", "text"]))
+        sigs = docs.map_batches(SignatureStage(cfg),
+                                batch_format="pyarrow").materialize()
+        resolved = candidate_pairs(sigs, cfg, use_simhash=True,
+                                   use_fingerprints=True,
+                                   use_norm=True).materialize()
+        hashed = candidate_pairs(sigs, cfg, use_simhash=True,
+                                 use_fingerprints=True, use_norm=True,
+                                 ids="hashed").materialize()
+        return cfg, sigs, resolved, hashed
+
+    def test_resolution_strategies_agree(self, setup):
+        from dedup_restore_ray.stages.pairs import (resolve_pair_ids,
+                                                    resolve_pair_ids_member)
+        cfg, sigs, resolved, hashed = setup
+        ref = (resolved.to_pandas().sort_values(["u", "v"])
+               .reset_index(drop=True))
+        # scatter resolution (forced by a tiny broadcast gate)
+        scfg = PipelineConfig(broadcast_limit=1)
+        via_scatter = (resolve_pair_ids(hashed, sigs, scfg)
+                       .to_pandas().sort_values(["u", "v"])
+                       .reset_index(drop=True))
+        via_member = (resolve_pair_ids_member(hashed, sigs, cfg)
+                      .to_pandas().sort_values(["u", "v"])
+                      .reset_index(drop=True))
+        assert ref[["u", "v"]].equals(via_scatter[["u", "v"]])
+        assert ref[["u", "v"]].equals(via_member[["u", "v"]])
+
+    def test_hashed_scatter_verify_matches_string_verify(self, setup):
+        from dedup_restore_ray.stages.pairs import resolve_pair_ids_member
+        from dedup_restore_ray.stages.verify import verify_pairs
+        cfg, sigs, resolved, hashed = setup
+        ref = (verify_pairs(resolved, sigs, cfg, strategy="broadcast")
+               .to_pandas().sort_values(["u", "v"]).reset_index(drop=True))
+        vh = verify_pairs(hashed, sigs, cfg, strategy="scatter",
+                          hashed_ids=True)
+        out = (resolve_pair_ids_member(vh, sigs, cfg,
+                                       extra_cols=("jaccard",))
+               .to_pandas().sort_values(["u", "v"]).reset_index(drop=True))
+        assert len(out) == len(ref)
+        assert out[["u", "v"]].equals(ref[["u", "v"]])
+        assert np.allclose(out["jaccard"], ref["jaccard"])
+
+    def test_hashed_ids_rejected_by_broadcast_strategy(self, setup):
+        from dedup_restore_ray.stages.verify import verify_pairs
+        cfg, sigs, resolved, hashed = setup
+        with pytest.raises(ValueError):
+            verify_pairs(hashed, sigs, cfg, strategy="broadcast",
+                         hashed_ids=True)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestExactDedupMarkShufflePath:
     def test_matches_light_path(self):
         import ray.data as rd
