@@ -265,13 +265,29 @@ def batch_winnowed_fingerprints_csr(texts: list[str], k: int, window: int
     batch) — measured 14x slowdown under 4-way concurrency on this
     host's page-fault-bandwidth-limited windows.  Per segment, adjacent-
     equal window minima are compacted first (winnowing density ≈ 2/w),
-    so the only full-batch allocation is the ~4%-sized result."""
-    from dedup_restore_ray.functions.hashing import csr_sorted_unique, scratch
+    so the only full-batch allocation is the ~4%-sized result.
 
-    n_docs = len(texts)
-    enc = [t if isinstance(t, bytes) else
-           t.encode("utf-8", "surrogatepass") for t in texts]
-    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
+    ``texts`` may also be an Arrow binary/string array: segments are
+    then ZERO-COPY views of the Arrow data buffer (binary_csr) — no
+    per-doc Python bytes and no b"".join copy per segment."""
+    import pyarrow as pa
+
+    from dedup_restore_ray.functions.hashing import (binary_csr,
+                                                     csr_sorted_unique,
+                                                     scratch)
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arrow_data, arrow_offs = binary_csr(texts)
+        n_docs = len(arrow_offs) - 1
+        enc = None
+        lens = np.diff(arrow_offs)
+    else:
+        arrow_data = arrow_offs = None
+        n_docs = len(texts)
+        enc = [t if isinstance(t, bytes) else
+               t.encode("utf-8", "surrogatepass") for t in texts]
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64,
+                           count=n_docs)
     counts = np.zeros(n_docs, dtype=np.int64)
     pieces: list[np.ndarray] = []
     if n_docs:
@@ -290,7 +306,9 @@ def batch_winnowed_fingerprints_csr(texts: list[str], k: int, window: int
         ok = hl > 0
         if not ok.any():
             continue
-        data = np.frombuffer(b"".join(enc[i0:i1]), dtype=np.uint8)
+        data = (arrow_data[arrow_offs[i0]:arrow_offs[i1]]
+                if enc is None
+                else np.frombuffer(b"".join(enc[i0:i1]), dtype=np.uint8))
         acc = _global_kgram_hashes(data, k, mixed=True, use_scratch=True)
         dstarts = np.zeros(len(dl), dtype=np.int64)
         np.cumsum(dl[:-1], out=dstarts[1:])

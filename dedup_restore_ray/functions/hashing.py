@@ -207,3 +207,46 @@ def content_hashes(texts) -> list[bytes]:
                          else t.encode("utf-8", "surrogatepass")).digest()
             if t is not None else b"\x00" * 20
             for t in texts]
+
+
+def binary_csr(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 data view, absolute int64 offsets [n+1]) of an Arrow
+    binary/string array — ZERO-COPY views into the Arrow buffers
+    (doc i's bytes are data[offsets[i]:offsets[i+1]]).  Handles chunked
+    arrays, sliced arrays (nonzero ``arr.offset``) and large types.
+    Nulls read as empty spans (Arrow stores equal adjacent offsets)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    wide = pa.types.is_large_binary(t) or pa.types.is_large_string(t)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64 if wide else np.int32)
+    offs = offs[arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
+    return data, offs
+
+
+def content_hashes_arrow(arr) -> list[bytes]:
+    """SHA-1 per element of an Arrow binary/string array, hashing
+    memoryview slices of the Arrow data buffer directly — no per-doc
+    Python bytes objects (the to_pylist() + content_hashes form copied
+    the whole corpus through the Python heap every signature batch).
+    Nulls -> b"\\x00"*20, matching content_hashes."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    data, offs = binary_csr(arr)
+    mv = memoryview(data)
+    o = offs.tolist()
+    out = [hashlib.sha1(mv[o[i]:o[i + 1]]).digest()
+           for i in range(len(o) - 1)]
+    if arr.null_count:
+        zero = b"\x00" * 20
+        for i in np.flatnonzero(
+                ~np.asarray(arr.is_valid(), dtype=bool)).tolist():
+            out[i] = zero
+    return out

@@ -169,14 +169,18 @@ def arrow_token_stats(tcol, hasher: "WordHasher"):
     [a-z0-9_], the split complement below), so results are independent
     of which rows ride which path.
 
-    Returns ``(wh, counts, norm_bytes, raw_bytes)``:
-      wh           uint64 [T]  flat per-occurrence word hashes in doc
-                               order — a SCRATCH-ARENA VIEW ("se_wh"),
-                               valid until the next se_wh request
-      counts       int64 [n]   tokens per doc
-      norm_bytes   list[bytes] per-doc normalized text (tokens joined
-                               by single spaces), utf-8
-      raw_bytes    list[bytes] per-doc raw text bytes (None -> b"")
+    Returns ``(wh, counts, norm_arr, raw_arr)``:
+      wh        uint64 [T]       flat per-occurrence word hashes in doc
+                                 order — a SCRATCH-ARENA VIEW ("se_wh"),
+                                 valid until the next se_wh request
+      counts    int64 [n]        tokens per doc
+      norm_arr  pa.BinaryArray   per-doc normalized text (tokens joined
+                                 by single spaces), utf-8 — stays an
+                                 Arrow buffer so SHA-1/winnowing read it
+                                 zero-copy (content_hashes_arrow /
+                                 binary_csr), never a Python bytes list
+      raw_arr   pa.BinaryArray   per-doc raw text bytes (None -> b""),
+                                 a zero-copy cast of the input column
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -187,10 +191,11 @@ def arrow_token_stats(tcol, hasher: "WordHasher"):
         tcol = tcol.combine_chunks()
     n = len(tcol)
     if n == 0:
-        return (np.empty(0, U64), np.zeros(0, np.int64), [], [])
+        empty = pa.array([], pa.binary())
+        return (np.empty(0, U64), np.zeros(0, np.int64), empty, empty)
     if tcol.null_count:
         tcol = tcol.fill_null("")
-    raw_bytes = tcol.cast(pa.binary()).to_pylist()
+    raw_arr = tcol.cast(pa.binary())
     ascii_mask = np.asarray(pc.string_is_ascii(tcol))
     all_ascii = bool(ascii_mask.all())
     acol = tcol if all_ascii \
@@ -212,12 +217,12 @@ def arrow_token_stats(tcol, hasher: "WordHasher"):
     uh = hasher.hash_words(d.dictionary.to_pylist())
     norm_list = pa.ListArray.from_arrays(
         pa.array(cum[off], type=pa.int32()), ff)
-    a_norm = pc.binary_join(norm_list, " ").cast(pa.binary()).to_pylist()
+    a_norm = pc.binary_join(norm_list, " ").cast(pa.binary())
 
     if all_ascii:
         wh = scratch("se_wh", len(idx))
         np.take(uh, idx, out=wh)
-        return wh, a_counts, a_norm, raw_bytes
+        return wh, a_counts, a_norm, raw_arr
 
     # stitch: slow rows via the Python tokenizer, in row order
     slow_rows = np.flatnonzero(~ascii_mask)
@@ -239,9 +244,18 @@ def arrow_token_stats(tcol, hasher: "WordHasher"):
     for r, toks in zip(slow_rows, slow_toks):
         if toks:
             hasher.hash_words(toks, out=wh[dest[r]:dest[r] + len(toks)])
-    norm_bytes: list = [None] * n
-    for i, r in enumerate(a_rows):
-        norm_bytes[r] = a_norm[i]
-    for r, toks in zip(slow_rows, slow_toks):
-        norm_bytes[int(r)] = " ".join(toks).encode("utf-8", "surrogatepass")
-    return wh, counts, norm_bytes, raw_bytes
+    # row-ordered norm array built with ONE Arrow take (no Python copy
+    # of the ascii rows' norms — a single non-ASCII row in a batch must
+    # not demote the whole batch to the Python heap)
+    slow_norm = pa.array(
+        [" ".join(toks).encode("utf-8", "surrogatepass")
+         for toks in slow_toks], pa.binary())
+    combined = pa.concat_arrays(
+        [a_norm.combine_chunks()
+         if isinstance(a_norm, pa.ChunkedArray) else a_norm, slow_norm])
+    perm = np.empty(n, dtype=np.int64)
+    perm[a_rows] = np.arange(len(a_rows), dtype=np.int64)
+    perm[slow_rows] = len(a_rows) + np.arange(len(slow_rows),
+                                              dtype=np.int64)
+    norm_arr = combined.take(pa.array(perm))
+    return wh, counts, norm_arr, raw_arr

@@ -17,7 +17,7 @@ import pyarrow as pa
 
 from dedup_restore_ray.config import PipelineConfig
 from dedup_restore_ray.functions.fingerprint import batch_winnowed_fingerprints_csr
-from dedup_restore_ray.functions.hashing import content_hashes
+from dedup_restore_ray.functions.hashing import content_hashes_arrow
 from dedup_restore_ray.functions.minhash import make_permutations, minhash_signatures
 from dedup_restore_ray.functions.shingle import ShingleEncoder, normalize_text, token_counts
 from dedup_restore_ray.functions.simhash import simhash_signatures
@@ -90,8 +90,10 @@ class SignatureStage:
                                   use_scratch=not self.emit_minhash)
                if self.emit_minhash or self.emit_bucket_keys else None)
         sh = simhash_signatures(flat, offsets)
-        chashes = content_hashes(raws)
-        nhashes = content_hashes(norm)
+        # norm/raws are Arrow binary arrays; SHA-1 reads their buffers
+        # via memoryview slices — no Python bytes copy of the corpus
+        chashes = content_hashes_arrow(raws)
+        nhashes = content_hashes_arrow(norm)
         nshingles = np.diff(offsets)
         need_fp = (self.emit_fingerprints
                    or (self.emit_bucket_keys and self.bucket_fingerprints))
@@ -118,7 +120,7 @@ class SignatureStage:
                 pa.array(mh_offsets), pa.array(sig.reshape(-1), pa.uint64()))
         if self.emit_lgrams:
             from dedup_restore_ray.functions.fingerprint import batch_lgram_hashes
-            gs = batch_lgram_hashes(norm, cfg.substring_min_len)
+            gs = batch_lgram_hashes(norm.to_pylist(), cfg.substring_min_len)
             goffs = np.zeros(len(gs) + 1, dtype=np.int64)
             goffs[1:] = np.cumsum([len(g) for g in gs])
             gflat = (np.concatenate(gs) if gs

@@ -226,8 +226,9 @@ class TestWinnowing:
             assert wh[pos:pos + len(toks)].tolist() == expect_wh.tolist(), \
                 f"doc {i}"
             pos += len(toks)
-            assert norm[i] == " ".join(toks).encode("utf-8"), f"doc {i}"
-            assert raw[i] == (t or "").encode("utf-8"), f"doc {i}"
+            assert norm[i].as_py() == " ".join(toks).encode("utf-8"), \
+                f"doc {i}"
+            assert raw[i].as_py() == (t or "").encode("utf-8"), f"doc {i}"
         assert pos == len(wh)
 
     def test_segmented_batch_matches_per_doc(self, monkeypatch):
