@@ -24,15 +24,16 @@ import pyarrow as pa
 
 import ray.data
 
-from dedup_restore_ray.functions.hashing import content_hashes
+from dedup_restore_ray.functions.hashing import content_hashes_arrow
 
 
 def hash_new_docs(docs: "ray.data.Dataset", id_col: str = "doc_id",
                   text_col: str = "text") -> "ray.data.Dataset":
     """(content_hash binary(20), doc_id) for an incoming shard."""
     def f(b: pa.Table) -> pa.Table:
-        h = content_hashes([t if t is not None else ""
-                            for t in b.column(text_col).to_pylist()])
+        # fill_null first: this path hashes missing text as sha1(b""),
+        # not the all-zero null digest of content_hashes_arrow
+        h = content_hashes_arrow(b.column(text_col).fill_null(""))
         return pa.table({"content_hash": pa.array(h, pa.binary(20)),
                          "doc_id": b.column(id_col)})
     return docs.map_batches(f, batch_format="pyarrow")

@@ -71,12 +71,30 @@ class ExtractText:
             out = batch.drop_columns([self.text_col])
             return out.append_column(self.text_col,
                                      tcol.cast(pa.string()))
-        texts = tcol.to_pylist()
-        htmls = batch.column(self.html_col).to_pylist()
-        texts = [t if t is not None else self.extract_one(h)
-                 for t, h in zip(texts, htmls)]
+        # only the NULL rows take the per-doc Python extractor; the
+        # non-null majority stays in its Arrow buffer and is stitched
+        # back with one take (a batch with a few html-only rows must
+        # not round-trip the whole text column through the Python heap)
+        import numpy as np
+        import pyarrow.compute as pc
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        vm = np.asarray(pc.is_valid(tcol))
+        null_rows = np.flatnonzero(~vm)
+        htmls = batch.column(self.html_col).take(pa.array(null_rows))
+        extracted = pa.array([self.extract_one(h)
+                              for h in htmls.to_pylist()], pa.string())
+        keep = tcol.filter(pa.array(vm, pa.bool_())).cast(pa.string())
+        if isinstance(keep, pa.ChunkedArray):
+            keep = keep.combine_chunks()
+        n_valid = len(keep)
+        perm = np.empty(len(tcol), dtype=np.int64)
+        perm[vm] = np.arange(n_valid, dtype=np.int64)
+        perm[null_rows] = n_valid + np.arange(len(null_rows),
+                                              dtype=np.int64)
+        stitched = pa.concat_arrays([keep, extracted]).take(pa.array(perm))
         out = batch.drop_columns([self.text_col])
-        return out.append_column(self.text_col, pa.array(texts, pa.string()))
+        return out.append_column(self.text_col, stitched)
 
 
 @dataclass
@@ -201,15 +219,14 @@ def dedup_pipeline(docs: "ray.data.Dataset",
         for b in assignments.iter_batches(batch_size=65536,
                                           batch_format="pyarrow"):
             keep = pc.invert(b.column("is_dup").combine_chunks())
-            ids = b.filter(keep).column("doc_id").to_pylist()
-            canon_parts.append(_id_hashes(ids))
+            canon_parts.append(_id_hashes(b.filter(keep).column("doc_id")))
         canon_hashes = np.sort(np.concatenate(canon_parts)) if canon_parts \
             else np.empty(0, np.uint64)
         canon_ref = ray.put(canon_hashes)
 
         def only_canonical(batch: pa.Table) -> pa.Table:
             ch = ray.get(canon_ref)
-            ih = _id_hashes(batch.column("doc_id").to_pylist())
+            ih = _id_hashes(batch.column("doc_id"))
             pos = np.searchsorted(ch, ih)
             pos[pos == len(ch)] = max(len(ch) - 1, 0)
             mask = (ch[pos] == ih) if len(ch) else np.zeros(len(ih), bool)

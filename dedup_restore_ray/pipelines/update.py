@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from dedup_restore_ray.functions.hashing import content_hashes
+from dedup_restore_ray.functions.hashing import content_hashes_arrow
 from dedup_restore_ray.stages.cluster import scatter_lookup_split
 from dedup_restore_ray.stages.groups import mark_canonical
 from dedup_restore_ray.stages.joins import anti_join, semi_join
@@ -67,7 +67,7 @@ def _fresh_ids(hashes: list[bytes], id_type: pa.DataType) -> pa.Array:
 def _hash_col(ds: "ray.data.Dataset", text_col: str,
               out_cols: list[str]) -> "ray.data.Dataset":
     def f(batch: pa.Table) -> pa.Table:
-        h = content_hashes(batch.column(text_col).to_pylist())
+        h = content_hashes_arrow(batch.column(text_col))
         cols = {c: batch.column(c) for c in out_cols}
         cols["content_hash"] = pa.array(h, pa.binary(20))
         return pa.table(cols)

@@ -21,7 +21,8 @@ import ray.data as rd
 
 from dedup_restore_ray.config import PipelineConfig
 from dedup_restore_ray.sources.io import read_parquet_clean
-from dedup_restore_ray.functions.hashing import content_hashes
+from dedup_restore_ray.functions.hashing import (content_hashes,
+                                                 content_hashes_arrow)
 from dedup_restore_ray.functions.shingle import ShingleEncoder, token_counts, tokenize
 from dedup_restore_ray.functions.similarity import (cosine_topk_block,
                                                     fixed_binary_to_matrix,
@@ -59,7 +60,7 @@ def q_exact_dedup_docs(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = content_hashes(batch.column("text").to_pylist())
+        h = content_hashes_arrow(batch.column("text"))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "content_hash": pa.array(h, pa.binary(20))})
 
@@ -3878,7 +3879,7 @@ def q_dup_rate_by_source(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text", "source"])
 
     def add_hash(b: pa.Table) -> pa.Table:
-        h = content_hashes(b.column("text").to_pylist())
+        h = content_hashes_arrow(b.column("text"))
         return pa.table({"doc_id": b.column("doc_id"),
                          "source": b.column("source"),
                          "content_hash": pa.array(h, pa.binary(20))})

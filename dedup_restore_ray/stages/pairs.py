@@ -134,8 +134,12 @@ class BandExpand:
             ids.append(np.repeat(np.arange(n), counts))
         if self.use_norm:
             nh = batch.column("norm_hash").combine_chunks()
-            nh64 = np.frombuffer(b"".join(
-                buf[:8] for buf in nh.to_pylist()), dtype=U64)
+            # first 8 bytes of each fixed-binary(20) digest, straight
+            # from the Arrow data buffer (no per-row bytes objects)
+            from dedup_restore_ray.functions.similarity import (
+                fixed_binary_to_matrix)
+            nh64 = np.ascontiguousarray(
+                fixed_binary_to_matrix(nh, 20)[:, :8]).view(U64).ravel()
             keys.append(combine64(nh64, np.uint64(0xA7)))
             ids.append(np.arange(n))
         key_arr = np.concatenate(keys)

@@ -35,26 +35,34 @@ from dedup_restore_ray.functions.jaccard import jaccard_batch, jaccard_sorted
 
 def _id_hashes(ids) -> np.ndarray:
     """Stable uint64 hash per doc id.  Accepts a pyarrow
-    (Chunked)Array, numpy array, or Python list.
+    (Chunked)Array, numpy array, or Python list; every input form
+    routes through ONE definition per type, so hashes computed from a
+    list always agree with hashes computed from the Arrow column.
 
-    Integer ids take the vectorized splitmix64 path — a *bijection* on
-    uint64, so zero collisions and no per-row Python.  Other types
-    (strings, binaries) fall back to per-value blake2b (collision risk
-    n^2/2^64 — negligible below ~10^8 members; the join strategy is
-    the exact path beyond that).  Within one run every id column has
-    one type, so the two paths never mix for the same dataset."""
+    Integer ids: vectorized splitmix64 — a *bijection* on uint64, so
+    zero collisions.  String/binary ids: arrow_row_hashes (one
+    length-mixed rolling hash over the flat Arrow byte buffer — no
+    per-row Python; collision risk n^2/2^64, negligible below ~10^8
+    members; the join strategy is the exact path beyond that).  The
+    per-value blake2b loop survives only for exotic id types."""
+    from dedup_restore_ray.functions.hashing import arrow_row_hashes
+
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
-    if isinstance(ids, pa.Array):
-        if pa.types.is_integer(ids.type):
-            return mix64(np.asarray(ids).astype(np.uint64))
-        ids = ids.to_pylist()
-    else:
+    if not isinstance(ids, pa.Array):
         arr = np.asarray(ids)
         if arr.dtype.kind in "iu":
             return mix64(arr.astype(np.uint64))
-    return np.fromiter((hash_bytes_u64(str(x).encode()) for x in ids),
-                       dtype=np.uint64, count=len(ids))
+        ids = pa.array(ids)
+    if pa.types.is_integer(ids.type):
+        return mix64(np.asarray(ids).astype(np.uint64))
+    if (pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type)
+            or pa.types.is_binary(ids.type)
+            or pa.types.is_large_binary(ids.type)):
+        return arrow_row_hashes(ids)
+    vals = ids.to_pylist()
+    return np.fromiter((hash_bytes_u64(str(x).encode()) for x in vals),
+                       dtype=np.uint64, count=len(vals))
 
 
 def _member_shingle_pack(pairs: "ray.data.Dataset",

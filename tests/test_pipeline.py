@@ -212,3 +212,35 @@ class TestGoldenRegression:
         out = (res.assignments.to_pandas()
                .sort_values("doc_id").reset_index(drop=True))
         assert out.equals(golden)
+
+
+class TestExtractTextStitch:
+    def test_null_rows_extracted_others_untouched(self):
+        """The null path extracts ONLY the null rows through Python and
+        stitches them back with one Arrow take — mixed null/non-null
+        batches (including unicode and chunked columns) must come out
+        byte-identical to the all-Python reference."""
+        import pyarrow as pa
+        from dedup_restore_ray.pipelines.dedup import ExtractText
+        ex = ExtractText()
+        texts = ["plain text", None, "ünïcode tëxt", None, "", None]
+        htmls = [None, b"<p>Hello <b>World</b></p>", None,
+                 b"<div>\xc3\xbcml\xc3\xa4ut</div>", None, b""]
+        batch = pa.table({
+            "text": pa.chunked_array([texts[:3], texts[3:]], pa.string()),
+            "html": pa.array(htmls, pa.binary())})
+        out = ex(batch).column("text").to_pylist()
+        expect = [t if t is not None else ex.extract_one(h)
+                  for t, h in zip(texts, htmls)]
+        assert out == expect
+
+    def test_all_null_and_no_null(self):
+        import pyarrow as pa
+        from dedup_restore_ray.pipelines.dedup import ExtractText
+        ex = ExtractText()
+        allnull = pa.table({"text": pa.array([None, None], pa.string()),
+                            "html": pa.array([b"<i>a</i>", b"<b>b</b>"])})
+        assert ex(allnull).column("text").to_pylist() == ["a", "b"]
+        nonull = pa.table({"text": pa.array(["x", "y"]),
+                           "html": pa.array([None, None], pa.binary())})
+        assert ex(nonull).column("text").to_pylist() == ["x", "y"]
