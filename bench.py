@@ -148,8 +148,10 @@ def run_scaling_child() -> dict:
     # the same (broadcast) pipeline shape on this 128 GiB host, instead
     # of flipping to the all-shuffle scale path right at 2M docs.
     cfg = PipelineConfig(broadcast_limit=max(4_000_000, SCALING_DOCS * 2))
-    res = dedup_pipeline(ds, cfg, id_col="url",
-                         text_col="text", html_col="html")
+    res = dedup_pipeline(
+        ds, cfg, id_col="url", text_col="text", html_col="html",
+        verify_strategy=os.environ.get("GRAFT_SCALING_VERIFY",
+                                       "broadcast"))
     t_stats = time.time()
     stats = dedup_stats(res.assignments)
     stats_sec = time.time() - t_stats
@@ -191,7 +193,29 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)))
         return float(out.stdout.strip().splitlines()[-1])
 
+    def parallel_roof() -> float:
+        """The HARDWARE's own 1-vs-4-process scaling efficiency for
+        memory-streaming numpy work in the CURRENT host window — the
+        denominator for judging the engine's number (a shared host
+        that delivers 2.9x for 4 plain numpy processes caps ANY
+        engine at ~0.72; see BASELINE.md 'host variance')."""
+        code = ("import numpy as np,time;n=40_000_000;"
+                "a=np.random.rand(n);b=np.random.rand(n);"
+                "t0=time.time()\n"
+                "for _ in range(8): c=a*b+a\n"
+                "print(time.time()-t0)")
+
+        def run_k(k: int) -> float:
+            ps = [subprocess.Popen([sys.executable, "-c", code],
+                                   stdout=subprocess.PIPE)
+                  for _ in range(k)]
+            return max(float(p.communicate()[0]) for p in ps)
+
+        t1, t4 = run_k(1), run_k(4)
+        return round(t1 / t4, 3)
+
     probes = [fresh_probe()]
+    roofs = [parallel_roof()]
     lo, hi = SCALING_LOW, SCALING_HIGH
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     runs = {lo: [], hi: []}
@@ -199,6 +223,7 @@ def run_scaling() -> dict:
         runs[lo].append(run(lo)["value"])
         runs[hi].append(run(hi)["value"])
         probes.append(fresh_probe())
+    roofs.append(parallel_roof())
     t_lo, t_hi = min(runs[lo]), min(runs[hi])
     eff = (t_lo / t_hi) / (hi / lo)
     import statistics
@@ -219,6 +244,11 @@ def run_scaling() -> dict:
         "per_repeat_efficiency": per_repeat,
         "median_efficiency": round(statistics.median(per_repeat), 3),
         "host_memband_probes_mb_s": probes,
+        # hardware 1-vs-4-process numpy-streaming efficiency in the
+        # same window (before / after): the ceiling any engine can
+        # reach on this shared host — report engine eff NEXT TO it
+        "host_parallel_roof": roofs,
+        "efficiency_vs_roof": round(eff / max(roofs), 3),
     }
 
 

@@ -260,11 +260,13 @@ def dedup_pipeline(docs: "ray.data.Dataset",
             # one driver pass gathers BOTH broadcast tables: the
             # shingle pack for the fused verify and the hash->id
             # resolution table for the hashed pair chain
+            _tp = _time.time()
             ids_sorted, offsets, flat, raw_ids = build_shingle_pack(
                 canon_sigs.select_columns(["doc_id", "shingles"]),
                 return_ids=True)
             pack_ref_box["ref"] = ray.put((ids_sorted, offsets, flat))
             pack_ref_box["idtab"] = ray.put((ids_sorted, raw_ids))
+            stage_t["pack_build"] = round(_time.time() - _tp, 2)
 
         pack_thread = threading.Thread(target=_build, daemon=True)
         pack_thread.start()

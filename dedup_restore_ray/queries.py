@@ -1011,6 +1011,88 @@ def q_near_dup_pairs_docs(sf_dir: str):
     return verified.sort_values(["u", "v"]).reset_index(drop=True)
 
 
+def q_containment_pairs_docs(sf_dir: str, t: float = 0.9):
+    """Shingle-set containment pairs (Broder's asymmetric resemblance):
+    (u, v, containment) with containment = |A∩B| / min(|A|, |B|) >= t
+    over 5-gram shingle sets, u < v.  Catches small-doc-inside-big-doc
+    near-dups whose symmetric Jaccard stays below threshold — exactly
+    the pairs minhash-LSH misses by design.
+
+    Exact distributed formulation (no driver state): explode
+    (shingle, doc) rows, ONE sort by shingle, vectorized all-pairs per
+    shingle group (interior blocks + boundary-residual groups share the
+    emitter), per-(u, v) pair count = intersection size via
+    grouped_aggregate's count, set sizes attached by two
+    sort-scatters.  Pair mass is sum(df^2) over shingles — exact by
+    construction; at web scale run boilerplate removal first
+    (boilerplate_docs) so no shingle keeps unbounded df, or use the
+    capped LSH chain for the approximate form."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import (_batch_bucket_pairs,
+                                                 _residual_bucket_pairs,
+                                                 grouped_aggregate,
+                                                 sorted_split)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(SignatureStage(CFG), batch_format="pyarrow",
+                          batch_size=CFG.batch_size).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        sh = b.column("shingles").combine_chunks()
+        flat = np.asarray(sh.flatten(), dtype=np.uint64)
+        counts = np.diff(np.asarray(sh.offsets))
+        ids = np.repeat(np.asarray(b.column("doc_id"), dtype=np.int64),
+                        counts)
+        return pa.table({"sh": pa.array(flat, pa.uint64()),
+                         "doc": pa.array(ids, pa.int64())})
+
+    rows = sigs.map_batches(explode, batch_format="pyarrow")
+    interior, edge = sorted_split(rows, ["sh", "doc"], ["sh"])
+    NO_CAP = 1 << 31   # exact: every within-group pair, no hot-key cap
+
+    pairs = interior.map_batches(
+        lambda b: _batch_bucket_pairs(b, "sh", "doc", NO_CAP, 1),
+        batch_format="pyarrow", batch_size=None).union(
+        edge.groupby("sh").map_groups(
+            lambda g: _residual_bucket_pairs(g, "doc", NO_CAP, 1),
+            batch_format="pyarrow"))
+
+    inter = grouped_aggregate(pairs, ["u", "v"], {}, count_alias="inter")
+
+    def sizes(side: str):
+        return sigs.map_batches(
+            lambda b, s=side: pa.table({s: b.column("doc_id"),
+                                        f"n_{s}": b.column("n_shingles")}),
+            batch_format="pyarrow")
+
+    with_u = _scatter_lookup(inter, sizes("u"), key_col="u",
+                             payload_col="n_u",
+                             out_cols=["u", "v", "inter"])
+    both = _scatter_lookup(with_u, sizes("v"), key_col="v",
+                           payload_col="n_v",
+                           out_cols=["u", "v", "inter", "n_u"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "containment": pa.array([], pa.float64())})
+        inter_ = np.asarray(b.column("inter"), dtype=np.float64)
+        nu = np.asarray(b.column("n_u"), dtype=np.float64)
+        nv = np.asarray(b.column("n_v"), dtype=np.float64)
+        c = inter_ / np.minimum(nu, nv)
+        keep = c >= t
+        return pa.table({"u": b.column("u").filter(pa.array(keep)),
+                         "v": b.column("v").filter(pa.array(keep)),
+                         "containment": pa.array(round_half_up(c[keep]))})
+
+    out = both.map_batches(finish, batch_format="pyarrow").to_pandas()
+    if "u" not in out.columns:
+        out = pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                            "v": pd.Series([], dtype="int64"),
+                            "containment": pd.Series([], dtype="float64")})
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
 def q_simhash_pairs_docs(sf_dir: str):
     """SimHash-only near-dup pairs: pigeonhole band candidates (bands
     of the 64-bit SimHash; Hamming <= t guarantees a shared band)
@@ -3984,6 +4066,7 @@ QUERIES = {
     "ann_ivf_append": q_ann_ivf_append,
     "minhash_signatures_docs": q_minhash_signatures_docs,
     "near_dup_pairs_docs": q_near_dup_pairs_docs,
+    "containment_pairs_docs": q_containment_pairs_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "dedup_clusters_docs": q_dedup_clusters_docs,
     "split_docs": q_split_docs,
@@ -4492,6 +4575,26 @@ ORACLE_SQL = {
         FROM orders
         QUALIFY row_number() OVER (PARTITION BY o_custkey
                                    ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+    "containment_pairs_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN []
+                      ELSE list_distinct(list_transform(
+                           range(1, greatest(length(t) - 4, 1) + 1),
+                           i -> array_to_string(t[i:i+4], ' '))) END AS s
+          FROM toks),
+        ne AS (SELECT * FROM sh WHERE length(s) > 0)
+        SELECT a.doc_id AS u, b.doc_id AS v,
+               round(length(list_intersect(a.s, b.s)) * 1.0 /
+                     least(length(a.s), length(b.s)), 4) AS containment
+        FROM ne a, ne b
+        WHERE a.doc_id < b.doc_id
+          AND length(list_intersect(a.s, b.s)) * 1.0 /
+              least(length(a.s), length(b.s)) >= 0.9
     """,
     "near_dup_pairs_docs": r"""
         WITH toks AS (

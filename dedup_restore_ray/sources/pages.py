@@ -156,6 +156,9 @@ def write_pages(dir_path: str, n_docs: int = 500, seed: int = 42) -> tuple[str, 
     pages, truth = generate_pages(n_docs=n_docs, seed=seed)
     p1 = os.path.join(dir_path, "pages.parquet")
     p2 = os.path.join(dir_path, "pages_truth.parquet")
-    pq.write_table(pages, p1)
-    pq.write_table(truth, p2)
+    # bounded row groups: a single-row-group file is UNSPLITTABLE for
+    # Ray's parquet reader — the whole scan becomes one serial task and
+    # caps the measured scaling efficiency of every downstream stage
+    pq.write_table(pages, p1, row_group_size=32_768)
+    pq.write_table(truth, p2, row_group_size=65_536)
     return p1, p2
