@@ -148,10 +148,12 @@ def run_scaling_child() -> dict:
     # the same (broadcast) pipeline shape on this 128 GiB host, instead
     # of flipping to the all-shuffle scale path right at 2M docs.
     cfg = PipelineConfig(broadcast_limit=max(4_000_000, SCALING_DOCS * 2))
+    blocks_env = os.environ.get("GRAFT_SCALING_BLOCKS")
     res = dedup_pipeline(
         ds, cfg, id_col="url", text_col="text", html_col="html",
         verify_strategy=os.environ.get("GRAFT_SCALING_VERIFY",
-                                       "broadcast"))
+                                       "broadcast"),
+        num_blocks=int(blocks_env) if blocks_env is not None else None)
     t_stats = time.time()
     stats = dedup_stats(res.assignments)
     stats_sec = time.time() - t_stats

@@ -52,6 +52,16 @@ def jaccard_batch(flat: np.ndarray,
     kernel is available; throughput ~33k pairs/s/core and it
     parallelizes embarrassingly across verify workers.
     """
+    return jaccard_batch2(flat, a_starts, a_lens, flat, b_starts, b_lens)
+
+
+def jaccard_batch2(flat_a: np.ndarray,
+                   a_starts: np.ndarray, a_lens: np.ndarray,
+                   flat_b: np.ndarray,
+                   b_starts: np.ndarray, b_lens: np.ndarray) -> np.ndarray:
+    """jaccard_batch with the two sides living in DIFFERENT flat
+    arrays — the sharded-pack form (each shard holds its own flat
+    shingle array; a pair's members may land in different shards)."""
     n = len(a_starts)
     if n == 0:
         return np.empty(0, dtype=np.float64)
@@ -71,10 +81,8 @@ def jaccard_batch(flat: np.ndarray,
             continue
         if la == 0 or lb == 0:
             continue
-        sa = a_starts[i]
-        sb = b_starts[i]
-        a = flat[sa:sa + la]
-        b = flat[sb:sb + lb]
+        a = flat_a[a_starts[i]:a_starts[i] + la]
+        b = flat_b[b_starts[i]:b_starts[i] + lb]
         if la > lb:
             a, b = b, a
         idx = searchsorted(b, a)

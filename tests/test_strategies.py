@@ -232,3 +232,115 @@ class TestIVFSortedCorpusSample:
             got = set(out[out.qid == q].vec_id)
             recalls.append(len(exact & got) / 10)
         assert np.mean(recalls) >= 0.9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShardedShinglePack:
+    """The distributed hash-range-sharded pack build must reproduce the
+    driver-serial build_shingle_pack exactly: same id table, same
+    jaccard for every candidate pair (including pairs whose members
+    live in different shards), and member filtering must drop
+    non-member docs to the empty-set (jaccard 0) semantics."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, pages_corpus):
+        import ray.data as rd
+        from dedup_restore_ray.stages.pairs import candidate_pairs
+        from dedup_restore_ray.stages.signatures import SignatureStage
+        pages, _ = pages_corpus
+        cfg = PipelineConfig()
+        docs = rd.from_arrow(pages.select(["url", "text"])
+                             .rename_columns(["doc_id", "text"]))
+        sigs = docs.map_batches(SignatureStage(cfg), batch_size=256,
+                                batch_format="pyarrow").materialize()
+        hashed = candidate_pairs(sigs, cfg, use_simhash=True,
+                                 use_fingerprints=True, use_norm=True,
+                                 ids="hashed").materialize()
+        return cfg, sigs, hashed
+
+    def _serial_jacc(self, sigs, hashed, cfg):
+        import ray
+        from dedup_restore_ray.stages.verify import (_VerifyPacked,
+                                                     build_shingle_pack)
+        ids_sorted, offsets, flat = build_shingle_pack(
+            sigs.select_columns(["doc_id", "shingles"]))
+        ref = ray.put((ids_sorted, offsets, flat))
+        out = hashed.map_batches(
+            _VerifyPacked(ref, cfg.jaccard_threshold, emit_all=True,
+                          hashed_ids=True),
+            batch_format="pyarrow").to_pandas()
+        return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+    @pytest.mark.parametrize("n_shards", [1, 4])
+    def test_sharded_verify_matches_serial(self, setup, n_shards):
+        from dedup_restore_ray.stages.verify import (
+            _VerifyPacked, build_shingle_pack_sharded)
+        cfg, sigs, hashed = setup
+        ref = self._serial_jacc(sigs, hashed, cfg)
+        pack, _ = build_shingle_pack_sharded(
+            sigs, n_shards=n_shards, blocks_per_task=2)
+        out = (hashed.map_batches(
+            _VerifyPacked(pack, cfg.jaccard_threshold, emit_all=True,
+                          hashed_ids=True),
+            batch_format="pyarrow").to_pandas()
+            .sort_values(["u", "v"]).reset_index(drop=True))
+        assert len(out) == len(ref) and len(ref) > 0
+        assert out[["u", "v"]].equals(ref[["u", "v"]])
+        assert np.allclose(out["jaccard"], ref["jaccard"])
+
+    def test_id_table_matches_serial(self, setup):
+        from dedup_restore_ray.stages.verify import (
+            build_shingle_pack, build_shingle_pack_sharded)
+        import ray
+        cfg, sigs, hashed = setup
+        ids_s, _, _, raw_s = build_shingle_pack(
+            sigs.select_columns(["doc_id", "shingles"]), return_ids=True)
+        _, idtab_ref = build_shingle_pack_sharded(
+            sigs, n_shards=4, return_ids=True, blocks_per_task=2)
+        idh, raw = ray.get(idtab_ref)
+        assert np.array_equal(idh, ids_s)
+        assert raw.to_pylist() == raw_s.to_pylist()
+
+    def test_member_filter_drops_to_empty_set(self, setup):
+        import ray
+        from dedup_restore_ray.stages.verify import (
+            _VerifyPacked, _id_hashes, build_shingle_pack_sharded)
+        cfg, sigs, hashed = setup
+        all_ids = np.sort(np.concatenate(
+            [_id_hashes(b.column("doc_id"))
+             for b in sigs.iter_batches(batch_format="pyarrow")]))
+        member = all_ids[::2]                 # every other doc
+        member_set = set(member.tolist())
+        pack, _ = build_shingle_pack_sharded(
+            sigs, member_ref=ray.put(member), n_shards=4,
+            blocks_per_task=2)
+        out = hashed.map_batches(
+            _VerifyPacked(pack, cfg.jaccard_threshold, emit_all=True,
+                          hashed_ids=True),
+            batch_format="pyarrow").to_pandas()
+        ref = self._serial_jacc(sigs, hashed, cfg)
+        out = out.sort_values(["u", "v"]).reset_index(drop=True)
+        # docs whose shingle set is genuinely empty (degenerate pages)
+        # hit the kernel's empty==empty -> 1.0 convention; exclude them
+        # from the strict-zero check
+        empty_ids = set()
+        for b in sigs.iter_batches(batch_format="pyarrow"):
+            sh = b.column("shingles").combine_chunks()
+            lens = np.diff(np.asarray(sh.offsets))
+            ih = _id_hashes(b.column("doc_id"))
+            empty_ids.update(ih[lens == 0].tolist())
+        in_u = out.u.isin(member_set).to_numpy()
+        in_v = out.v.isin(member_set).to_numpy()
+        nonempty_u = ~out.u.isin(empty_ids).to_numpy()
+        nonempty_v = ~out.v.isin(empty_ids).to_numpy()
+        both = in_u & in_v
+        one = ((in_u & nonempty_u & ~in_v)
+               | (in_v & nonempty_v & ~in_u))
+        neither = ~(in_u | in_v)
+        assert np.allclose(out.jaccard[both], ref.jaccard[both])
+        # non-empty member vs dropped doc: set vs emptyset -> 0
+        assert (out.jaccard[one] == 0).all()
+        # both dropped: emptyset vs emptyset -> 1.0 (kernel convention;
+        # flagship pairs always have member endpoints)
+        assert (out.jaccard[neither] == 1.0).all()
+        assert both.any() and one.any()
