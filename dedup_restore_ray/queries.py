@@ -4043,6 +4043,46 @@ def q_weighted_sample_docs(sf_dir: str, k: int = 25):
     return parts.reset_index(drop=True)
 
 
+def q_pii_scrub_docs(sf_dir: str):
+    """PII redaction pass (C4/RefinedWeb cleanup stage): emails, IPv4
+    addresses and phone-shaped digit runs replaced by typed tokens.
+    The scrub runs entirely in Arrow's RE2 kernels
+    (functions/pii.py) — the same regex engine DuckDB uses — so the
+    oracle's nested regexp_replace chain is bit-identical; md5 of the
+    cleaned text makes the check byte-exact.  Per-pattern match
+    counts are taken on the text as it looked when that pattern ran
+    (= the oracle's nesting order).  Embarrassingly parallel; no
+    shuffle."""
+    from dedup_restore_ray.functions.pii import scrub_batch
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        import hashlib
+        texts = pc.fill_null(batch.column("text").combine_chunks(), "")
+        clean, counts = scrub_batch(texts)
+        h = [hashlib.md5((t or "").encode()).hexdigest()
+             for t in clean.to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "clean_md5": pa.array(h, pa.string()),
+                         "n_email": counts["email"],
+                         "n_ip": counts["ip"],
+                         "n_phone": counts["phone"]})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup over the embeddings table (rows-only: the k-means
+    partition is not SQL-expressible; within-cluster greedy semantics
+    are pytest-verified against a brute-force reference and the exact
+    cosine_pairs_blockwise rail in tests/test_strategies.py)."""
+    from dedup_restore_ray.sources.io import read_parquet_clean
+    from dedup_restore_ray.stages.embpairs import semdedup
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    return semdedup(emb, threshold=0.95)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_stats_docs": q_dedup_stats_docs,
@@ -4051,6 +4091,7 @@ QUERIES = {
     "lang_stats_docs": q_lang_stats_docs,
     "quality_docs": q_quality_docs,
     "langid_docs": q_langid_docs,
+    "pii_scrub_docs": q_pii_scrub_docs,
     "q1_lineitem": q_q1_lineitem,
     "top_customers": q_top_customers,
     "grouped_restore": q_grouped_restore,
@@ -4060,6 +4101,7 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "similarity_topk": q_similarity_topk,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "semdedup_embeddings": q_semdedup_embeddings,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_exact": q_ann_ivf_exact,
@@ -4374,6 +4416,37 @@ ORACLE_SQL = {
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(a.embedding::DOUBLE[],
                                      b.embedding::DOUBLE[]) >= 0.3
+    """,
+    "pii_scrub_docs": r"""
+        WITH s0 AS (
+          SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                   AS n_email,
+                 regexp_replace(t,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g') AS t
+          FROM s0),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 len(regexp_extract_all(t,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                 regexp_replace(t,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                     '<IP>', 'g') AS t
+          FROM s1),
+        s3 AS (
+          SELECT doc_id, n_email, n_ip,
+                 len(regexp_extract_all(t, '\+?\d[\d\- ]{7,}\d'))
+                   AS n_phone,
+                 regexp_replace(t, '\+?\d[\d\- ]{7,}\d',
+                                '<PHONE>', 'g') AS t
+          FROM s2)
+        SELECT doc_id, md5(t) AS clean_md5,
+               n_email, n_ip, n_phone
+        FROM s3
     """,
     "langid_docs": r"""
         WITH toks AS (

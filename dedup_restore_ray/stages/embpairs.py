@@ -170,3 +170,104 @@ def hyperplane_lsh_pairs(emb: "rd.Dataset", threshold: float,
             "cosine": pa.array(cos[keep], pa.float64())})
 
     return both.map_batches(check, batch_format="pyarrow")
+
+
+def _semdedup_group(ids: np.ndarray, vecs: np.ndarray,
+                    threshold: float, chunk: int = 2048):
+    """Greedy first-wins semantic dedup of ONE cluster: scan ids
+    ascending; a vector is a duplicate iff its cosine to some EARLIER
+    KEPT vector is >= threshold, and its canonical is the first such
+    keeper.  Returns (keep mask, canonical ids).  The scan is
+    row-chunked: each chunk matmuls against the kept prefix once
+    (O(g * kept * d) worst case == the cluster's pairwise cost, the
+    price SemDeDup intentionally confines to within-cluster work)."""
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    v = l2_normalize(vecs[order].astype(np.float64))
+    g = len(ids_s)
+    keep = np.ones(g, dtype=bool)
+    canon = ids_s.copy()
+    for lo in range(0, g, chunk):
+        hi = min(lo + chunk, g)
+        kept_before = np.flatnonzero(keep[:lo])
+        if len(kept_before):
+            # cosine of every chunk row vs all kept rows before the
+            # chunk — one matmul, then only intra-chunk order needs
+            # the sequential pass
+            s = v[lo:hi] @ v[kept_before].T
+            hit = s >= threshold
+            has = hit.any(axis=1)
+            first = np.where(has, hit.argmax(axis=1), 0)
+        else:
+            has = np.zeros(hi - lo, dtype=bool)
+            first = np.zeros(hi - lo, dtype=np.int64)
+        s_in = v[lo:hi] @ v[lo:hi].T
+        for r in range(hi - lo):
+            i = lo + r
+            if has[r]:
+                keep[i] = False
+                canon[i] = ids_s[kept_before[first[r]]]
+                continue
+            kept_in = np.flatnonzero(keep[lo:lo + r])
+            if len(kept_in):
+                c = s_in[r, kept_in]
+                j = np.flatnonzero(c >= threshold)
+                if len(j):
+                    keep[i] = False
+                    canon[i] = ids_s[lo + kept_in[j[0]]]
+    inv = np.empty(g, dtype=np.int64)
+    inv[order] = np.arange(g)
+    return keep[inv], canon[inv]
+
+
+def semdedup(emb: "rd.Dataset", threshold: float = 0.95,
+             cfg: PipelineConfig | None = None,
+             sample_size: int = 2000, seed: int = 42,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> "rd.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space (deterministic hash-rank sample -> kmeans_fit, the
+    IVF build's machinery), then greedy first-wins cosine dedup WITHIN
+    each cluster — the pairwise work is confined to cluster-sized
+    blocks, which is the whole trick that makes semantic dedup
+    tractable at corpus scale.
+
+    Returns (vec_id, cluster_id, is_dup, canonical_id) — the same
+    assignment shape as the text flagship, so downstream keep-filters
+    compose.  Scale shape: one small broadcast (centroids), one
+    map_batches assignment pass, ONE sort by cluster, and per-cluster
+    kernels via map_groups (cluster count = ivf_num_centroids, a FEW
+    large groups — the many-groups map_groups ban doesn't apply).
+
+    Approximation rails (documented): near-dup pairs straddling a
+    k-means boundary are missed — that is SemDeDup's own recall
+    trade; the exact rail (cosine_pairs_blockwise) is the oracle."""
+    from dedup_restore_ray.functions.similarity import (ivf_assign,
+                                                        kmeans_fit)
+    from dedup_restore_ray.stages.ann import _hash_rank_sample
+    cfg = cfg or PipelineConfig()
+    sample = _hash_rank_sample(emb, id_col, vec_col, sample_size)
+    cent = kmeans_fit(sample, cfg.ivf_num_centroids, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        vecs = list_to_matrix(batch.column(vec_col))
+        return pa.table({
+            id_col: batch.column(id_col),
+            vec_col: batch.column(vec_col),
+            "cluster_id": pa.array(ivf_assign(vecs, c), pa.int64())})
+
+    def dedup_group(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        vecs = list_to_matrix(group.column(vec_col))
+        keep, canon = _semdedup_group(ids, vecs, threshold)
+        return pa.table({
+            id_col: pa.array(ids),
+            "cluster_id": group.column("cluster_id").slice(0, len(ids)),
+            "is_dup": pa.array(~keep),
+            "canonical_id": pa.array(canon)})
+
+    return (emb.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster_id")
+            .map_groups(dedup_group, batch_format="pyarrow"))

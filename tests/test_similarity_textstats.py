@@ -78,3 +78,47 @@ class TestTextStats:
     def test_bpe_count_positive(self):
         assert bpe_token_count("Hello, world! It's fine.") >= 6
         assert bpe_token_count("") == 0
+
+
+class TestPIIScrub:
+    """Arrow-RE2 scrub must be bit-identical to DuckDB's nested
+    regexp_replace chain (same regex engine, same nesting order) on
+    text that actually contains PII."""
+
+    TEXTS = [
+        "contact a.b+c@foo-bar.co.uk or x@y.io today",
+        "server at 10.0.255.3 fell over; backup 192.168.1.1.",
+        "call +1 555-123-4567 or 020 7946 0958 now",
+        "mixed: bob@corp.com from 8.8.8.8 dialed 555-000-1111",
+        "no pii here, just words and numbers like 42",
+        "",
+        "edge e@e.ee 1.2.3.4 12345678901",
+    ]
+
+    def test_matches_duckdb(self):
+        import duckdb
+        import pyarrow as pa
+        from dedup_restore_ray.functions.pii import (PII_PATTERNS,
+                                                     scrub_batch)
+        clean, counts = scrub_batch(pa.array(self.TEXTS))
+        con = duckdb.connect()
+        t = "coalesce(s, '')"
+        sql_counts = []
+        for _, pat, repl in PII_PATTERNS:
+            sql_counts.append(f"len(regexp_extract_all({t}, '{pat}'))")
+            t = f"regexp_replace({t}, '{pat}', '{repl}', 'g')"
+        rows = con.execute(
+            f"SELECT {t}, {', '.join(sql_counts)} FROM "
+            "(SELECT unnest(?) AS s)", [self.TEXTS]).fetchall()
+        assert [r[0] for r in rows] == clean.to_pylist()
+        for k, (name, _, _) in enumerate(PII_PATTERNS):
+            assert [r[1 + k] for r in rows] == counts[name].to_pylist()
+
+    def test_redaction_happened(self):
+        import pyarrow as pa
+        from dedup_restore_ray.functions.pii import scrub_batch
+        clean, counts = scrub_batch(pa.array(self.TEXTS))
+        got = "\n".join(clean.to_pylist())
+        assert "<EMAIL>" in got and "<IP>" in got and "<PHONE>" in got
+        assert "@" not in got
+        assert sum(counts["email"].to_pylist()) == 4

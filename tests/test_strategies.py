@@ -344,3 +344,94 @@ class TestShardedShinglePack:
         # flagship pairs always have member endpoints)
         assert (out.jaccard[neither] == 1.0).all()
         assert both.any() and one.any()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemDeDup:
+    """stages/embpairs.semdedup: greedy first-wins cosine dedup within
+    k-means clusters (Abbas et al. 2023)."""
+
+    def _corpus(self, n_clusters=6, per=40, d=16, seed=7):
+        rng = np.random.default_rng(seed)
+        cents = rng.normal(size=(n_clusters, d))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        rows = []
+        for c in range(n_clusters):
+            base = cents[c]
+            for i in range(per):
+                # half the cluster are tight near-dups of the center,
+                # half are spread out
+                noise = 0.01 if i % 2 == 0 else 0.6
+                rows.append(base + rng.normal(scale=noise, size=d))
+        vecs = np.asarray(rows)
+        ids = np.arange(len(vecs), dtype=np.int64)
+        return ids, vecs
+
+    @staticmethod
+    def _brute_greedy(ids, vecs, thr):
+        from dedup_restore_ray.functions.similarity import l2_normalize
+        order = np.argsort(ids, kind="stable")
+        v = l2_normalize(vecs[order].astype(np.float64))
+        ids_s = ids[order]
+        keep, canon = [], {}
+        for i in range(len(ids_s)):
+            hit = None
+            for j in keep:
+                if float(v[i] @ v[j]) >= thr:
+                    hit = j
+                    break
+            if hit is None:
+                keep.append(i)
+                canon[int(ids_s[i])] = int(ids_s[i])
+            else:
+                canon[int(ids_s[i])] = int(ids_s[hit])
+        kept = {int(ids_s[i]) for i in keep}
+        return kept, canon
+
+    def test_group_kernel_matches_brute_greedy(self):
+        from dedup_restore_ray.stages.embpairs import _semdedup_group
+        ids, vecs = self._corpus()
+        # shuffle input order: kernel must be order-independent
+        rng = np.random.default_rng(3)
+        p = rng.permutation(len(ids))
+        # tiny chunk forces both the pre-chunk and intra-chunk paths
+        keep, canon = _semdedup_group(ids[p], vecs[p], 0.95, chunk=16)
+        kept_ref, canon_ref = self._brute_greedy(ids, vecs, 0.95)
+        got_kept = {int(i) for i, k in zip(ids[p], keep) if k}
+        assert got_kept == kept_ref
+        assert {int(i): int(c) for i, c in zip(ids[p], canon)} == canon_ref
+        assert 0 < len(kept_ref) < len(ids)
+
+    def test_pipeline_invariants_and_single_cluster_parity(self):
+        import ray.data as rd
+        import pyarrow as pa
+        from dedup_restore_ray.stages.embpairs import semdedup
+        ids, vecs = self._corpus()
+        tbl = pa.table({"vec_id": pa.array(ids),
+                        "embedding": pa.array(list(vecs))})
+        # one centroid -> the cluster split is a no-op and the whole
+        # corpus rides one greedy pass == brute reference
+        cfg = PipelineConfig(ivf_num_centroids=1)
+        out = (semdedup(rd.from_arrow(tbl), 0.95, cfg=cfg,
+                        sample_size=50)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        kept_ref, canon_ref = self._brute_greedy(ids, vecs, 0.95)
+        assert set(out.vec_id[~out.is_dup]) == kept_ref
+        assert dict(zip(out.vec_id, out.canonical_id)) == canon_ref
+        # multi-cluster run: structural invariants + high recall of
+        # tight dups (the planted near-dups share a k-means cell)
+        cfg8 = PipelineConfig(ivf_num_centroids=8)
+        out8 = (semdedup(rd.from_arrow(tbl), 0.95, cfg=cfg8,
+                         sample_size=120)
+                .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        assert len(out8) == len(ids)
+        kept = set(out8.vec_id[~out8.is_dup])
+        # every duplicate's canonical is kept, distinct, and actually
+        # >= threshold similar
+        from dedup_restore_ray.functions.similarity import l2_normalize
+        v = l2_normalize(vecs.astype(np.float64))
+        for r in out8[out8.is_dup].itertuples():
+            assert r.canonical_id in kept and r.canonical_id != r.vec_id
+            assert v[r.vec_id] @ v[r.canonical_id] >= 0.95
+        # the tight planted dups (noise 0.01) should mostly collapse
+        assert out8.is_dup.sum() >= 0.5 * (len(ids) // 2)
