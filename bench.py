@@ -254,9 +254,58 @@ def run_scaling() -> dict:
     }
 
 
+def run_kernel_child(n_docs: int = 100_000) -> float:
+    """One in-process (NO Ray) pass of the flagship signature kernels
+    over the first n_docs of the scaling corpus; returns seconds.
+    Used by the kernel-scaling probe below."""
+    import pyarrow.parquet as pq
+    from dedup_restore_ray.config import PipelineConfig
+    from dedup_restore_ray.pipelines.dedup import ExtractText
+    from dedup_restore_ray.stages.signatures import SignatureStage
+    tb = pq.read_table(_scaling_corpus(),
+                       columns=["url", "text", "html"]).slice(0, n_docs)
+    cfg = PipelineConfig()
+    stage = SignatureStage(cfg, id_col="url", text_col="text",
+                           emit_minhash=False, emit_bucket_keys=True)
+    ex = ExtractText(html_col="html", text_col="text")
+    t0 = time.time()
+    for lo in range(0, n_docs, cfg.batch_size):
+        stage(ex(tb.slice(lo, cfg.batch_size)))
+    return time.time() - t0
+
+
+def kernel_scaling(n_docs: int = 100_000) -> dict:
+    """The ENGINE-COMPUTE half of the scaling story: the flagship's
+    signature stage (the measured 65-70%% cost center) run as 1 vs 4
+    plain processes with NO Ray — isolates the kernels' parallel
+    efficiency from the single-box object-store/shuffle bandwidth that
+    a real 4N-node cluster would not share.  Reported next to the
+    end-to-end number and the numpy hardware roof in BASELINE.md."""
+    code = (f"import bench; print(bench.run_kernel_child({n_docs}))")
+
+    def run_k(k: int) -> float:
+        ps = [subprocess.Popen([sys.executable, "-c", code],
+                               stdout=subprocess.PIPE,
+                               cwd=os.path.dirname(os.path.abspath(__file__)))
+              for _ in range(k)]
+        return max(float(p.communicate()[0].strip().splitlines()[-1])
+                   for p in ps)
+
+    t1, t4 = run_k(1), run_k(4)
+    return {"metric": "signature_kernel_scaling", "n_docs": n_docs,
+            "sec_1proc": round(t1, 2), "sec_4proc_max": round(t4, 2),
+            "kernel_scaling_efficiency": round(t1 / t4, 3),
+            "docs_per_sec_1proc": round(n_docs / t1, 1),
+            "agg_docs_per_sec_4proc": round(4 * n_docs / t4, 1)}
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+    if "--kernel-scaling" in sys.argv:
+        print(json.dumps(kernel_scaling()))
+    elif "--scaling" in sys.argv:
+        out = run_scaling()
+        out["signature_kernel_scaling"] = kernel_scaling()
+        print(json.dumps(out))
     elif "--scaling-child" in sys.argv:
         result = run_scaling_child()
         print(json.dumps(result))
