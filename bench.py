@@ -93,7 +93,8 @@ def run_benchmarks() -> dict:
                  "source_overlap_docs", "order_rank_windows",
                  "zonemap_range_events", "clicks_before_error",
                  "event_paths", "waiting_orders_suppliers",
-                 "dup_rate_by_source", "approx_quantile_nchars"]:
+                 "dup_rate_by_source", "approx_quantile_nchars",
+                 "pii_scrub_docs", "semdedup_embeddings"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)
