@@ -173,15 +173,23 @@ def hyperplane_lsh_pairs(emb: "rd.Dataset", threshold: float,
 
 
 def _semdedup_group(ids: np.ndarray, vecs: np.ndarray,
-                    threshold: float, chunk: int = 2048):
-    """Greedy first-wins semantic dedup of ONE cluster: scan ids
-    ascending; a vector is a duplicate iff its cosine to some EARLIER
-    KEPT vector is >= threshold, and its canonical is the first such
-    keeper.  Returns (keep mask, canonical ids).  The scan is
-    row-chunked: each chunk matmuls against the kept prefix once
-    (O(g * kept * d) worst case == the cluster's pairwise cost, the
-    price SemDeDup intentionally confines to within-cluster work)."""
-    order = np.argsort(ids, kind="stable")
+                    threshold: float, chunk: int = 2048,
+                    priority: np.ndarray | None = None):
+    """Greedy first-wins semantic dedup of ONE cluster: scan in
+    priority order (ascending ``priority``, ids ascending as the
+    tiebreak; ids ascending when no priority is given); a vector is a
+    duplicate iff its cosine to some EARLIER KEPT vector is >=
+    threshold, and its canonical is the first such keeper.  Returns
+    (keep mask, canonical ids) aligned to the INPUT order — the scan
+    order is derived from (priority, id) values only, so results are
+    independent of block layout.  The scan is row-chunked: each chunk
+    matmuls against the kept prefix once (O(g * kept * d) worst case
+    == the cluster's pairwise cost, the price SemDeDup intentionally
+    confines to within-cluster work)."""
+    if priority is None:
+        order = np.argsort(ids, kind="stable")
+    else:
+        order = np.lexsort((ids, priority))
     ids_s = ids[order]
     v = l2_normalize(vecs[order].astype(np.float64))
     g = len(ids_s)
@@ -224,7 +232,8 @@ def semdedup(emb: "rd.Dataset", threshold: float = 0.95,
              cfg: PipelineConfig | None = None,
              sample_size: int = 2000, seed: int = 42,
              id_col: str = "vec_id",
-             vec_col: str = "embedding") -> "rd.Dataset":
+             vec_col: str = "embedding",
+             keep_order: str = "id") -> "rd.Dataset":
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embedding space (deterministic hash-rank sample -> kmeans_fit, the
     IVF build's machinery), then greedy first-wins cosine dedup WITHIN
@@ -239,29 +248,52 @@ def semdedup(emb: "rd.Dataset", threshold: float = 0.95,
     kernels via map_groups (cluster count = ivf_num_centroids, a FEW
     large groups — the many-groups map_groups ban doesn't apply).
 
+    keep_order picks which member of a duplicate group survives:
+    "id" (default) keeps the lowest id — the deterministic engine
+    convention shared with the text flagship; "centroid" is the
+    paper's rule — scan in ASCENDING cosine-to-cluster-centroid
+    order, so the kept representative is the one FARTHEST from the
+    centroid (Abbas et al. §3 found keeping low-similarity examples
+    preserves the most diversity).  Ids break priority ties so both
+    modes stay layout-independent.
+
     Approximation rails (documented): near-dup pairs straddling a
     k-means boundary are missed — that is SemDeDup's own recall
     trade; the exact rail (cosine_pairs_blockwise) is the oracle."""
-    from dedup_restore_ray.functions.similarity import (ivf_assign,
-                                                        kmeans_fit)
+    from dedup_restore_ray.functions.similarity import kmeans_fit
     from dedup_restore_ray.stages.ann import _hash_rank_sample
+    if keep_order not in ("id", "centroid"):
+        raise ValueError(f"keep_order must be 'id' or 'centroid', "
+                         f"got {keep_order!r}")
     cfg = cfg or PipelineConfig()
     sample = _hash_rank_sample(emb, id_col, vec_col, sample_size)
     cent = kmeans_fit(sample, cfg.ivf_num_centroids, seed=seed)
     cent_ref = ray.put(cent)
+    by_centroid = keep_order == "centroid"
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        vecs = list_to_matrix(batch.column(vec_col))
-        return pa.table({
+        xn = l2_normalize(list_to_matrix(batch.column(vec_col)))
+        # assignment matches ivf_assign exactly (argmax against the
+        # RAW centroids) so keep_order never perturbs the clustering
+        a = np.argmax(xn @ c.T, axis=1)
+        cols = {
             id_col: batch.column(id_col),
             vec_col: batch.column(vec_col),
-            "cluster_id": pa.array(ivf_assign(vecs, c), pa.int64())})
+            "cluster_id": pa.array(a.astype(np.int64))}
+        if by_centroid:
+            cn = l2_normalize(c)
+            cols["cent_sim"] = pa.array(
+                np.einsum("ij,ij->i", xn, cn[a]), pa.float64())
+        return pa.table(cols)
 
     def dedup_group(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column(id_col), dtype=np.int64)
         vecs = list_to_matrix(group.column(vec_col))
-        keep, canon = _semdedup_group(ids, vecs, threshold)
+        prio = (np.asarray(group.column("cent_sim"), dtype=np.float64)
+                if by_centroid else None)
+        keep, canon = _semdedup_group(ids, vecs, threshold,
+                                      priority=prio)
         return pa.table({
             id_col: pa.array(ids),
             "cluster_id": group.column("cluster_id").slice(0, len(ids)),

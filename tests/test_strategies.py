@@ -368,9 +368,12 @@ class TestSemDeDup:
         return ids, vecs
 
     @staticmethod
-    def _brute_greedy(ids, vecs, thr):
+    def _brute_greedy(ids, vecs, thr, priority=None):
         from dedup_restore_ray.functions.similarity import l2_normalize
-        order = np.argsort(ids, kind="stable")
+        if priority is None:
+            order = np.argsort(ids, kind="stable")
+        else:
+            order = np.lexsort((ids, priority))
         v = l2_normalize(vecs[order].astype(np.float64))
         ids_s = ids[order]
         keep, canon = [], {}
@@ -401,6 +404,59 @@ class TestSemDeDup:
         assert got_kept == kept_ref
         assert {int(i): int(c) for i, c in zip(ids[p], canon)} == canon_ref
         assert 0 < len(kept_ref) < len(ids)
+
+    def test_group_kernel_priority_order(self):
+        """priority array reorders the greedy scan: the kept member of
+        each dup group is the minimum-(priority, id) one, matching a
+        brute sequential scan in the same order."""
+        from dedup_restore_ray.stages.embpairs import _semdedup_group
+        ids, vecs = self._corpus()
+        rng = np.random.default_rng(11)
+        prio = rng.normal(size=len(ids))
+        p = rng.permutation(len(ids))
+        keep, canon = _semdedup_group(ids[p], vecs[p], 0.95, chunk=16,
+                                      priority=prio[p])
+        kept_ref, canon_ref = self._brute_greedy(ids, vecs, 0.95,
+                                                 priority=prio)
+        assert {int(i) for i, k in zip(ids[p], keep) if k} == kept_ref
+        assert {int(i): int(c)
+                for i, c in zip(ids[p], canon)} == canon_ref
+        # a different priority must actually change some keep choices
+        kept_id, _ = self._brute_greedy(ids, vecs, 0.95)
+        assert kept_ref != kept_id
+
+    def test_keep_order_centroid_pipeline(self):
+        """keep_order='centroid' keeps the member FARTHEST from its
+        cluster centroid (paper rule); single-centroid run matches the
+        brute scan ordered by cosine-to-centroid ascending."""
+        import ray.data as rd
+        import pyarrow as pa
+        from dedup_restore_ray.functions.similarity import (kmeans_fit,
+                                                            l2_normalize)
+        from dedup_restore_ray.stages.ann import _hash_rank_sample
+        from dedup_restore_ray.stages.embpairs import semdedup
+        ids, vecs = self._corpus()
+        tbl = pa.table({"vec_id": pa.array(ids),
+                        "embedding": pa.array(list(vecs))})
+        cfg = PipelineConfig(ivf_num_centroids=1)
+        ds = rd.from_arrow(tbl)
+        out = (semdedup(ds, 0.95, cfg=cfg, sample_size=50,
+                        keep_order="centroid")
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        # reproduce the centroid the pipeline fit (same sample, seed)
+        sample = _hash_rank_sample(rd.from_arrow(tbl), "vec_id",
+                                   "embedding", 50)
+        cent = l2_normalize(kmeans_fit(sample, 1, seed=42))
+        prio = l2_normalize(vecs.astype(np.float64)) @ cent[0]
+        kept_ref, canon_ref = self._brute_greedy(ids, vecs, 0.95,
+                                                 priority=prio)
+        assert set(out.vec_id[~out.is_dup]) == kept_ref
+        assert dict(zip(out.vec_id, out.canonical_id)) == canon_ref
+        # sanity: the rule differs from id order on this corpus
+        kept_id, _ = self._brute_greedy(ids, vecs, 0.95)
+        assert kept_ref != kept_id
+        with pytest.raises(ValueError):
+            semdedup(ds, 0.95, cfg=cfg, keep_order="nope")
 
     def test_pipeline_invariants_and_single_cluster_parity(self):
         import ray.data as rd
