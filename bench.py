@@ -94,7 +94,8 @@ def run_benchmarks() -> dict:
                  "zonemap_range_events", "clicks_before_error",
                  "event_paths", "waiting_orders_suppliers",
                  "dup_rate_by_source", "approx_quantile_nchars",
-                 "pii_scrub_docs", "semdedup_embeddings"]:
+                 "pii_scrub_docs", "semdedup_embeddings",
+                 "exact_substring_spans_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)

@@ -4083,8 +4083,40 @@ def q_semdedup_embeddings(sf_dir: str):
     return semdedup(emb, threshold=0.95)
 
 
+def q_exact_substring_spans_docs(sf_dir: str):
+    """ExactSubstr (Lee et al. 2022): merged token spans covered by a
+    word 8-gram occurring more than once corpus-wide."""
+    from dedup_restore_ray.sources.io import read_parquet_clean
+    from dedup_restore_ray.stages.exactsubstr import exact_substring_spans
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return exact_substring_spans(ds, k=8, mode="all")
+
+
+def q_exact_substring_firstwins_docs(sf_dir: str):
+    """ExactSubstr first-occurrence-wins variant: spans of 8-grams
+    whose identical window occurred EARLIER in corpus order."""
+    from dedup_restore_ray.sources.io import read_parquet_clean
+    from dedup_restore_ray.stages.exactsubstr import exact_substring_spans
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return exact_substring_spans(ds, k=8, mode="first_wins")
+
+
+def q_exact_substring_stats_docs(sf_dir: str):
+    """Per-doc duplicated-token budget under ExactSubstr spans."""
+    from dedup_restore_ray.sources.io import read_parquet_clean
+    from dedup_restore_ray.stages.exactsubstr import exact_substring_stats
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return exact_substring_stats(ds, k=8, mode="all")
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
+    "exact_substring_spans_docs": q_exact_substring_spans_docs,
+    "exact_substring_firstwins_docs": q_exact_substring_firstwins_docs,
+    "exact_substring_stats_docs": q_exact_substring_stats_docs,
     "dedup_stats_docs": q_dedup_stats_docs,
     "token_counts_docs": q_token_counts_docs,
     "shingle_counts_docs": q_shingle_counts_docs,
@@ -4221,6 +4253,89 @@ QUERIES = {
 
 
 ORACLE_SQL = {
+    "exact_substring_spans_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g
+          FROM toks, LATERAL (SELECT unnest(range(1,
+                 greatest(length(t) - 7, 0) + 1)) AS i)),
+        occ AS (
+          SELECT doc_id, i - 1 AS s, i + 7 AS e
+          FROM grams WHERE g IN (SELECT g FROM grams
+                                 GROUP BY g HAVING count(*) > 1)),
+        w AS (
+          SELECT doc_id, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM occ),
+        isl AS (
+          SELECT doc_id, s, e,
+                 sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s) AS gid
+          FROM w)
+        SELECT doc_id, min(s)::BIGINT AS span_start,
+               max(e)::BIGINT AS span_end
+        FROM isl GROUP BY doc_id, gid
+    """,
+    "exact_substring_firstwins_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g
+          FROM toks, LATERAL (SELECT unnest(range(1,
+                 greatest(length(t) - 7, 0) + 1)) AS i)),
+        occ AS (
+          SELECT doc_id, i - 1 AS s, i + 7 AS e
+          FROM (SELECT doc_id, i, row_number() OVER
+                  (PARTITION BY g ORDER BY doc_id, i) AS rn FROM grams)
+          WHERE rn > 1),
+        w AS (
+          SELECT doc_id, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM occ),
+        isl AS (
+          SELECT doc_id, s, e,
+                 sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s) AS gid
+          FROM w)
+        SELECT doc_id, min(s)::BIGINT AS span_start,
+               max(e)::BIGINT AS span_end
+        FROM isl GROUP BY doc_id, gid
+    """,
+    "exact_substring_stats_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g
+          FROM toks, LATERAL (SELECT unnest(range(1,
+                 greatest(length(t) - 7, 0) + 1)) AS i)),
+        occ AS (
+          SELECT doc_id, i - 1 AS s, i + 7 AS e
+          FROM grams WHERE g IN (SELECT g FROM grams
+                                 GROUP BY g HAVING count(*) > 1)),
+        w AS (
+          SELECT doc_id, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM occ),
+        isl AS (
+          SELECT doc_id, s, e,
+                 sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s) AS gid
+          FROM w),
+        spans AS (
+          SELECT doc_id, min(s) AS s, max(e) AS e
+          FROM isl GROUP BY doc_id, gid)
+        SELECT tk.doc_id, length(tk.t)::BIGINT AS n_tokens,
+               coalesce(sum(sp.e - sp.s), 0)::BIGINT AS n_dup_tokens
+        FROM toks tk LEFT JOIN spans sp USING (doc_id)
+        GROUP BY tk.doc_id, length(tk.t)
+    """,
     "exact_dedup_docs": """
         SELECT doc_id,
                min(doc_id) OVER (PARTITION BY text) AS canonical_id,
