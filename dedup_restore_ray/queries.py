@@ -4103,6 +4103,17 @@ def q_exact_substring_firstwins_docs(sf_dir: str):
     return exact_substring_spans(ds, k=8, mode="first_wins")
 
 
+def q_exact_substring_clean_docs(sf_dir: str):
+    """ExactSubstr cleaning (the paper's deliverable): drop tokens in
+    spans whose identical 8-gram window occurred earlier in corpus
+    order; md5 of the kept tokens re-joined with single spaces."""
+    from dedup_restore_ray.sources.io import read_parquet_clean
+    from dedup_restore_ray.stages.exactsubstr import exact_substring_clean
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return exact_substring_clean(ds, k=8, mode="first_wins")
+
+
 def q_exact_substring_stats_docs(sf_dir: str):
     """Per-doc duplicated-token budget under ExactSubstr spans."""
     from dedup_restore_ray.sources.io import read_parquet_clean
@@ -4116,6 +4127,7 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
     "exact_substring_firstwins_docs": q_exact_substring_firstwins_docs,
+    "exact_substring_clean_docs": q_exact_substring_clean_docs,
     "exact_substring_stats_docs": q_exact_substring_stats_docs,
     "dedup_stats_docs": q_dedup_stats_docs,
     "token_counts_docs": q_token_counts_docs,
@@ -4305,6 +4317,52 @@ ORACLE_SQL = {
         SELECT doc_id, min(s)::BIGINT AS span_start,
                max(e)::BIGINT AS span_end
         FROM isl GROUP BY doc_id, gid
+    """,
+    "exact_substring_clean_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g
+          FROM toks, LATERAL (SELECT unnest(range(1,
+                 greatest(length(t) - 7, 0) + 1)) AS i)),
+        occ AS (
+          SELECT doc_id, i - 1 AS s, i + 7 AS e
+          FROM (SELECT doc_id, i, row_number() OVER
+                  (PARTITION BY g ORDER BY doc_id, i) AS rn FROM grams)
+          WHERE rn > 1),
+        w AS (
+          SELECT doc_id, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM occ),
+        isl AS (
+          SELECT doc_id, s, e,
+                 sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s) AS gid
+          FROM w),
+        spans AS (
+          SELECT doc_id, min(s) AS s, max(e) AS e
+          FROM isl GROUP BY doc_id, gid),
+        tok_rows AS (
+          SELECT doc_id, i, t[i] AS tok
+          FROM toks, LATERAL (SELECT unnest(range(1,
+                 length(t) + 1)) AS i)),
+        kept AS (
+          SELECT tr.doc_id, string_agg(tr.tok, ' ' ORDER BY tr.i) AS ktext
+          FROM tok_rows tr
+          WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                            WHERE sp.doc_id = tr.doc_id
+                              AND tr.i - 1 >= sp.s AND tr.i - 1 < sp.e)
+          GROUP BY tr.doc_id),
+        dup AS (
+          SELECT doc_id, sum(e - s) AS nd FROM spans GROUP BY doc_id)
+        SELECT tk.doc_id, length(tk.t)::BIGINT AS n_tokens,
+               coalesce(d.nd, 0)::BIGINT AS n_dup_tokens,
+               md5(coalesce(kp.ktext, '')) AS clean_md5
+        FROM toks tk
+        LEFT JOIN kept kp USING (doc_id)
+        LEFT JOIN dup d USING (doc_id)
     """,
     "exact_substring_stats_docs": r"""
         WITH toks AS (

@@ -200,6 +200,109 @@ def exact_substring_spans(ds: "ray.data.Dataset", k: int = 8,
     return _merge_spans(_dup_occurrences(rows, mode), k)
 
 
+def _collect_span_lists(spans: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, span_start, span_end) -> one (doc_id, span_flat
+    list<int64>) row per affected doc, spans interleaved
+    [s0, e0, s1, e1, ...] in ascending-start order.  Sort + per-block
+    ListArray assembly; docs split across blocks are rebuilt whole by
+    the residual pass."""
+    from dedup_restore_ray.stages.groups import group_bounds, sorted_split
+
+    interior, edge = sorted_split(spans, ["doc_id", "span_start"],
+                                  ["doc_id"])
+
+    def block_collect(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "span_flat": pa.array([], pa.list_(pa.int64()))})
+        starts, ends = group_bounds(b, ["doc_id"])
+        s = np.asarray(b.column("span_start"), dtype=np.int64)
+        e = np.asarray(b.column("span_end"), dtype=np.int64)
+        flat = np.empty(2 * n, dtype=np.int64)
+        flat[0::2] = s
+        flat[1::2] = e
+        offsets = np.empty(len(starts) + 1, dtype=np.int64)
+        offsets[:-1] = 2 * starts
+        offsets[-1] = 2 * n
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pa.array(flat, pa.int64())).cast(pa.list_(pa.int64()))
+        return pa.table({"doc_id": b.column("doc_id").take(pa.array(starts)),
+                         "span_flat": lists})
+
+    def residual_collect(g: pa.Table) -> pa.Table:
+        return block_collect(g.sort_by([("doc_id", "ascending"),
+                                        ("span_start", "ascending")]))
+
+    return (interior.map_batches(block_collect, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby("doc_id").map_groups(
+                residual_collect, batch_format="pyarrow")))
+
+
+def _clean_kernel(id_col: str, text_col: str, with_spans: bool):
+    import hashlib
+
+    empty_md5 = hashlib.md5(b"").hexdigest()
+
+    def clean(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        texts = b.column(text_col).to_pylist()
+        span_lists = (b.column("span_flat").to_pylist() if with_spans
+                      else [None] * len(ids))
+        md5 = hashlib.md5
+        n_tok, n_dup, clean_md5 = [], [], []
+        for t, flat in zip(texts, span_lists):
+            toks = tokenize(t)
+            n_tok.append(len(toks))
+            if flat:
+                keep = np.ones(len(toks), dtype=bool)
+                for j in range(0, len(flat), 2):
+                    keep[flat[j]:flat[j + 1]] = False
+                n_dup.append(int(len(toks) - keep.sum()))
+                kept = " ".join(tok for tok, kp in zip(toks, keep) if kp)
+            else:
+                n_dup.append(0)
+                kept = " ".join(toks)
+            clean_md5.append(md5(kept.encode("utf-8")).hexdigest()
+                             if kept else empty_md5)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "n_dup_tokens": pa.array(n_dup, pa.int64()),
+                         "clean_md5": pa.array(clean_md5, pa.string())})
+    return clean
+
+
+def exact_substring_clean(ds: "ray.data.Dataset", k: int = 8,
+                          mode: str = "first_wins", id_col: str = "doc_id",
+                          text_col: str = "text") -> "ray.data.Dataset":
+    """The paper's deliverable: remove every token covered by a merged
+    duplicated span and re-join the survivors with single spaces.  One
+    row per input doc: (doc_id, n_tokens, n_dup_tokens, clean_md5);
+    clean_md5 is md5('') for token-less or fully-dropped docs.  The
+    default ``mode="first_wins"`` keeps the corpus-order first copy of
+    each duplicated window (Lee et al.'s all-but-one removal);
+    ``mode="all"`` drops every copy (boilerplate-style).  Span lists
+    fold to one small row per affected doc and rendezvous back onto the
+    corpus via the sort-scatter — the corpus text shuffles once."""
+    from dedup_restore_ray.stages.cluster import scatter_lookup_split
+
+    spans = exact_substring_spans(ds, k, mode, id_col, text_col)
+    collected = _collect_span_lists(spans)
+    # identity pyarrow pass: pandas-origin inputs otherwise reach the
+    # scatter with pandas dtypes in Dataset.schema() (zero-copy for
+    # Arrow blocks)
+    docs = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: b, batch_format="pyarrow")
+    hits, misses = scatter_lookup_split(docs, collected, id_col,
+                                        "span_flat", [id_col, text_col])
+    return (hits.map_batches(_clean_kernel(id_col, text_col, True),
+                             batch_format="pyarrow")
+            .union(misses.map_batches(_clean_kernel(id_col, text_col, False),
+                                      batch_format="pyarrow")))
+
+
 def exact_substring_stats(ds: "ray.data.Dataset", k: int = 8,
                           mode: str = "all", id_col: str = "doc_id",
                           text_col: str = "text") -> "ray.data.Dataset":

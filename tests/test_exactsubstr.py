@@ -6,7 +6,8 @@ import pandas as pd
 import pytest
 
 from dedup_restore_ray.functions.shingle import tokenize
-from dedup_restore_ray.stages.exactsubstr import (exact_substring_spans,
+from dedup_restore_ray.stages.exactsubstr import (exact_substring_clean,
+                                                  exact_substring_spans,
                                                   exact_substring_stats)
 
 K = 4  # small match length so tests exercise merges cheaply
@@ -110,6 +111,37 @@ class TestExactSubstr:
             assert r.n_tokens == len(toks)
             assert r.n_dup_tokens == want
         assert (out.n_dup_tokens <= out.n_tokens).all()
+
+    def test_clean_matches_brute(self):
+        import hashlib
+
+        import ray.data as rd
+        df = _mk_corpus()
+        for mode in ("first_wins", "all"):
+            out = (exact_substring_clean(rd.from_pandas(df), k=K,
+                                         mode=mode)
+                   .to_pandas().sort_values("doc_id")
+                   .reset_index(drop=True))
+            assert list(out.doc_id) == sorted(df.doc_id)
+            spans = _brute_spans(df, K, mode)
+            for r in out.itertuples():
+                toks = tokenize(df[df.doc_id == r.doc_id].text.iloc[0])
+                drop = np.zeros(len(toks), dtype=bool)
+                for d, s, e in spans:
+                    if d == r.doc_id:
+                        drop[s:e] = True
+                kept = " ".join(t for t, dr in zip(toks, drop) if not dr)
+                assert r.n_tokens == len(toks)
+                assert r.n_dup_tokens == int(drop.sum())
+                assert r.clean_md5 == hashlib.md5(
+                    kept.encode()).hexdigest()
+        # first_wins keeps the earliest copy: doc 1 (first in corpus
+        # order) must be untouched while doc 3's shared phrase drops
+        fw = (exact_substring_clean(rd.from_pandas(df), k=K,
+                                    mode="first_wins").to_pandas())
+        byid = fw.set_index("doc_id")
+        assert byid.loc[1, "n_dup_tokens"] == 0
+        assert byid.loc[3, "n_dup_tokens"] == K
 
     def test_guards(self):
         import ray.data as rd
