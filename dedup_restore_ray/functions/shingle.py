@@ -157,7 +157,18 @@ def token_counts(texts) -> np.ndarray:
     return np.array([len(tokenize(t)) for t in texts], dtype=np.int64)
 
 
-def arrow_token_stats(tcol, hasher: "WordHasher"):
+def arrow_token_hashes(tcol, hasher: "WordHasher"):
+    """Lean tokenizer path: just ``(wh, counts)`` — per-occurrence
+    word hashes (a scratch-arena VIEW, see arrow_token_stats) and
+    per-doc token counts, WITHOUT materializing the normalized-text
+    join or the raw-bytes cast.  For consumers that only need the
+    token hash stream (positional k-grams, token counts), the
+    space-joined norm string is pure memory traffic — skip it."""
+    wh, counts, _, _ = arrow_token_stats(tcol, hasher, want_norm=False)
+    return wh, counts
+
+
+def arrow_token_stats(tcol, hasher: "WordHasher", want_norm: bool = True):
     """Vectorized tokenization of an Arrow string column — the hot
     tokenize path (lower, \\w+ split, per-doc counts, normalized join)
     runs as Arrow C++ kernels for the batch's ASCII rows, and word
@@ -195,7 +206,7 @@ def arrow_token_stats(tcol, hasher: "WordHasher"):
         return (np.empty(0, U64), np.zeros(0, np.int64), empty, empty)
     if tcol.null_count:
         tcol = tcol.fill_null("")
-    raw_arr = tcol.cast(pa.binary())
+    raw_arr = tcol.cast(pa.binary()) if want_norm else None
     ascii_mask = np.asarray(pc.string_is_ascii(tcol))
     all_ascii = bool(ascii_mask.all())
     acol = tcol if all_ascii \
@@ -215,9 +226,11 @@ def arrow_token_stats(tcol, hasher: "WordHasher"):
     d = pc.dictionary_encode(ff)
     idx = np.asarray(d.indices, dtype=np.int64)
     uh = hasher.hash_words(d.dictionary.to_pylist())
-    norm_list = pa.ListArray.from_arrays(
-        pa.array(cum[off], type=pa.int32()), ff)
-    a_norm = pc.binary_join(norm_list, " ").cast(pa.binary())
+    a_norm = None
+    if want_norm:
+        norm_list = pa.ListArray.from_arrays(
+            pa.array(cum[off], type=pa.int32()), ff)
+        a_norm = pc.binary_join(norm_list, " ").cast(pa.binary())
 
     if all_ascii:
         wh = scratch("se_wh", len(idx))
@@ -244,6 +257,8 @@ def arrow_token_stats(tcol, hasher: "WordHasher"):
     for r, toks in zip(slow_rows, slow_toks):
         if toks:
             hasher.hash_words(toks, out=wh[dest[r]:dest[r] + len(toks)])
+    if not want_norm:
+        return wh, counts, None, None
     # row-ordered norm array built with ONE Arrow take (no Python copy
     # of the ascii rows' norms — a single non-ASCII row in a batch must
     # not demote the whole batch to the Python heap)

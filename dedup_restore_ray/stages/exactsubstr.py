@@ -38,7 +38,7 @@ import pyarrow as pa
 
 import ray.data
 
-from dedup_restore_ray.functions.hashing import U64, WordHasher
+from dedup_restore_ray.functions.hashing import WordHasher
 from dedup_restore_ray.functions.shingle import _POLY, tokenize
 
 # order = (doc_id << _POS_BITS) | window_pos.  2^24 token positions
@@ -60,8 +60,12 @@ class GramRows:
     word k-gram window.  Docs with fewer than k tokens emit nothing
     (matching the oracle's ``range(1, greatest(len-k+1, 0) + ...)``
     window count).  Callable class: the WordHasher cache builds once
-    per actor; the k-pass rolling polynomial runs over the batch's
-    flat word-hash array — no per-gram Python."""
+    per actor.  Tokenization rides the Arrow C++ kernel path
+    (``arrow_token_hashes`` — no normalized-string join, word hashing
+    touches only distinct tokens); the k-pass rolling polynomial runs
+    ONCE over the batch's flat word-hash stream in the scratch arena,
+    and each doc gathers its valid window span (window p spans
+    wh[p:p+k]; cross-doc windows are simply never gathered)."""
 
     def __init__(self, k: int, id_col: str, text_col: str, seed: int = 0):
         self.k = k
@@ -70,12 +74,14 @@ class GramRows:
         self.hasher = WordHasher(seed=seed)
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        from dedup_restore_ray.functions.hashing import scratch
+        from dedup_restore_ray.functions.shingle import arrow_token_hashes
+        from dedup_restore_ray.stages.groups import _ramp
+
         k = self.k
         ids = np.asarray(b.column(self.id_col), dtype=np.int64)
-        texts = b.column(self.text_col).to_pylist()
-        token_lists = [tokenize(t) for t in texts]
-        counts = np.fromiter((len(t) for t in token_lists),
-                             dtype=np.int64, count=len(token_lists))
+        wh, counts = arrow_token_hashes(b.column(self.text_col),
+                                        self.hasher)
         wins = np.maximum(counts - k + 1, 0)
         n_wins = int(wins.sum())
         if n_wins == 0:
@@ -90,21 +96,21 @@ class GramRows:
             raise ValueError(
                 f"doc has > 2^{_POS_BITS} tokens: order packing would "
                 "overflow into doc-id bits")
-        all_words: list[str] = []
-        for toks in token_lists:
-            all_words.extend(toks)
-        wh = self.hasher.hash_words(all_words)
-        off = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=off[1:])
-        from dedup_restore_ray.stages.groups import _ramp
-        pos = _ramp(wins)
-        idx = np.repeat(off[:-1], wins) + pos
+        total = len(wh)
+        m = total - k + 1  # >= 1 whenever any doc has a window
         with np.errstate(over="ignore"):
-            acc = wh[idx].astype(U64, copy=True)
+            acc = scratch("xs_acc", m)
+            np.copyto(acc, wh[:m])
             for j in range(1, k):
-                acc = acc * _POLY + wh[idx + j]
+                np.multiply(acc, _POLY, out=acc)
+                np.add(acc, wh[j:j + m], out=acc)
+        off = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=off[1:])
+        pos = _ramp(wins)
+        idx = np.repeat(off, wins) + pos
+        ghash = np.take(acc, idx)  # fresh array: escapes the arena
         order = (np.repeat(ids, wins) << _POS_BITS) | pos
-        return pa.table({"ghash": pa.array(acc, pa.uint64()),
+        return pa.table({"ghash": pa.array(ghash, pa.uint64()),
                          "order": pa.array(order, pa.int64())})
 
 
@@ -326,12 +332,13 @@ def exact_substring_stats(ds: "ray.data.Dataset", k: int = 8,
         spans.map_batches(span_len, batch_format="pyarrow"),
         ["doc_id"], {"n_dup_tokens": ("dup_tokens", "sum")})
 
+    hasher = WordHasher(seed=0)
+
     def tok_counts(b: pa.Table) -> pa.Table:
-        texts = b.column(text_col).to_pylist()
-        return pa.table({
-            "doc_id": b.column(id_col),
-            "n_tokens": pa.array([len(tokenize(t)) for t in texts],
-                                 pa.int64())})
+        from dedup_restore_ray.functions.shingle import arrow_token_hashes
+        _, counts = arrow_token_hashes(b.column(text_col), hasher)
+        return pa.table({"doc_id": b.column(id_col),
+                         "n_tokens": pa.array(counts, pa.int64())})
 
     docs = ds.map_batches(tok_counts, batch_format="pyarrow")
     hits, misses = scatter_lookup_split(docs, per_doc, "doc_id",
