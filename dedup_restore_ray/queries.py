@@ -1155,6 +1155,61 @@ def q_dedup_clusters_docs(sf_dir: str):
     return res.assignments
 
 
+def q_cluster_representatives_docs(sf_dir: str):
+    """Quality-aware canonical selection: per duplicate cluster keep
+    the LONGEST doc (n_chars; ties -> min doc_id) instead of min-id —
+    the 'best copy survives' policy production web pipelines apply
+    after near-dup clustering.  Composition: flagship cluster
+    assignment + one n_chars rendezvous + one grouped argmax over a
+    packed (n_chars, ~doc_id) int64 + one scatter of each cluster's
+    winner back onto its members.  The argmax shuffles 16 B/row; the
+    winner table is one row per cluster."""
+    from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    res = dedup_pipeline(ds, CFG)
+    assign = res.assignments.select_columns(["doc_id", "cluster_id"])
+    chars = _docs(sf_dir, ["doc_id", "n_chars"])
+    rows = _scatter_lookup(assign, chars, "doc_id", "n_chars",
+                           ["doc_id", "cluster_id"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        nch = np.asarray(b.column("n_chars"), dtype=np.int64)
+        if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >> 32
+                         or int(nch.max()) >> 30):
+            raise ValueError("doc_id (>= 2^32) or n_chars (>= 2^30) "
+                             "outside argmax packing range")
+        packed = (nch << np.int64(32)) | (np.int64(0xFFFFFFFF) - ids)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "cluster_id": b.column("cluster_id"),
+                         "packed": pa.array(packed, pa.int64())})
+
+    packed = rows.map_batches(pack, batch_format="pyarrow")
+    best = grouped_aggregate(
+        packed.select_columns(["cluster_id", "packed"]),
+        ["cluster_id"], {"best": ("packed", "max")})
+
+    def unpack(b: pa.Table) -> pa.Table:
+        bb = np.asarray(b.column("best"), dtype=np.int64)
+        rep = np.int64(0xFFFFFFFF) - (bb & np.int64(0xFFFFFFFF))
+        return pa.table({"cluster_id": b.column("cluster_id"),
+                         "rep_doc_id": pa.array(rep, pa.int64())})
+
+    reps = best.map_batches(unpack, batch_format="pyarrow")
+    members = packed.select_columns(["doc_id", "cluster_id"])
+    out = _scatter_lookup(members, reps, "cluster_id", "rep_doc_id",
+                          ["doc_id", "cluster_id"])
+
+    def keep_flag(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("doc_id"), b.column("rep_doc_id"))
+        return b.append_column("keep", keep)
+
+    return out.map_batches(keep_flag, batch_format="pyarrow")
+
+
 def q_split_docs(sf_dir: str):
     """Deterministic train/val/test assignment by hashed doc_id
     (stages/split.py): pure per-row md5 map, no shuffle, reproducible
@@ -4155,6 +4210,7 @@ QUERIES = {
     "containment_pairs_docs": q_containment_pairs_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "dedup_clusters_docs": q_dedup_clusters_docs,
+    "cluster_representatives_docs": q_cluster_representatives_docs,
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
     "substring_pairs_docs": q_substring_pairs_docs,
@@ -4929,6 +4985,56 @@ ORACLE_SQL = {
                c.doc_id <> canon.canonical_id AS is_dup,
                c.cluster_id
         FROM comp c JOIN canon USING (doc_id)
+    """,
+    "cluster_representatives_docs": r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN []
+                      ELSE list_distinct(list_transform(
+                           range(1, greatest(length(t) - 4, 1) + 1),
+                           i -> array_to_string(t[i:i+4], ' '))) END AS s
+          FROM toks),
+        jp AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND length(a.s) > 0 AND length(b.s) > 0
+            AND 5 * length(list_intersect(a.s, b.s))
+                >= 4 * (length(a.s) + length(b.s)
+                        - length(list_intersect(a.s, b.s)))),
+        ep AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM documents a JOIN documents b ON a.text = b.text
+          WHERE a.doc_id < b.doc_id),
+        zp AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND length(a.s) = 0 AND length(b.s) = 0),
+        edges AS (
+          SELECT u, v FROM jp UNION SELECT v, u FROM jp
+          UNION SELECT u, v FROM ep UNION SELECT v, u FROM ep
+          UNION SELECT u, v FROM zp UNION SELECT v, u FROM zp),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+        comp AS (
+          SELECT node AS doc_id, min(reach) AS cluster_id
+          FROM walk GROUP BY node),
+        rep AS (
+          SELECT c.doc_id, c.cluster_id, d.n_chars,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+          FROM comp c JOIN documents d USING (doc_id)),
+        win AS (
+          SELECT cluster_id, doc_id AS rep_doc_id FROM rep WHERE rn = 1)
+        SELECT r.doc_id, r.cluster_id, w.rep_doc_id,
+               r.doc_id = w.rep_doc_id AS keep
+        FROM rep r JOIN win w USING (cluster_id)
     """,
     "substring_pairs_docs": r"""
         WITH n AS (

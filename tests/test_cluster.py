@@ -94,3 +94,34 @@ class TestDistributedLabelPropagation:
         out = attach_cluster_ids_distributed(assigns, labels).to_pandas()
         cl = dict(zip(out.doc_id, out.cluster_id))
         assert cl == {1: 1, 2: 2, 5: 2, 7: 7}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusterRepresentatives:
+    """Quality-aware canonical selection (q_cluster_representatives_docs):
+    per cluster the winner is the longest doc, ties break to min id."""
+
+    def test_longest_wins_per_cluster(self):
+        import pandas as pd
+        from dedup_restore_ray.queries import QUERIES
+        sf = "/root/testdata/sf0.001"
+        out = QUERIES["cluster_representatives_docs"](sf).to_pandas()
+        docs = pd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+        assert len(out) == len(docs)
+        m = out.merge(docs, on="doc_id")
+        # exactly one keeper per cluster, and it is a member
+        keepers = m[m.keep]
+        assert (keepers.groupby("cluster_id").size() == 1).all()
+        assert set(m.cluster_id) == set(keepers.cluster_id)
+        assert (keepers.doc_id == keepers.rep_doc_id).all()
+        # the keeper maximizes (n_chars, -doc_id) within its cluster
+        best = (m.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True])
+                .groupby("cluster_id").first())
+        got = keepers.set_index("cluster_id").doc_id.sort_index()
+        assert (got == best.doc_id.sort_index()).all()
+        # every row carries its cluster's rep
+        rep_of = keepers.set_index("cluster_id").rep_doc_id
+        assert (m.rep_doc_id.values
+                == rep_of.loc[m.cluster_id].values).all()
