@@ -2349,6 +2349,80 @@ def q_unigram_lm_docs(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def q_bigram_lm_docs(sf_dir: str):
+    """Bigram language-model scoring (the KenLM-style conditional
+    perplexity proxy, one order above q_unigram_lm_docs): pass 1
+    builds the corpus bigram model fully vectorized — adjacent word
+    hashes within each doc mix to one uint64 bigram key, per-batch
+    np.unique partials, one grouped sum.  P(w2|w1) = c2 / c1 where c1
+    sums the bigram counts sharing the prefix; per-bigram-type
+    contributions are fixed-point MICRO-NATS (floor(ln(c2/c1)*1e6),
+    matching the unigram operator's float contract) computed once
+    driver-side and broadcast as packed sorted keys + int64 values
+    (bigram vocab is the broadcast gate — document-scale corpora keep
+    it machine-resident; beyond that the lookup becomes a
+    sort-scatter).  Pass 2 scores every doc with one searchsorted
+    over its bigram-key stream + one reduceat per doc — no per-token
+    Python anywhere.  Docs with < 2 tokens emit nothing (no bigram)."""
+    from dedup_restore_ray.functions.hashing import WordHasher, combine64
+    from dedup_restore_ray.functions.shingle import arrow_token_hashes
+    from dedup_restore_ray.stages.groups import _ramp, grouped_aggregate
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    hasher = WordHasher()
+
+    def _bigram_keys(b: pa.Table):
+        """(doc ids col, nb per doc, bigram keys, prefix hashes)."""
+        wh, counts = arrow_token_hashes(b.column("text"), hasher)
+        nb = np.maximum(counts - 1, 0)
+        if int(nb.sum()) == 0:
+            e = np.empty(0, dtype=np.uint64)
+            return nb, e, e
+        off = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=off[1:])
+        idx = np.repeat(off, nb) + _ramp(nb)
+        h1 = wh[idx].copy()  # wh is a scratch view; copy before reuse
+        h2 = wh[idx + 1]
+        return nb, combine64(h1, h2), h1
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        _, bk, h1 = _bigram_keys(b)
+        keys, first, cnts = np.unique(bk, return_index=True,
+                                      return_counts=True)
+        return pa.table({"bk": pa.array(keys, pa.uint64()),
+                         "h1": pa.array(h1[first], pa.uint64()),
+                         "pc": pa.array(cnts.astype(np.int64))})
+
+    model = grouped_aggregate(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        ["bk", "h1"], {"c2": ("pc", "sum")}).to_pandas()
+    c1 = model.groupby("h1")["c2"].transform("sum").to_numpy(np.float64)
+    contrib = np.floor(np.log(
+        model["c2"].to_numpy(np.float64) / c1) * 1e6).astype(np.int64)
+    keys = model["bk"].to_numpy(np.uint64)
+    order = np.argsort(keys)
+    pack = ray.put((keys[order], contrib[order]))
+
+    def score(b: pa.Table) -> pa.Table:
+        mkeys, mvals = ray.get(pack)
+        nb, bk, _ = _bigram_keys(b)
+        has = nb > 0
+        if not has.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "sum_logprob_micro": pa.array([], pa.int64())})
+        s = mvals[np.searchsorted(mkeys, bk)]
+        starts = np.zeros(len(nb), dtype=np.int64)
+        np.cumsum(nb[:-1], out=starts[1:])
+        sums = np.add.reduceat(s, starts[has])
+        return pa.table({
+            "doc_id": b.column("doc_id").filter(pa.array(has)),
+            "n_bigrams": pa.array(nb[has]),
+            "sum_logprob_micro": pa.array(sums)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def q_nchars_histogram(sf_dir: str, nbuckets: int = 20):
     """Equi-width histogram over a numeric column with a data-derived
     range: pass 1 reduces each block to (min, max) partials (two ints
@@ -4276,6 +4350,7 @@ QUERIES = {
     "large_volume_orders": q_large_volume_orders,
     "json_props_rollup": q_json_props_rollup,
     "unigram_lm_docs": q_unigram_lm_docs,
+    "bigram_lm_docs": q_bigram_lm_docs,
     "nchars_histogram": q_nchars_histogram,
     "zscore_events": q_zscore_events,
     "events_cube": q_events_cube,
@@ -5603,6 +5678,27 @@ ORACLE_SQL = {
         SELECT k_bucket, sum(cents)::BIGINT AS total_cents,
                count(*)::BIGINT AS n_events
         FROM x WHERE k_bucket IS NOT NULL GROUP BY 1
+    """,
+    "bigram_lm_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        bg AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM toks, LATERAL (SELECT unnest(range(1, length(t))) AS i)),
+        cnt2 AS (
+          SELECT w1, w2, count(*)::BIGINT AS c2
+          FROM bg GROUP BY w1, w2),
+        cnt1 AS (
+          SELECT w1, sum(c2)::BIGINT AS c1 FROM cnt2 GROUP BY w1),
+        contrib AS (
+          SELECT w1, w2,
+                 floor(ln(c2::DOUBLE / c1::DOUBLE) * 1000000)::BIGINT AS mc
+          FROM cnt2 JOIN cnt1 USING (w1))
+        SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(mc)::BIGINT AS sum_logprob_micro
+        FROM bg JOIN contrib USING (w1, w2)
+        GROUP BY bg.doc_id
     """,
     "unigram_lm_docs": r"""
         WITH toks AS (

@@ -122,3 +122,46 @@ class TestPIIScrub:
         assert "<EMAIL>" in got and "<IP>" in got and "<PHONE>" in got
         assert "@" not in got
         assert sum(counts["email"].to_pylist()) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBigramLM:
+    """q_bigram_lm_docs: vectorized scorer == sequential reference."""
+
+    def test_matches_sequential_reference(self, tmp_path):
+        import math
+        from collections import Counter
+
+        import pandas as pd
+        from dedup_restore_ray.functions.shingle import tokenize
+        from dedup_restore_ray.queries import QUERIES
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["the cat sat on the mat",
+                     "the cat sat",        # shared bigrams
+                     "solo",                # 1 token: no bigram
+                     "",                    # empty
+                     "on the mat on the"]})
+        df.to_parquet(tmp_path / "documents.parquet")
+        out = (QUERIES["bigram_lm_docs"](str(tmp_path)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+
+        c2: Counter = Counter()
+        c1: Counter = Counter()
+        docs = {r.doc_id: tokenize(r.text) for r in df.itertuples()}
+        for toks in docs.values():
+            for a, b in zip(toks, toks[1:]):
+                c2[(a, b)] += 1
+                c1[a] += 1
+        want = {}
+        for did, toks in docs.items():
+            pairs = list(zip(toks, toks[1:]))
+            if not pairs:
+                continue
+            s = sum(math.floor(math.log(c2[p] / c1[p[0]]) * 1e6)
+                    for p in pairs)
+            want[did] = (len(pairs), s)
+        assert dict(zip(out.doc_id,
+                        zip(out.n_bigrams, out.sum_logprob_micro))) == want
+        assert set(out.doc_id) == {1, 2, 5}
