@@ -1155,6 +1155,43 @@ def q_dedup_clusters_docs(sf_dir: str):
     return res.assignments
 
 
+def q_near_dup_by_source_pair(sf_dir: str):
+    """Cross-source duplication report: verified near-dup pairs
+    (exact Jaccard >= 0.8, same rails as near_dup_pairs_docs) grouped
+    by unordered source pair — 'who copies from whom' governance view.
+    The pair stream stays distributed: two sort-scatter lookups attach
+    each side's source, one string min/max normalizes the pair, one
+    grouped count folds it; nothing pair-shaped reaches the driver."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.pairs import candidate_pairs
+    from dedup_restore_ray.stages.verify import verify_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(SignatureStage(CFG), batch_format="pyarrow",
+                          batch_size=CFG.batch_size).materialize()
+    cands = candidate_pairs(sigs, CFG, use_simhash=True,
+                            use_fingerprints=True, use_norm=False)
+    pairs = verify_pairs(cands, sigs, CFG).select_columns(["u", "v"])
+
+    srcs = _docs(sf_dir, ["doc_id", "source"])
+    st_u = srcs.rename_columns({"doc_id": "u", "source": "sa"})
+    st_v = srcs.rename_columns({"doc_id": "v", "source": "sb"})
+    with_a = _scatter_lookup(pairs, st_u, "u", "sa", ["u", "v"])
+    with_b = _scatter_lookup(with_a, st_v, "v", "sb", ["u", "v", "sa"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        sa, sb = b.column("sa"), b.column("sb")
+        lo = pc.if_else(pc.less_equal(sa, sb), sa, sb)
+        hi = pc.if_else(pc.less_equal(sa, sb), sb, sa)
+        return pa.table({"source_a": lo, "source_b": hi,
+                         "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    return grouped_aggregate(
+        with_b.map_batches(norm, batch_format="pyarrow"),
+        ["source_a", "source_b"], {"n_pairs": ("one", "sum")})
+
+
 def q_cluster_representatives_docs(sf_dir: str):
     """Quality-aware canonical selection: per duplicate cluster keep
     the LONGEST doc (n_chars; ties -> min doc_id) instead of min-id —
@@ -4281,6 +4318,7 @@ QUERIES = {
     "ann_ivf_append": q_ann_ivf_append,
     "minhash_signatures_docs": q_minhash_signatures_docs,
     "near_dup_pairs_docs": q_near_dup_pairs_docs,
+    "near_dup_by_source_pair": q_near_dup_by_source_pair,
     "containment_pairs_docs": q_containment_pairs_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "dedup_clusters_docs": q_dedup_clusters_docs,
@@ -4972,6 +5010,32 @@ ORACLE_SQL = {
         WHERE a.doc_id < b.doc_id
           AND length(list_intersect(a.s, b.s)) * 1.0 /
               least(length(a.s), length(b.s)) >= 0.9
+    """,
+    "near_dup_by_source_pair": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN []
+                      ELSE list_distinct(list_transform(
+                           range(1, greatest(length(t) - 4, 1) + 1),
+                           i -> array_to_string(t[i:i+4], ' '))) END AS s
+          FROM toks),
+        p AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND length(a.s) > 0 AND length(b.s) > 0
+            AND 5 * length(list_intersect(a.s, b.s))
+                >= 4 * (length(a.s) + length(b.s)
+                        - length(list_intersect(a.s, b.s))))
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*)::BIGINT AS n_pairs
+        FROM p JOIN documents da ON p.u = da.doc_id
+               JOIN documents db ON p.v = db.doc_id
+        GROUP BY 1, 2
     """,
     "near_dup_pairs_docs": r"""
         WITH toks AS (
