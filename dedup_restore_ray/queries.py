@@ -2386,6 +2386,39 @@ def q_unigram_lm_docs(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def q_shard_pack_docs(sf_dir: str, capacity: int = 4096):
+    """Training-shard packing (sequence packing for pretraining): lay
+    the corpus out as one global token stream in doc_id order and
+    assign each doc the shard holding its starting token —
+    shard_id = exclusive-prefix-token-offset // capacity.  Every shard
+    holds ~capacity tokens; assignment is deterministic, independent
+    of partitioning, and resumable (a doc's shard depends only on the
+    prefix sums).  One sorted pass + an n_blocks-row head reduction
+    (stages/windows.global_running_sum) — no driver-side token math."""
+    from dedup_restore_ray.functions.hashing import WordHasher
+    from dedup_restore_ray.functions.shingle import arrow_token_hashes
+    from dedup_restore_ray.stages.windows import global_running_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    hasher = WordHasher()
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        _, counts = arrow_token_hashes(b.column("text"), hasher)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_tokens": pa.array(counts, pa.int64())})
+
+    counted = ds.map_batches(tok_counts, batch_format="pyarrow")
+    offs = global_running_sum(counted, ["doc_id"], "n_tokens",
+                              out_col="token_offset")
+
+    def shard(b: pa.Table) -> pa.Table:
+        off = np.asarray(b.column("token_offset"), dtype=np.int64)
+        return b.append_column(
+            "shard_id", pa.array(off // capacity, pa.int64()))
+
+    return offs.map_batches(shard, batch_format="pyarrow")
+
+
 def q_bigram_lm_docs(sf_dir: str):
     """Bigram language-model scoring (the KenLM-style conditional
     perplexity proxy, one order above q_unigram_lm_docs): pass 1
@@ -4389,6 +4422,7 @@ QUERIES = {
     "json_props_rollup": q_json_props_rollup,
     "unigram_lm_docs": q_unigram_lm_docs,
     "bigram_lm_docs": q_bigram_lm_docs,
+    "shard_pack_docs": q_shard_pack_docs,
     "nchars_histogram": q_nchars_histogram,
     "zscore_events": q_zscore_events,
     "events_cube": q_events_cube,
@@ -5742,6 +5776,21 @@ ORACLE_SQL = {
         SELECT k_bucket, sum(cents)::BIGINT AS total_cents,
                count(*)::BIGINT AS n_events
         FROM x WHERE k_bucket IS NOT NULL GROUP BY 1
+    """,
+    "shard_pack_docs": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 length(regexp_extract_all(lower(text), '\w+'))::BIGINT
+                   AS n_tokens
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS token_offset,
+               (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) // 4096)::BIGINT AS shard_id
+        FROM toks
     """,
     "bigram_lm_docs": r"""
         WITH toks AS (

@@ -568,6 +568,68 @@ def global_rank(ds: "ray.data.Dataset", order_cols: list[str],
                            batch_size=None)
 
 
+def global_running_sum(ds: "ray.data.Dataset", order_cols: list[str],
+                       value_col: str, out_col: str = "running_sum",
+                       exclusive: bool = True,
+                       carry_cols: list[str] | None = None
+                       ) -> "ray.data.Dataset":
+    """GLOBAL cumulative sum (no partition) — ``sum(v) OVER (ORDER BY
+    ... ROWS UNBOUNDED PRECEDING [AND 1 PRECEDING])``.  Same design as
+    ``global_rank``: the sorted run is materialized once, a light head
+    pass reduces each block to (first-row key, block int64 sum) —
+    n_blocks tiny rows on the driver — cumulative block sums in key
+    order give every block its global offset, and the kernel adds its
+    block-local cumsum.  ``order_cols`` must end in a unique non-null
+    tiebreak; ``value_col`` must be integer-typed (int64 exactness is
+    the oracle contract; float addition order is engine-dependent)."""
+    carry = carry_cols or [*order_cols, value_col]
+    srt = presort_coalesce(ds).sort(order_cols).materialize()
+
+    def head(b: pa.Table) -> pa.Table:
+        t = b.select(order_cols)
+        if b.num_rows == 0:
+            return t.slice(0, 0).append_column(
+                "__sum", pa.array([], pa.int64()))
+        s = int(np.asarray(b.column(value_col), dtype=np.int64).sum())
+        return t.slice(0, 1).append_column(
+            "__sum", pa.array([s], pa.int64()))
+
+    heads = [(tuple(r[c] for c in order_cols), r["__sum"])
+             for r in srt.map_batches(head, batch_format="pyarrow",
+                                      batch_size=None).take_all()]
+    for key, _ in heads:
+        if any(v is None or v != v for v in key):
+            raise ValueError(
+                "global_running_sum order_cols must be non-null, "
+                f"non-NaN: block head {key!r}")
+    heads.sort(key=lambda h: h[0])
+    offsets, acc = {}, 0
+    for key, s in heads:
+        offsets[key] = acc
+        acc += s
+    import ray as _ray
+    off_ref = _ray.put(offsets)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        fields = [(c, b.schema.field(c).type) for c in carry]
+        out_schema = pa.schema(fields + [(out_col, pa.int64())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        omap = _ray.get(off_ref)
+        first = tuple(b.column(c)[0].as_py() for c in order_cols)
+        off = omap[first]
+        v = np.asarray(b.column(value_col), dtype=np.int64)
+        cs = np.cumsum(v)
+        run = off + (cs - v if exclusive else cs)
+        cols = {c: b.column(c) for c in carry}
+        cols[out_col] = pa.array(run, pa.int64())
+        return pa.table(cols)
+
+    return srt.map_batches(kernel, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def running_totals(ds: "ray.data.Dataset", key_col: str,
                    order_cols: list[str], value_col: str,
                    sum_col: str = "running_sum",

@@ -498,3 +498,41 @@ class TestGlobalRank:
                            ["v", "id"])
                .to_pandas().sort_values("id").reset_index(drop=True))
         assert got["rn"].tolist() == list(range(1, 41))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalRunningSum:
+    """stages/windows.global_running_sum: partition-free cumulative
+    sum with block offsets — layout independence + frame modes."""
+
+    def _df(self, n=200, seed=7):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                             "v": rng.integers(0, 50, n).astype(np.int64)})
+
+    def test_exclusive_inclusive_and_layout(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.windows import global_running_sum
+        df = self._df()
+        want_inc = df.v.cumsum().to_numpy()
+        for nparts in (1, 7):
+            src = rd.from_pandas(df.sample(frac=1.0, random_state=3))
+            if nparts > 1:
+                src = src.repartition(nparts)
+            out = (global_running_sum(src, ["k"], "v",
+                                      out_col="rs", exclusive=True)
+                   .to_pandas().sort_values("k").reset_index(drop=True))
+            assert (out.rs.to_numpy() == want_inc - df.v.to_numpy()).all()
+            out2 = (global_running_sum(src, ["k"], "v", out_col="rs",
+                                       exclusive=False)
+                    .to_pandas().sort_values("k").reset_index(drop=True))
+            assert (out2.rs.to_numpy() == want_inc).all()
+
+    def test_nan_block_head_rejected(self):
+        # the head guard is best-effort (block heads only, same
+        # contract as global_rank): a NaN that IS a block head raises
+        import ray.data as rd
+        from dedup_restore_ray.stages.windows import global_running_sum
+        df = pd.DataFrame({"k": [float("nan")] * 3, "v": [1, 2, 3]})
+        with pytest.raises(ValueError, match="non-null"):
+            global_running_sum(rd.from_pandas(df), ["k"], "v").count()
