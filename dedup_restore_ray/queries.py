@@ -2386,6 +2386,91 @@ def q_unigram_lm_docs(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def q_rolling_active_users(sf_dir: str, window: int = 7):
+    """Trailing-window COUNT(DISTINCT): users active in the last
+    ``window`` days, reported for every day with events — the window
+    SQL cannot express with a frame (no DISTINCT in window aggregates)
+    and naive engines answer with one pass per day.  Sweep-line
+    formulation: each user's activity days merge into coverage
+    intervals [day, day+window) (the ExactSubstr gaps-and-islands
+    kernel), intervals emit +1/-1 deltas, one grouped sum folds deltas
+    per day, and the cumulative step function answers every query day.
+    Everything user-shaped stays distributed; only the DAY-axis delta
+    table (bounded by the calendar, not the corpus) reaches the
+    driver."""
+    from dedup_restore_ray.sources.io import read_parquet_clean
+    from dedup_restore_ray.stages.groups import (group_bounds,
+                                                 grouped_aggregate,
+                                                 sorted_split)
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+
+    _PER_DAY = {"s": 86_400, "ms": 86_400_000, "us": 86_400_000_000,
+                "ns": 86_400_000_000_000}
+
+    def day_rows(b: pa.Table) -> pa.Table:
+        tcol = b.column("ts")
+        div = _PER_DAY[tcol.type.unit]  # int64 floor-div, never a
+        raw = tcol.cast(pa.int64())     # lossy timestamp-unit cast
+        day = np.asarray(raw, dtype=np.int64) // div
+        return pa.table({"user_id": b.column("user_id"),
+                         "day": pa.array(day, pa.int64()),
+                         "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    rows = ev.map_batches(day_rows, batch_format="pyarrow")
+    # distinct (user, day) pairs via the grouped-sum kernel
+    pairs = grouped_aggregate(rows, ["user_id", "day"],
+                              {"n": ("one", "sum")})
+
+    interior, edge = sorted_split(pairs, ["user_id", "day"],
+                                  ["user_id"])
+    big = np.int64(1) << np.int64(32)  # epoch days << 2^31
+
+    def deltas(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        starts, ends = group_bounds(b, ["user_id"])
+        day = np.asarray(b.column("day"), dtype=np.int64)
+        end = day + window
+        grp = np.repeat(np.arange(len(starts), dtype=np.int64),
+                        ends - starts)
+        shift = grp * big
+        cm = np.maximum.accumulate(end + shift)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (day[1:] + shift[1:]) > cm[:-1]
+        isl = np.flatnonzero(new)
+        s = day[isl]
+        e = np.maximum.reduceat(end, isl)
+        return pa.table({
+            "day": pa.array(np.concatenate([s, e])),
+            "d": pa.array(np.concatenate([np.ones(len(s), np.int64),
+                                          -np.ones(len(s), np.int64)]))})
+
+    def residual_deltas(g: pa.Table) -> pa.Table:
+        return deltas(g.sort_by([("user_id", "ascending"),
+                                 ("day", "ascending")]))
+
+    delta_ds = (interior.map_batches(deltas, batch_format="pyarrow",
+                                     batch_size=None)
+                .union(edge.groupby("user_id").map_groups(
+                    residual_deltas, batch_format="pyarrow")))
+    # day axis: bounded by the calendar — a driver-side finish is the
+    # scale-correct move (at 10^12 docs this table is still ~10^4 rows)
+    dtab = (grouped_aggregate(delta_ds, ["day"], {"delta": ("d", "sum")})
+            .to_pandas().sort_values("day").reset_index(drop=True))
+    cum = dtab["delta"].cumsum().to_numpy()
+    ddays = dtab["day"].to_numpy(np.int64)
+    qdays = np.sort(grouped_aggregate(
+        rows.select_columns(["day", "one"]), ["day"],
+        {"n": ("one", "sum")}).to_pandas()["day"].to_numpy(np.int64))
+    at = np.searchsorted(ddays, qdays, side="right") - 1
+    return pa.table({"day": pa.array(qdays, pa.int64()),
+                     "rolling_users": pa.array(cum[at], pa.int64())})
+
+
 def q_shard_pack_docs(sf_dir: str, capacity: int = 4096):
     """Training-shard packing (sequence packing for pretraining): lay
     the corpus out as one global token stream in doc_id order and
@@ -4423,6 +4508,7 @@ QUERIES = {
     "unigram_lm_docs": q_unigram_lm_docs,
     "bigram_lm_docs": q_bigram_lm_docs,
     "shard_pack_docs": q_shard_pack_docs,
+    "rolling_active_users": q_rolling_active_users,
     "nchars_histogram": q_nchars_histogram,
     "zscore_events": q_zscore_events,
     "events_cube": q_events_cube,
@@ -5776,6 +5862,17 @@ ORACLE_SQL = {
         SELECT k_bucket, sum(cents)::BIGINT AS total_cents,
                count(*)::BIGINT AS n_events
         FROM x WHERE k_bucket IS NOT NULL GROUP BY 1
+    """,
+    "rolling_active_users": r"""
+        WITH ev AS (
+          SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day, user_id
+          FROM events),
+        days AS (SELECT DISTINCT day FROM ev)
+        SELECT d.day,
+               (SELECT count(DISTINCT e.user_id) FROM ev e
+                WHERE e.day BETWEEN d.day - 6 AND d.day)::BIGINT
+                 AS rolling_users
+        FROM days d
     """,
     "shard_pack_docs": r"""
         WITH toks AS (

@@ -536,3 +536,24 @@ class TestGlobalRunningSum:
         df = pd.DataFrame({"k": [float("nan")] * 3, "v": [1, 2, 3]})
         with pytest.raises(ValueError, match="non-null"):
             global_running_sum(rd.from_pandas(df), ["k"], "v").count()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingActiveUsers:
+    """q_rolling_active_users: sweep-line == brute per-day distinct."""
+
+    def test_brute_parity(self, tmp_path):
+        rng = np.random.default_rng(11)
+        n = 3000
+        days = rng.integers(19000, 19060, n)
+        ts = pd.to_datetime(days * 86400 + rng.integers(0, 86400, n),
+                            unit="s")
+        df = pd.DataFrame({"ts": ts,
+                           "user_id": rng.integers(1, 40, n)})
+        df.to_parquet(tmp_path / "events.parquet")
+        from dedup_restore_ray.queries import QUERIES
+        out = QUERIES["rolling_active_users"](str(tmp_path)).to_pandas()
+        ed = pd.DataFrame({"day": days, "user": df.user_id})
+        want = {d: ed[(ed.day >= d - 6) & (ed.day <= d)].user.nunique()
+                for d in sorted(set(days))}
+        assert dict(zip(out.day, out.rolling_users)) == want
