@@ -2386,6 +2386,65 @@ def q_unigram_lm_docs(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def q_discounted_revenue_parts(sf_dir: str):
+    """TPC-H Q19 shape: OR-of-conjunctions join predicate (brand x
+    size-window x quantity-window disjuncts) folded into a broadcast
+    part-class pack — each part resolves once driver-side to a class
+    byte (0 = can never match), lineitem batches evaluate the whole
+    disjunction with one searchsorted + one vectorized window test,
+    and only one-row integer partials leave each block.  Revenue in
+    exact 1e-4 units (cents x discount points) so the oracle hash is
+    bit-exact."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_size"])
+    rules = [("Brand#12", 1, 15, 1.0, 11.0),
+             ("Brand#23", 1, 25, 10.0, 20.0),
+             ("Brand#3", 1, 35, 20.0, 30.0)]
+    cls = np.zeros(len(part), dtype=np.int8)
+    for i, (brand, lo, hi, _, _) in enumerate(rules, start=1):
+        m = ((part["p_brand"] == brand) & (part["p_size"] >= lo)
+             & (part["p_size"] <= hi)).to_numpy()
+        cls[m] = i
+    keys = part["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    pack = ray.put((keys[order], cls[order]))
+    qlo = np.array([0.0] + [r[3] for r in rules])
+    qhi = np.array([-1.0] + [r[4] for r in rules])
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk, pc_ = ray.get(pack)
+        lpk = np.asarray(b.column("l_partkey"), dtype=np.int64)
+        pos = np.searchsorted(pk, lpk)
+        pos = np.minimum(pos, len(pk) - 1)
+        c = np.where(pk[pos] == lpk, pc_[pos], 0).astype(np.int64)
+        q = np.asarray(b.column("l_quantity"), dtype=np.float64)
+        sel = (c > 0) & (q >= qlo[c]) & (q <= qhi[c])
+        price = np.asarray(b.column("l_extendedprice"),
+                           dtype=np.float64)[sel]
+        disc = np.asarray(b.column("l_discount"), dtype=np.float64)[sel]
+        cents = round_half_up(price * 100.0, 0).astype(np.int64)
+        pts = round_half_up(disc * 100.0, 0).astype(np.int64)
+        rev = int((cents * (100 - pts)).sum())
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "prev": pa.array([rev], pa.int64())})
+
+    out = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["k"], {"revenue_1e4": ("prev", "sum")})
+
+    def drop_k(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["k"])
+
+    return out.map_batches(drop_k, batch_format="pyarrow")
+
+
 def q_rolling_active_users(sf_dir: str, window: int = 7):
     """Trailing-window COUNT(DISTINCT): users active in the last
     ``window`` days, reported for every day with events — the window
@@ -4509,6 +4568,7 @@ QUERIES = {
     "bigram_lm_docs": q_bigram_lm_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
+    "discounted_revenue_parts": q_discounted_revenue_parts,
     "nchars_histogram": q_nchars_histogram,
     "zscore_events": q_zscore_events,
     "events_cube": q_events_cube,
@@ -5862,6 +5922,18 @@ ORACLE_SQL = {
         SELECT k_bucket, sum(cents)::BIGINT AS total_cents,
                count(*)::BIGINT AS n_events
         FROM x WHERE k_bucket IS NOT NULL GROUP BY 1
+    """,
+    "discounted_revenue_parts": r"""
+        SELECT coalesce(sum(round(l_extendedprice * 100)
+                 * (100 - round(l_discount * 100))), 0)::BIGINT
+                 AS revenue_1e4
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
     """,
     "rolling_active_users": r"""
         WITH ev AS (
