@@ -78,6 +78,16 @@ def run_benchmarks() -> dict:
         flagship_runs.append(time.time() - t0)
     timings["flagship_dedup"] = min(flagship_runs)
 
+    # one-permutation-hashing signature option (scale path; default
+    # stays "perm" — the north_rule's oracle config)
+    t0 = time.time()
+    ds = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    dedup_stats(dedup_pipeline(ds, PipelineConfig(minhash_mode="oph"),
+                               id_col="doc_id",
+                               text_col="text").assignments)
+    timings["flagship_dedup_oph"] = round(time.time() - t0, 3)
+
     # --- individual operator benches ------------------------------------
     for name in ["exact_dedup_docs", "minhash_signatures_docs",
                  "near_dup_pairs_docs", "substring_pairs_docs",

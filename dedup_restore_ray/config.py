@@ -21,6 +21,12 @@ class PipelineConfig:
     # --- MinHash (north_rule: 128 permutations) -------------------------
     num_perm: int = 128
     minhash_seed: int = 42
+    minhash_mode: str = "perm"    # "perm" (128 independent permutations,
+    #                               the north_rule config — keep for
+    #                               oracle-checked pipelines) or "oph"
+    #                               (one-permutation hashing + rotation
+    #                               densification: ~1/num_perm of the
+    #                               hashing traffic, same LSH contract)
     # --- LSH banding (north_rule: 16 bands x 8 rows) --------------------
     num_bands: int = 16
     rows_per_band: int = 8
@@ -62,6 +68,10 @@ class PipelineConfig:
     def __post_init__(self):
         if self.num_bands * self.rows_per_band != self.num_perm:
             raise ValueError("num_bands * rows_per_band must equal num_perm")
+        if self.minhash_mode not in ("perm", "oph"):
+            raise ValueError(
+                f"minhash_mode must be 'perm' or 'oph', got "
+                f"{self.minhash_mode!r}")
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -111,3 +111,69 @@ def minhash_signatures(
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     """Fraction of agreeing signature slots — unbiased Jaccard estimate."""
     return float(np.mean(sig_a == sig_b))
+
+
+def oph_signatures(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    num_perm: int = 128,
+    use_scratch: bool = False,
+) -> np.ndarray:
+    """One-Permutation Hashing MinHash with rotation densification —
+    the [n_docs, num_perm] signature in ONE pass over the shingle
+    stream instead of ``num_perm`` permuted passes (Li, Owen & Zhang,
+    NIPS 2012; densification per Shrivastava & Li, ICML 2014: an empty
+    bin borrows the value of the nearest non-empty bin to its right,
+    circularly).  Same LSH banding / estimator contract as
+    ``minhash_signatures`` (P(slot match) ~= Jaccard) at ~1/num_perm
+    of the hashing traffic — the scale path for the signature stage's
+    measured memory-bandwidth ceiling.
+
+    Exploits the CSR contract: per-doc shingles are SORTED unique, so
+    ``bin = shingle >> (64 - log2 num_perm)`` is non-decreasing within
+    a doc and (doc, bin) runs are contiguous in the flat stream — bin
+    minima come from ONE ``np.minimum.reduceat`` over run starts, no
+    [S, P] temporary at all.  Bin values are ``mix64(shingle)`` so the
+    value order is independent of the bin-selecting top bits.
+
+    NOT interchangeable with minhash_signatures output (different slot
+    values) — choose per pipeline via ``PipelineConfig.minhash_mode``.
+    """
+    from dedup_restore_ray.functions.hashing import mix64, scratch
+
+    if num_perm & (num_perm - 1):
+        raise ValueError(f"num_perm must be a power of two, got {num_perm}")
+    shift = np.uint64(64 - int(num_perm).bit_length() + 1)
+    n_docs = len(offsets) - 1
+    if use_scratch:
+        sig = scratch("oph_sig", n_docs * num_perm).reshape(n_docs, num_perm)
+        sig.fill(EMPTY_SIG)
+    else:
+        sig = np.full((n_docs, num_perm), EMPTY_SIG, dtype=U64)
+    if len(flat) == 0 or n_docs == 0:
+        return sig
+    lengths = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    bins = (flat >> shift).astype(np.int64)
+    key = doc_idx * num_perm + bins            # non-decreasing
+    run_start = np.ones(len(key), dtype=bool)
+    run_start[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(run_start)
+    vals = mix64(flat)
+    mins = np.minimum.reduceat(vals, starts)
+    sig.reshape(-1)[key[starts]] = mins
+
+    # rotation densification: rows with >= 1 empty and >= 1 filled bin
+    empty = sig == EMPTY_SIG
+    n_empty = empty.sum(axis=1)
+    rows = np.flatnonzero((n_empty > 0) & (n_empty < num_perm))
+    if len(rows):
+        sub = sig[rows]
+        cols = np.arange(num_perm, dtype=np.int64)
+        ne = np.where(sub != EMPTY_SIG, cols, np.int64(num_perm * 2))
+        # nearest non-empty at-or-right of j: suffix minimum
+        nxt = np.minimum.accumulate(ne[:, ::-1], axis=1)[:, ::-1]
+        wrapped = np.where(nxt < num_perm * 2, nxt,
+                           nxt[:, :1])  # col 0 suffix-min = first overall
+        sig[rows] = np.take_along_axis(sub, wrapped, axis=1)
+    return sig

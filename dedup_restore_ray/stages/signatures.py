@@ -86,9 +86,17 @@ class SignatureStage:
         # (flagship), it lives in the scratch arena — safe because the
         # winnowing pass below uses disjoint arena names (kg_*/wm_*)
         # and compute_bucket_keys consumes sig before this returns.
-        sig = (minhash_signatures(flat, offsets, self.perm_a, self.perm_b,
-                                  use_scratch=not self.emit_minhash)
-               if self.emit_minhash or self.emit_bucket_keys else None)
+        if self.emit_minhash or self.emit_bucket_keys:
+            if cfg.minhash_mode == "oph":
+                from dedup_restore_ray.functions.minhash import oph_signatures
+                sig = oph_signatures(flat, offsets, cfg.num_perm,
+                                     use_scratch=not self.emit_minhash)
+            else:
+                sig = minhash_signatures(flat, offsets, self.perm_a,
+                                         self.perm_b,
+                                         use_scratch=not self.emit_minhash)
+        else:
+            sig = None
         sh = simhash_signatures(flat, offsets)
         # norm/raws are Arrow binary arrays; SHA-1 reads their buffers
         # via memoryview slices — no Python bytes copy of the corpus
