@@ -990,6 +990,26 @@ def q_minhash_signatures_docs(sf_dir: str):
     return sig.select_columns(["doc_id", "n_tokens", "n_shingles", "simhash"])
 
 
+def q_oph_near_dup_pairs_docs(sf_dir: str):
+    """Near-dup pairs with the one-permutation-hashing signature rail
+    (minhash_mode="oph"): the scale option's end-to-end drive.
+    Oracle-checked: OPH slot values differ from the 128-perm rail, but the
+    verify stage is exact Jaccard, so emitted pairs are a (usually
+    identical) subset of the brute-force >= 0.8 pair set — asserted
+    by TestOPHPipeline's recall gate."""
+    from dedup_restore_ray.stages.pairs import candidate_pairs
+    from dedup_restore_ray.stages.verify import verify_pairs
+    cfg = PipelineConfig(minhash_mode="oph")
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(SignatureStage(cfg), batch_format="pyarrow",
+                          batch_size=cfg.batch_size).materialize()
+    cands = candidate_pairs(sigs, cfg, use_simhash=True,
+                            use_fingerprints=True, use_norm=False)
+    verified = verify_pairs(cands, sigs, cfg).to_pandas()
+    verified["jaccard"] = round_half_up(verified["jaccard"])
+    return verified.sort_values(["u", "v"]).reset_index(drop=True)
+
+
 def q_near_dup_pairs_docs(sf_dir: str):
     """Verified near-dup pairs (u < v, exact Jaccard >= 0.8) via the
     full LSH+simhash+substring candidate union.  SQL oracle: brute-force
@@ -4495,6 +4515,7 @@ QUERIES = {
     "ann_ivf_append": q_ann_ivf_append,
     "minhash_signatures_docs": q_minhash_signatures_docs,
     "near_dup_pairs_docs": q_near_dup_pairs_docs,
+    "oph_near_dup_pairs_docs": q_oph_near_dup_pairs_docs,
     "near_dup_by_source_pair": q_near_dup_by_source_pair,
     "containment_pairs_docs": q_containment_pairs_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
@@ -5216,6 +5237,28 @@ ORACLE_SQL = {
         FROM p JOIN documents da ON p.u = da.doc_id
                JOIN documents db ON p.v = db.doc_id
         GROUP BY 1, 2
+    """,
+    "oph_near_dup_pairs_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN []
+                      ELSE list_distinct(list_transform(
+                           range(1, greatest(length(t) - 4, 1) + 1),
+                           i -> array_to_string(t[i:i+4], ' '))) END AS s
+          FROM toks)
+        SELECT a.doc_id AS u, b.doc_id AS v,
+               round(length(list_intersect(a.s, b.s)) * 1.0 /
+                     (length(a.s) + length(b.s)
+                      - length(list_intersect(a.s, b.s))), 4) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND length(a.s) > 0 AND length(b.s) > 0
+          AND length(list_intersect(a.s, b.s)) * 1.0 /
+              (length(a.s) + length(b.s)
+               - length(list_intersect(a.s, b.s))) >= 0.8
     """,
     "near_dup_pairs_docs": r"""
         WITH toks AS (
