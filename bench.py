@@ -159,7 +159,9 @@ def run_scaling_child() -> dict:
     # raise it for the scaling corpora so every corpus size exercises
     # the same (broadcast) pipeline shape on this 128 GiB host, instead
     # of flipping to the all-shuffle scale path right at 2M docs.
-    cfg = PipelineConfig(broadcast_limit=max(4_000_000, SCALING_DOCS * 2))
+    cfg = PipelineConfig(
+        broadcast_limit=max(4_000_000, SCALING_DOCS * 2),
+        minhash_mode=os.environ.get("GRAFT_SCALING_MINHASH", "perm"))
     blocks_env = os.environ.get("GRAFT_SCALING_BLOCKS")
     res = dedup_pipeline(
         ds, cfg, id_col="url", text_col="text", html_col="html",
