@@ -4486,6 +4486,130 @@ def q_exact_substring_stats_docs(sf_dir: str):
     return exact_substring_stats(ds, k=8, mode="all")
 
 
+def q_dsir_weights_docs(sf_dir: str, n_buckets: int = 1024):
+    """DSIR importance weights (Xie et al., NeurIPS 2023 "Data
+    Selection for Language Models via Importance Resampling"): hashed
+    unigram+bigram bag-of-grams models for the TARGET slice
+    (lang = 'en') vs the RAW corpus; per-doc importance score = sum
+    over gram occurrences of the Laplace-smoothed log probability
+    ratio, in fixed-point micro-nats.  Pass 1 is a per-batch B-bucket
+    bincount partial (<= B integer rows per block) + one tiny grouped
+    sum; pass 2 broadcasts the B-entry weight vector and scores every
+    doc with one ``np.add.reduceat`` — no corpus-wide shuffle.  The
+    md5 bucket hash makes the oracle bit-exact (functions/dsir.py)."""
+    from dedup_restore_ray.functions.dsir import (GramBucketer,
+                                                  doc_gram_buckets,
+                                                  dsir_weight_micro)
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    bucketer = GramBucketer(n_buckets)
+
+    def fit_partial(b: pa.Table) -> pa.Table:
+        flat, counts, rows = doc_gram_buckets(b.column("text"), bucketer)
+        if len(flat) == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"bucket": e, "t_pc": e, "r_pc": e})
+        is_t = np.asarray(pc.fill_null(
+            pc.equal(b.column("lang"), "en"), False))[rows]
+        per_gram_t = np.repeat(is_t, counts)
+        r_cnt = np.bincount(flat, minlength=n_buckets)
+        t_cnt = np.bincount(flat[per_gram_t], minlength=n_buckets)
+        nz = np.flatnonzero(r_cnt)
+        return pa.table({"bucket": pa.array(nz),
+                         "t_pc": pa.array(t_cnt[nz].astype(np.int64)),
+                         "r_pc": pa.array(r_cnt[nz].astype(np.int64))})
+
+    agg = grouped_aggregate(
+        ds.map_batches(fit_partial, batch_format="pyarrow"),
+        ["bucket"], {"t": ("t_pc", "sum"), "r": ("r_pc", "sum")}).to_pandas()
+    t_vec = np.zeros(n_buckets, dtype=np.int64)
+    r_vec = np.zeros(n_buckets, dtype=np.int64)
+    bidx = agg["bucket"].to_numpy(np.int64)
+    t_vec[bidx] = agg["t"].to_numpy(np.int64)
+    r_vec[bidx] = agg["r"].to_numpy(np.int64)
+    w = dsir_weight_micro(t_vec, r_vec, int(t_vec.sum()),
+                          int(r_vec.sum()), n_buckets)
+    pack = ray.put(w)
+
+    def score(b: pa.Table) -> pa.Table:
+        wv = ray.get(pack)
+        flat, counts, rows = doc_gram_buckets(b.column("text"), bucketer)
+        has = counts > 0
+        if not has.any():
+            e = pa.array([], pa.int64())
+            return pa.table({"doc_id": e, "n_grams": e,
+                             "dsir_score_micro": e})
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        sums = np.add.reduceat(wv[flat], starts[has])
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)[rows[has]]
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_grams": pa.array(counts[has]),
+                         "dsir_score_micro": pa.array(sums)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_dsir_sample_docs(sf_dir: str, k: int = 100, n_buckets: int = 1024):
+    """DSIR Gumbel-top-k importance resampling: priority = score_micro
+    + floor(-ln(-ln(u)) * 1e6) with u the md5-rank uniform of the doc
+    id — a deterministic sample with P(select) ∝ exp(score) at λ=1,
+    reproducible in SQL.  Per-block top-k partials: k rows per block
+    reach the driver, never the corpus."""
+    from dedup_restore_ray.functions.dsir import gumbel_micro_for_ids
+    scored = q_dsir_weights_docs(sf_dir, n_buckets=n_buckets)
+
+    def prio(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        if len(ids) == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"doc_id": e, "priority_micro": e})
+        p = (np.asarray(b.column("dsir_score_micro"), dtype=np.int64)
+             + gumbel_micro_for_ids(ids))
+        order = np.lexsort((ids, -p))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "priority_micro": pa.array(p[order])})
+
+    parts = scored.map_batches(prio, batch_format="pyarrow").to_pandas()
+    return (parts.sort_values(["priority_micro", "doc_id"],
+                              ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def q_soft_dedup_weights_docs(sf_dir: str):
+    """Soft deduplication (duplication-aware sampling weights): keep
+    every document but down-weight duplicated content by its near-dup
+    cluster size — weight_micro = floor(1e6 / |cluster|), so each
+    cluster contributes ~one document's worth of sampling mass (the
+    published soft alternative to hard removal, e.g. SlimPajama-DC /
+    "soft dedup" ablations).  Rides the flagship's cluster assignment:
+    one grouped count over (cluster_id) + one sort-scatter to attach
+    sizes back — the corpus text shuffles zero extra times and the
+    weights stay exact integers (oracle = the recursive-CTE component
+    oracle + integer division)."""
+    from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    res = dedup_pipeline(ds, CFG)
+    asg = res.assignments.select_columns(["doc_id", "cluster_id"])
+    sizes = grouped_aggregate(asg, ["cluster_id"], {},
+                              count_alias="cluster_size")
+    withsz = _scatter_lookup(asg, sizes, "cluster_id", "cluster_size",
+                             ["doc_id", "cluster_id"])
+
+    def wt(b: pa.Table) -> pa.Table:
+        sz = np.asarray(b.column("cluster_size"), dtype=np.int64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "cluster_id": b.column("cluster_id"),
+                         "cluster_size": b.column("cluster_size"),
+                         "weight_micro": pa.array(1_000_000 // sz)})
+
+    return withsz.map_batches(wt, batch_format="pyarrow")
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -4587,6 +4711,9 @@ QUERIES = {
     "json_props_rollup": q_json_props_rollup,
     "unigram_lm_docs": q_unigram_lm_docs,
     "bigram_lm_docs": q_bigram_lm_docs,
+    "dsir_weights_docs": q_dsir_weights_docs,
+    "dsir_sample_docs": q_dsir_sample_docs,
+    "soft_dedup_weights_docs": q_soft_dedup_weights_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -5348,6 +5475,52 @@ ORACLE_SQL = {
                c.cluster_id
         FROM comp c JOIN canon USING (doc_id)
     """,
+    "soft_dedup_weights_docs": r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN []
+                      ELSE list_distinct(list_transform(
+                           range(1, greatest(length(t) - 4, 1) + 1),
+                           i -> array_to_string(t[i:i+4], ' '))) END AS s
+          FROM toks),
+        jp AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND length(a.s) > 0 AND length(b.s) > 0
+            AND 5 * length(list_intersect(a.s, b.s))
+                >= 4 * (length(a.s) + length(b.s)
+                        - length(list_intersect(a.s, b.s)))),
+        ep AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM documents a JOIN documents b ON a.text = b.text
+          WHERE a.doc_id < b.doc_id),
+        zp AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND length(a.s) = 0 AND length(b.s) = 0),
+        edges AS (
+          SELECT u, v FROM jp UNION SELECT v, u FROM jp
+          UNION SELECT u, v FROM ep UNION SELECT v, u FROM ep
+          UNION SELECT u, v FROM zp UNION SELECT v, u FROM zp),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+        comp AS (
+          SELECT node AS doc_id, min(reach) AS cluster_id
+          FROM walk GROUP BY node),
+        sz AS (
+          SELECT cluster_id, count(*)::BIGINT AS cluster_size
+          FROM comp GROUP BY cluster_id)
+        SELECT comp.doc_id, comp.cluster_id, sz.cluster_size,
+               (1000000 // sz.cluster_size)::BIGINT AS weight_micro
+        FROM comp JOIN sz USING (cluster_id)
+    """,
     "cluster_representatives_docs": r"""
         WITH RECURSIVE toks AS (
           SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
@@ -6024,6 +6197,87 @@ ORACLE_SQL = {
                sum(mc)::BIGINT AS sum_logprob_micro
         FROM bg JOIN contrib USING (w1, w2)
         GROUP BY bg.doc_id
+    """,
+    "dsir_weights_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, lang, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        uni AS (
+          SELECT doc_id, lang, unnest(t) AS g FROM toks),
+        bi AS (
+          SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
+          FROM toks, LATERAL (SELECT unnest(range(1, length(t))) AS i)),
+        grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        bg AS (
+          SELECT doc_id,
+                 (md5_number_lower(g) % 1024)::BIGINT AS b,
+                 (lang = 'en') AS is_t
+          FROM grams),
+        tot AS (
+          SELECT count(*) FILTER (WHERE is_t)::BIGINT AS tt,
+                 count(*)::BIGINT AS rt
+          FROM bg),
+        cnt AS (
+          SELECT b,
+                 count(*) FILTER (WHERE is_t)::BIGINT AS t,
+                 count(*)::BIGINT AS r
+          FROM bg GROUP BY b),
+        w AS (
+          SELECT b,
+                 floor(ln( ((t + 1.0) * (rt + 1024)) /
+                           ((r + 1.0) * (tt + 1024)) ) * 1000000)::BIGINT
+                   AS w
+          FROM cnt, tot)
+        SELECT bg.doc_id,
+               count(*)::BIGINT AS n_grams,
+               sum(w.w)::BIGINT AS dsir_score_micro
+        FROM bg JOIN w USING (b)
+        GROUP BY bg.doc_id
+    """,
+    "dsir_sample_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, lang, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        uni AS (
+          SELECT doc_id, lang, unnest(t) AS g FROM toks),
+        bi AS (
+          SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
+          FROM toks, LATERAL (SELECT unnest(range(1, length(t))) AS i)),
+        grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        bg AS (
+          SELECT doc_id,
+                 (md5_number_lower(g) % 1024)::BIGINT AS b,
+                 (lang = 'en') AS is_t
+          FROM grams),
+        tot AS (
+          SELECT count(*) FILTER (WHERE is_t)::BIGINT AS tt,
+                 count(*)::BIGINT AS rt
+          FROM bg),
+        cnt AS (
+          SELECT b,
+                 count(*) FILTER (WHERE is_t)::BIGINT AS t,
+                 count(*)::BIGINT AS r
+          FROM bg GROUP BY b),
+        w AS (
+          SELECT b,
+                 floor(ln( ((t + 1.0) * (rt + 1024)) /
+                           ((r + 1.0) * (tt + 1024)) ) * 1000000)::BIGINT
+                   AS w
+          FROM cnt, tot),
+        scores AS (
+          SELECT bg.doc_id, sum(w.w)::BIGINT AS s
+          FROM bg JOIN w USING (b)
+          GROUP BY bg.doc_id),
+        pri AS (
+          SELECT doc_id,
+                 s + floor(-ln(-ln(
+                       (md5_number_lower(CAST(doc_id AS VARCHAR)) + 0.5)
+                       / 18446744073709551616.0)) * 1000000)::BIGINT
+                   AS priority_micro
+          FROM scores)
+        SELECT doc_id, priority_micro FROM pri
+        ORDER BY priority_micro DESC, doc_id
+        LIMIT 100
     """,
     "unigram_lm_docs": r"""
         WITH toks AS (
