@@ -105,7 +105,8 @@ def run_benchmarks() -> dict:
                  "event_paths", "waiting_orders_suppliers",
                  "dup_rate_by_source", "approx_quantile_nchars",
                  "pii_scrub_docs", "semdedup_embeddings",
-                 "exact_substring_spans_docs"]:
+                 "exact_substring_spans_docs", "dsir_weights_docs",
+                 "soft_dedup_weights_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)
