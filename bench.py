@@ -106,7 +106,7 @@ def run_benchmarks() -> dict:
                  "dup_rate_by_source", "approx_quantile_nchars",
                  "pii_scrub_docs", "semdedup_embeddings",
                  "exact_substring_spans_docs", "dsir_weights_docs",
-                 "soft_dedup_weights_docs"]:
+                 "soft_dedup_weights_docs", "ccnet_buckets_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)

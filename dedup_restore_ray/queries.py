@@ -2583,26 +2583,16 @@ def q_shard_pack_docs(sf_dir: str, capacity: int = 4096):
     return offs.map_batches(shard, batch_format="pyarrow")
 
 
-def q_bigram_lm_docs(sf_dir: str):
-    """Bigram language-model scoring (the KenLM-style conditional
-    perplexity proxy, one order above q_unigram_lm_docs): pass 1
-    builds the corpus bigram model fully vectorized — adjacent word
-    hashes within each doc mix to one uint64 bigram key, per-batch
-    np.unique partials, one grouped sum.  P(w2|w1) = c2 / c1 where c1
-    sums the bigram counts sharing the prefix; per-bigram-type
-    contributions are fixed-point MICRO-NATS (floor(ln(c2/c1)*1e6),
-    matching the unigram operator's float contract) computed once
-    driver-side and broadcast as packed sorted keys + int64 values
-    (bigram vocab is the broadcast gate — document-scale corpora keep
-    it machine-resident; beyond that the lookup becomes a
-    sort-scatter).  Pass 2 scores every doc with one searchsorted
-    over its bigram-key stream + one reduceat per doc — no per-token
-    Python anywhere.  Docs with < 2 tokens emit nothing (no bigram)."""
+def _bigram_scores(ds, carry_cols: tuple[str, ...] = ()):
+    """Shared bigram-LM scorer (see q_bigram_lm_docs for the full
+    contract): returns a Dataset of (doc_id, *carry_cols, n_bigrams,
+    sum_logprob_micro), one row per doc with >= 2 tokens.  carry_cols
+    ride the score pass untouched (e.g. ``lang`` for the CCNet
+    bucketing query)."""
     from dedup_restore_ray.functions.hashing import WordHasher, combine64
     from dedup_restore_ray.functions.shingle import arrow_token_hashes
     from dedup_restore_ray.stages.groups import _ramp, grouped_aggregate
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
     hasher = WordHasher()
 
     def _bigram_keys(b: pa.Table):
@@ -2649,12 +2639,74 @@ def q_bigram_lm_docs(sf_dir: str):
         starts = np.zeros(len(nb), dtype=np.int64)
         np.cumsum(nb[:-1], out=starts[1:])
         sums = np.add.reduceat(s, starts[has])
-        return pa.table({
-            "doc_id": b.column("doc_id").filter(pa.array(has)),
-            "n_bigrams": pa.array(nb[has]),
-            "sum_logprob_micro": pa.array(sums)})
+        keep = pa.array(has)
+        cols = {"doc_id": b.column("doc_id").filter(keep)}
+        for c in carry_cols:
+            cols[c] = b.column(c).filter(keep)
+        cols["n_bigrams"] = pa.array(nb[has])
+        cols["sum_logprob_micro"] = pa.array(sums)
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_bigram_lm_docs(sf_dir: str):
+    """Bigram language-model scoring (the KenLM-style conditional
+    perplexity proxy, one order above q_unigram_lm_docs): pass 1
+    builds the corpus bigram model fully vectorized — adjacent word
+    hashes within each doc mix to one uint64 bigram key, per-batch
+    np.unique partials, one grouped sum.  P(w2|w1) = c2 / c1 where c1
+    sums the bigram counts sharing the prefix; per-bigram-type
+    contributions are fixed-point MICRO-NATS (floor(ln(c2/c1)*1e6),
+    matching the unigram operator's float contract) computed once
+    driver-side and broadcast as packed sorted keys + int64 values
+    (bigram vocab is the broadcast gate — document-scale corpora keep
+    it machine-resident; beyond that the lookup becomes a
+    sort-scatter).  Pass 2 scores every doc with one searchsorted
+    over its bigram-key stream + one reduceat per doc — no per-token
+    Python anywhere.  Docs with < 2 tokens emit nothing (no bigram)."""
+    return _bigram_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_ccnet_buckets_docs(sf_dir: str):
+    """CCNet perplexity bucketing (Wenzek et al. 2020: partition each
+    language's corpus into head / middle / tail by LM-perplexity
+    terciles; the head third feeds training, the tail is discarded).
+    Rides the shared bigram scorer with ``lang`` carried through, then
+    one integer division (ppl_micro = -sum_logprob_micro // n_bigrams,
+    non-negative so floor == truncate and numpy matches DuckDB's
+    ``//``) and ONE ntile(3) window partitioned by lang — the
+    rank_windows sort + per-block kernel, no driver state.  Ties are
+    broken by doc_id (SQL NTILE's own determinism requirement).  Docs
+    with < 2 tokens have no perplexity and are excluded, matching the
+    scorer's contract."""
+    from dedup_restore_ray.stages.windows import rank_windows
+
+    scores = _bigram_scores(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                            carry_cols=("lang",))
+
+    def ppl(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("sum_logprob_micro"), dtype=np.int64)
+        n = np.asarray(b.column("n_bigrams"), dtype=np.int64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "ppl_micro": pa.array((-s) // n)})
+
+    tiled = rank_windows(scores.map_batches(ppl, batch_format="pyarrow"),
+                         key_col="lang", value_col="ppl_micro",
+                         tiebreak_col="doc_id", n_tiles=3,
+                         tile_col="tile",
+                         carry_cols=["doc_id", "lang", "ppl_micro"])
+    names = pa.array(["head", "middle", "tail"])
+
+    def label(b: pa.Table) -> pa.Table:
+        t = np.asarray(b.column("tile"), dtype=np.int64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "ppl_micro": b.column("ppl_micro"),
+                         "bucket": names.take(pa.array(t - 1))})
+
+    return tiled.map_batches(label, batch_format="pyarrow")
 
 
 def q_nchars_histogram(sf_dir: str, nbuckets: int = 20):
@@ -4711,6 +4763,7 @@ QUERIES = {
     "json_props_rollup": q_json_props_rollup,
     "unigram_lm_docs": q_unigram_lm_docs,
     "bigram_lm_docs": q_bigram_lm_docs,
+    "ccnet_buckets_docs": q_ccnet_buckets_docs,
     "dsir_weights_docs": q_dsir_weights_docs,
     "dsir_sample_docs": q_dsir_sample_docs,
     "soft_dedup_weights_docs": q_soft_dedup_weights_docs,
@@ -6197,6 +6250,37 @@ ORACLE_SQL = {
                sum(mc)::BIGINT AS sum_logprob_micro
         FROM bg JOIN contrib USING (w1, w2)
         GROUP BY bg.doc_id
+    """,
+    "ccnet_buckets_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, lang, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        bg AS (
+          SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+          FROM toks, LATERAL (SELECT unnest(range(1, length(t))) AS i)),
+        cnt2 AS (
+          SELECT w1, w2, count(*)::BIGINT AS c2
+          FROM bg GROUP BY w1, w2),
+        cnt1 AS (
+          SELECT w1, sum(c2)::BIGINT AS c1 FROM cnt2 GROUP BY w1),
+        contrib AS (
+          SELECT w1, w2,
+                 floor(ln(c2::DOUBLE / c1::DOUBLE) * 1000000)::BIGINT AS mc
+          FROM cnt2 JOIN cnt1 USING (w1)),
+        scored AS (
+          SELECT bg.doc_id, bg.lang,
+                 (-sum(mc)::BIGINT) // count(*)::BIGINT AS ppl_micro
+          FROM bg JOIN contrib USING (w1, w2)
+          GROUP BY bg.doc_id, bg.lang),
+        tiled AS (
+          SELECT doc_id, lang, ppl_micro,
+                 ntile(3) OVER (PARTITION BY lang
+                                ORDER BY ppl_micro, doc_id) AS nt
+          FROM scored)
+        SELECT doc_id, lang, ppl_micro,
+               CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+        FROM tiled
     """,
     "dsir_weights_docs": r"""
         WITH toks AS (
