@@ -2465,6 +2465,88 @@ def q_discounted_revenue_parts(sf_dir: str):
     return out.map_batches(drop_k, batch_format="pyarrow")
 
 
+def q_small_qty_revenue_parts(sf_dir: str, brand: str = "Brand#1"):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders —
+    lineitems of one brand's parts whose quantity falls below 20% of
+    that part's average order quantity.  The correlated scalar
+    subquery (per-part AVG over ALL of the part's lineitems) becomes
+    one distributed grouped sum over the brand-filtered lineitem
+    stream; the brand's partkey set and the per-part (sum_qty, cnt)
+    table broadcast as packed sorted arrays (bounded by one brand's
+    part count, ~1/25 of parts — beyond the broadcast gate this
+    becomes a scatter_lookup rendezvous like revenue_by_nation).  The
+    threshold ``q < 0.2 * avg`` is evaluated as the exact integer
+    cross-multiplication ``5*q*cnt < sum_qty`` (quantities are
+    integral), and revenue is integer cents, so the oracle hash is
+    bit-exact with no float sums anywhere."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    bkeys = np.sort(part.loc[part["p_brand"] == brand,
+                             "p_partkey"].to_numpy(np.int64))
+    bpack = ray.put(bkeys)
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_quantity",
+                                     "l_extendedprice"])
+
+    def _brand_rows(b: pa.Table):
+        bk = ray.get(bpack)
+        lpk = np.asarray(b.column("l_partkey"), dtype=np.int64)
+        if len(bk) == 0:
+            return lpk, np.zeros(len(lpk), dtype=bool)
+        pos = np.minimum(np.searchsorted(bk, lpk), len(bk) - 1)
+        return lpk, bk[pos] == lpk
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        lpk, sel = _brand_rows(b)
+        q = np.asarray(b.column("l_quantity"),
+                       dtype=np.float64).astype(np.int64)
+        return pa.table({"pk": pa.array(lpk[sel]),
+                         "q": pa.array(q[sel])})
+
+    agg = grouped_aggregate(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        ["pk"], {"sq": ("q", "sum")}, count_alias="cnt").to_pandas()
+    akeys = agg["pk"].to_numpy(np.int64) if len(agg) else \
+        np.empty(0, np.int64)
+    order = np.argsort(akeys)
+    apack = ray.put((akeys[order],
+                     agg["sq"].to_numpy(np.int64)[order] if len(agg)
+                     else np.empty(0, np.int64),
+                     agg["cnt"].to_numpy(np.int64)[order] if len(agg)
+                     else np.empty(0, np.int64)))
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        ak, sq, cnt = ray.get(apack)
+        lpk, sel = _brand_rows(b)
+        if len(ak) == 0:
+            sel = np.zeros(len(lpk), dtype=bool)
+        q = np.asarray(b.column("l_quantity"),
+                       dtype=np.float64).astype(np.int64)
+        small = np.zeros(len(lpk), dtype=bool)
+        if sel.any():
+            pos = np.minimum(np.searchsorted(ak, lpk[sel]), len(ak) - 1)
+            small[sel] = 5 * q[sel] * cnt[pos] < sq[pos]
+        price = np.asarray(b.column("l_extendedprice"),
+                           dtype=np.float64)[small]
+        cents = round_half_up(price * 100.0, 0).astype(np.int64)
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "pn": pa.array([int(small.sum())], pa.int64()),
+                         "pc": pa.array([int(cents.sum())], pa.int64())})
+
+    out = grouped_aggregate(
+        li.map_batches(rev_partial, batch_format="pyarrow"),
+        ["k"], {"n_small": ("pn", "sum"),
+                "revenue_cents": ("pc", "sum")})
+
+    def drop_k(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["k"])
+
+    return out.map_batches(drop_k, batch_format="pyarrow")
+
+
 def q_rolling_active_users(sf_dir: str, window: int = 7):
     """Trailing-window COUNT(DISTINCT): users active in the last
     ``window`` days, reported for every day with events — the window
@@ -4764,6 +4846,7 @@ QUERIES = {
     "unigram_lm_docs": q_unigram_lm_docs,
     "bigram_lm_docs": q_bigram_lm_docs,
     "ccnet_buckets_docs": q_ccnet_buckets_docs,
+    "small_qty_revenue_parts": q_small_qty_revenue_parts,
     "dsir_weights_docs": q_dsir_weights_docs,
     "dsir_sample_docs": q_dsir_sample_docs,
     "soft_dedup_weights_docs": q_soft_dedup_weights_docs,
@@ -6281,6 +6364,20 @@ ORACLE_SQL = {
                CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                        ELSE 'tail' END AS bucket
         FROM tiled
+    """,
+    "small_qty_revenue_parts": r"""
+        WITH agg AS (
+          SELECT l_partkey,
+                 sum(CAST(l_quantity AS BIGINT))::BIGINT AS sq,
+                 count(*)::BIGINT AS cnt
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#1'
+          GROUP BY l_partkey)
+        SELECT count(*)::BIGINT AS n_small,
+               coalesce(sum(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT)), 0)::BIGINT AS revenue_cents
+        FROM lineitem JOIN agg USING (l_partkey)
+        WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq
     """,
     "dsir_weights_docs": r"""
         WITH toks AS (
