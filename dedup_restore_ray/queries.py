@@ -1742,6 +1742,66 @@ def q_anti_join_customers(sf_dir: str):
     return anti_join(cust, keys, "c_custkey")
 
 
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape (global scalar subquery + anti-join + grouped
+    aggregate): customers whose balance exceeds the average POSITIVE
+    balance and who have placed no URGENT-priority order, counted per
+    nation (the testdata generator gives every customer >= 1 order,
+    so the anti-join side is the urgent subset — pushed down at the
+    read — to keep Q22's NOT EXISTS non-degenerate).  The scalar
+    subquery reduces to two integers (sum of positive balance-cents,
+    their count — one-row partials per block); the threshold
+    ``cents > sum/cnt`` is the exact integer cross-multiplication
+    ``cents*cnt > sum``; the NOT EXISTS rides the distributed
+    sort-scatter anti-join (no driver key set); money is integer
+    cents end-to-end so the oracle hash is bit-exact.  The
+    positive-balance predicate is cents > 0 on BOTH sides (the
+    sub-half-cent balances a float predicate would disagree on)."""
+    import pyarrow.dataset as pads
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.joins import anti_join
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey",
+                                       "c_acctbal"])
+
+    def _cents(b: pa.Table) -> np.ndarray:
+        bal = np.asarray(b.column("c_acctbal"), dtype=np.float64)
+        return round_half_up(bal * 100.0, 0).astype(np.int64)
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        c = _cents(b)
+        pos = c[c > 0]
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "ps": pa.array([int(pos.sum())], pa.int64()),
+                         "pn": pa.array([len(pos)], pa.int64())})
+
+    tot = grouped_aggregate(
+        cust.map_batches(pos_partial, batch_format="pyarrow"),
+        ["k"], {"s": ("ps", "sum"), "n": ("pn", "sum")}).to_pandas()
+    s, n = int(tot["s"].iloc[0]), int(tot["n"].iloc[0])
+
+    def rich(b: pa.Table) -> pa.Table:
+        c = _cents(b)
+        keep = pa.array(c * n > s)
+        return pa.table({
+            "c_custkey": b.column("c_custkey").filter(keep),
+            "c_nationkey": b.column("c_nationkey").filter(keep),
+            "cents": pa.array(c[np.asarray(keep)])})
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT")
+    keys = orders.map_batches(
+        lambda b: pa.table({"c_custkey": b.column("o_custkey")}),
+        batch_format="pyarrow")
+    idle = anti_join(cust.map_batches(rich, batch_format="pyarrow"),
+                     keys, "c_custkey")
+    return grouped_aggregate(idle, ["c_nationkey"],
+                             {"acctbal_cents": ("cents", "sum")},
+                             count_alias="n_cust")
+
+
 def q_having_parts(sf_dir: str):
     """Grouped aggregate + having: parts referenced by > 25 lineitems."""
     li = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
@@ -4847,6 +4907,7 @@ QUERIES = {
     "bigram_lm_docs": q_bigram_lm_docs,
     "ccnet_buckets_docs": q_ccnet_buckets_docs,
     "small_qty_revenue_parts": q_small_qty_revenue_parts,
+    "idle_rich_customers": q_idle_rich_customers,
     "dsir_weights_docs": q_dsir_weights_docs,
     "dsir_sample_docs": q_dsir_sample_docs,
     "soft_dedup_weights_docs": q_soft_dedup_weights_docs,
@@ -6378,6 +6439,26 @@ ORACLE_SQL = {
                                  AS BIGINT)), 0)::BIGINT AS revenue_cents
         FROM lineitem JOIN agg USING (l_partkey)
         WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq
+    """,
+    "idle_rich_customers": r"""
+        WITH cents AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer),
+        pos AS (
+          SELECT sum(cents)::BIGINT AS s, count(*)::BIGINT AS n
+          FROM cents WHERE cents > 0),
+        rich AS (
+          SELECT c_custkey, c_nationkey, cents
+          FROM cents, pos WHERE cents * n > s)
+        SELECT c_nationkey,
+               sum(cents)::BIGINT AS acctbal_cents,
+               count(*)::BIGINT AS n_cust
+        FROM rich
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
     """,
     "dsir_weights_docs": r"""
         WITH toks AS (
