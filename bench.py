@@ -106,7 +106,10 @@ def run_benchmarks() -> dict:
                  "dup_rate_by_source", "approx_quantile_nchars",
                  "pii_scrub_docs", "semdedup_embeddings",
                  "exact_substring_spans_docs", "dsir_weights_docs",
-                 "soft_dedup_weights_docs", "ccnet_buckets_docs"]:
+                 "soft_dedup_weights_docs", "ccnet_buckets_docs",
+                 "ssjoin_docs", "graph_triangles", "pagerank_parts",
+                 "skyline_parts", "volume_shipping", "product_profit",
+                 "copurchase_parts", "pmi_collocations"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)

@@ -4804,6 +4804,499 @@ def q_soft_dedup_weights_docs(sf_dir: str):
     return withsz.map_batches(wt, batch_format="pyarrow")
 
 
+def q_volume_shipping(sf_dir: str, nation_a: int = 1, nation_b: int = 2):
+    """TPC-H Q7-shaped cross-nation trade flow: 1996-97 shipment
+    revenue between two nations, by (supplier nation, customer
+    nation, ship year).  The five-table join is three sort-scatters
+    over the date-pruned lineitem stream — supplier nation FIRST
+    (store pre-filtered to the two nations, so the inner rendezvous
+    prunes ~23/25 of rows before the orders and customer scatters) —
+    with integer cents fixed per row before any summation."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+    pair = {nation_a, nation_b}
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_shipdate", "l_extendedprice",
+                                     "l_discount"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        cents = round_half_up(
+            np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+            * (1.0 - np.asarray(t.column("l_discount"), dtype=np.float64))
+            * 100.0, 0).astype(np.int64)
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "l_year": pc.cast(pc.year(t.column("l_shipdate")),
+                                           pa.int64()),
+                         "cents": pa.array(cents)})
+
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
+    sstore = supp.map_batches(
+        lambda b: (lambda t: pa.table(
+            {"l_suppkey": t.column("s_suppkey"),
+             "s_nat": pc.cast(t.column("s_nationkey"), pa.int64())}))(
+            b.filter(pc.is_in(b.column("s_nationkey"),
+                              value_set=pa.array(sorted(pair))))),
+        batch_format="pyarrow")
+    rows = _scatter_lookup(li.map_batches(li_prep, batch_format="pyarrow"),
+                           sstore, key_col="l_suppkey", payload_col="s_nat",
+                           out_cols=["l_orderkey", "l_year", "cents"])
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    ostore = orders.map_batches(
+        lambda b: pa.table({"l_orderkey": b.column("o_orderkey"),
+                            "o_custkey": b.column("o_custkey")}),
+        batch_format="pyarrow")
+    rows = _scatter_lookup(rows, ostore, key_col="l_orderkey",
+                           payload_col="o_custkey",
+                           out_cols=["l_year", "cents", "s_nat"])
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    cstore = cust.map_batches(
+        lambda b: (lambda t: pa.table(
+            {"o_custkey": t.column("c_custkey"),
+             "c_nat": pc.cast(t.column("c_nationkey"), pa.int64())}))(
+            b.filter(pc.is_in(b.column("c_nationkey"),
+                              value_set=pa.array(sorted(pair))))),
+        batch_format="pyarrow")
+    rows = _scatter_lookup(rows, cstore, key_col="o_custkey",
+                           payload_col="c_nat",
+                           out_cols=["l_year", "cents", "s_nat"])
+
+    def cross(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b.column("s_nat"), b.column("c_nat"))
+        return b.filter(keep)
+
+    agg = grouped_aggregate(
+        rows.map_batches(cross, batch_format="pyarrow"),
+        ["s_nat", "c_nat", "l_year"],
+        {"revenue_cents": ("cents", "sum")}).to_pandas()
+    if "s_nat" not in agg.columns:   # empty Dataset -> column-less frame
+        agg = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in ["s_nat", "c_nat", "l_year",
+                                      "revenue_cents"]})
+    nation = read_parquet_clean(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    agg["supp_nation"] = agg["s_nat"].map(names)
+    agg["cust_nation"] = agg["c_nat"].map(names)
+    return (agg[["supp_nation", "cust_nation", "l_year", "revenue_cents"]]
+            .sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+def q_market_share(sf_dir: str, region: str = "ASIA",
+                   nation: int = 7, p_type: str = "PROMO"):
+    """TPC-H Q8-shaped market share: within one region's customer
+    market and one part type, a nation's supplier revenue vs the
+    total, per order year.  The share is returned as its two EXACT
+    integer legs (nation_cents, total_cents) rather than a float
+    ratio — divide at the consumer; summing doubles would make the
+    hash addition-order-dependent (CLAUDE.md oracle-float rule).
+    The part-type semi join and the supplier/order/customer lookups
+    are one sort-scatter each; order year and custkey ride ONE
+    scatter as a packed int64 (custkey * 16 + (year - 1995), 3-bit
+    year span asserted) so orders shuffles once, not twice."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type"])
+    pstore = part.map_batches(
+        lambda b: (lambda t: pa.table(
+            {"l_partkey": t.column("p_partkey"),
+             "p_hit": pa.array(np.ones(t.num_rows, np.int8))}))(
+            b.filter(pc.equal(b.column("p_type"), pa.scalar(p_type)))),
+        batch_format="pyarrow")
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey",
+                                     "l_suppkey", "l_extendedprice",
+                                     "l_discount"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+            * (1.0 - np.asarray(b.column("l_discount"), dtype=np.float64))
+            * 100.0, 0).astype(np.int64)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_partkey": b.column("l_partkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "cents": pa.array(cents)})
+
+    rows = _scatter_lookup(li.map_batches(li_prep, batch_format="pyarrow"),
+                           pstore, key_col="l_partkey", payload_col="p_hit",
+                           out_cols=["l_orderkey", "l_suppkey", "cents"])
+
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
+    sstore = supp.map_batches(
+        lambda b: pa.table({"l_suppkey": b.column("s_suppkey"),
+                            "s_nat": pc.cast(b.column("s_nationkey"),
+                                             pa.int64())}),
+        batch_format="pyarrow")
+    rows = _scatter_lookup(rows, sstore, key_col="l_suppkey",
+                           payload_col="s_nat",
+                           out_cols=["l_orderkey", "cents"])
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+
+    def opack(b: pa.Table) -> pa.Table:
+        yr = np.asarray(pc.cast(pc.year(b.column("o_orderdate")),
+                                pa.int64()))
+        ck = np.asarray(b.column("o_custkey"), dtype=np.int64)
+        span = yr - 1995
+        assert span.min() >= 0 and span.max() < 16, \
+            "order-year span exceeds the 4-bit pack"
+        return pa.table({"l_orderkey": b.column("o_orderkey"),
+                         "opack": pa.array(ck * 16 + span)})
+
+    rows = _scatter_lookup(rows, orders.map_batches(
+        opack, batch_format="pyarrow"), key_col="l_orderkey",
+        payload_col="opack", out_cols=["cents", "s_nat"])
+
+    def unpack(b: pa.Table) -> pa.Table:
+        p = np.asarray(b.column("opack"), dtype=np.int64)
+        return pa.table({"o_custkey": pa.array(p // 16),
+                         "o_year": pa.array(p % 16 + 1995),
+                         "cents": b.column("cents"),
+                         "s_nat": b.column("s_nat")})
+
+    rows = rows.map_batches(unpack, batch_format="pyarrow")
+
+    nat = read_parquet_clean(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey",
+                                      "n_regionkey"]).to_pandas()
+    reg = read_parquet_clean(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey",
+                                      "r_name"]).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nations = sorted(
+        int(k) for k in nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"])
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    cstore = cust.map_batches(
+        lambda b: (lambda t: pa.table(
+            {"o_custkey": t.column("c_custkey"),
+             "c_hit": pa.array(np.ones(t.num_rows, np.int8))}))(
+            b.filter(pc.is_in(b.column("c_nationkey"),
+                              value_set=pa.array(region_nations)))),
+        batch_format="pyarrow")
+    rows = _scatter_lookup(rows, cstore, key_col="o_custkey",
+                           payload_col="c_hit",
+                           out_cols=["o_year", "cents", "s_nat"])
+
+    def legs(b: pa.Table) -> pa.Table:
+        cents = np.asarray(b.column("cents"), dtype=np.int64)
+        is_nat = (np.asarray(b.column("s_nat"), dtype=np.int64)
+                  == nation).astype(np.int64)
+        return pa.table({"o_year": b.column("o_year"),
+                         "nat_cents": pa.array(cents * is_nat),
+                         "cents": pa.array(cents)})
+
+    agg = grouped_aggregate(
+        rows.map_batches(legs, batch_format="pyarrow"), ["o_year"],
+        {"nation_cents": ("nat_cents", "sum"),
+         "total_cents": ("cents", "sum")}).to_pandas()
+    return agg.sort_values("o_year").reset_index(drop=True)
+
+
+def q_product_profit(sf_dir: str, p_type: str = "ECONOMY"):
+    """TPC-H Q9-shaped product-line profit (reshaped: the star schema
+    has no partsupp, so unit cost is the part's retail price) —
+    profit_cents = revenue cents minus retail_cents x quantity, by
+    (supplier nation, order year).  One part scatter (payload =
+    retail cents, pre-filtered to the type — the inner rendezvous IS
+    the semi join), one supplier scatter, one orders scatter, one
+    grouped sum; quantities are integral in this schema so the whole
+    measure stays in int64."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type",
+                                       "p_retailprice"])
+
+    def pstore(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("p_type"), pa.scalar(p_type)))
+        rc = round_half_up(np.asarray(t.column("p_retailprice"),
+                                      dtype=np.float64) * 100.0,
+                           0).astype(np.int64)
+        return pa.table({"l_partkey": t.column("p_partkey"),
+                         "retail_cents": pa.array(rc)})
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey",
+                                     "l_suppkey", "l_quantity",
+                                     "l_extendedprice", "l_discount"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        rev = round_half_up(
+            np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+            * (1.0 - np.asarray(b.column("l_discount"), dtype=np.float64))
+            * 100.0, 0).astype(np.int64)
+        qty = np.asarray(b.column("l_quantity"),
+                         dtype=np.float64).astype(np.int64)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_partkey": b.column("l_partkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "rev_cents": pa.array(rev),
+                         "qty": pa.array(qty)})
+
+    rows = _scatter_lookup(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        part.map_batches(pstore, batch_format="pyarrow"),
+        key_col="l_partkey", payload_col="retail_cents",
+        out_cols=["l_orderkey", "l_suppkey", "rev_cents", "qty"])
+
+    def profit(b: pa.Table) -> pa.Table:
+        p = (np.asarray(b.column("rev_cents"), dtype=np.int64)
+             - np.asarray(b.column("retail_cents"), dtype=np.int64)
+             * np.asarray(b.column("qty"), dtype=np.int64))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "profit": pa.array(p)})
+
+    rows = rows.map_batches(profit, batch_format="pyarrow")
+
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
+    sstore = supp.map_batches(
+        lambda b: pa.table({"l_suppkey": b.column("s_suppkey"),
+                            "s_nat": pc.cast(b.column("s_nationkey"),
+                                             pa.int64())}),
+        batch_format="pyarrow")
+    rows = _scatter_lookup(rows, sstore, key_col="l_suppkey",
+                           payload_col="s_nat",
+                           out_cols=["l_orderkey", "profit"])
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+    ostore = orders.map_batches(
+        lambda b: pa.table({"l_orderkey": b.column("o_orderkey"),
+                            "o_year": pc.cast(
+                                pc.year(b.column("o_orderdate")),
+                                pa.int64())}),
+        batch_format="pyarrow")
+    rows = _scatter_lookup(rows, ostore, key_col="l_orderkey",
+                           payload_col="o_year",
+                           out_cols=["profit", "s_nat"])
+
+    agg = grouped_aggregate(rows, ["s_nat", "o_year"],
+                            {"profit_cents": ("profit", "sum")}).to_pandas()
+    nation = read_parquet_clean(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    agg["n_name"] = agg["s_nat"].map(names)
+    return (agg[["n_name", "o_year", "profit_cents"]]
+            .sort_values(["n_name", "o_year"]).reset_index(drop=True))
+
+
+def q_graph_triangles(sf_dir: str, threshold: float = 0.3):
+    """Exact triangle census of the embedding similarity graph
+    (edges = cosine >= threshold pairs): degree-orientation wedge
+    join (stages/graph.triangle_stats) — each edge oriented from its
+    lower-(degree, id) endpoint bounds per-node wedge fan-out by
+    O(sqrt(m)) even on power-law graphs, and each triangle is counted
+    at exactly one vertex.  Output: one row of exact int64 counts
+    (n_wedges = sum C(deg, 2), the global-clustering-coefficient
+    denominator)."""
+    from dedup_restore_ray.stages.embpairs import cosine_pairs_blockwise
+    from dedup_restore_ray.stages.graph import triangle_stats
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    edges = cosine_pairs_blockwise(ds, threshold, num_blocks=8)
+    stats = triangle_stats(edges.select_columns(["u", "v"]))
+    return pd.DataFrame({k: [v] for k, v in stats.items()})
+
+
+def q_pagerank_parts(sf_dir: str, iters: int = 4):
+    """PageRank over the supplier-part trade graph (distinct
+    (l_suppkey, l_partkey) edges; node ids 2*suppkey / 2*partkey+1),
+    in int64 FIXED-POINT micro-ranks: r' = 150000 + (850 * sum(r //
+    deg)) // 1000 per iteration — bit-identical under any summation
+    order, so the DuckDB oracle (the same iterations unrolled as
+    CTEs) hash-matches exactly; float PageRank cannot be
+    hash-compared (CLAUDE.md).  Per iteration: one contribution
+    scatter + one grouped sum + one degree re-attach, zero driver
+    state (stages/graph.pagerank_fixed_point)."""
+    from dedup_restore_ray.stages.graph import pagerank_fixed_point
+    from dedup_restore_ray.stages.groups import distinct_rows
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_partkey"])
+    e0 = distinct_rows(li, ["l_suppkey", "l_partkey"])
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("l_suppkey"), dtype=np.int64) * 2
+        p = np.asarray(b.column("l_partkey"), dtype=np.int64) * 2 + 1
+        return pa.table({"src": pa.array(np.concatenate([s, p])),
+                         "dst": pa.array(np.concatenate([p, s]))})
+
+    directed = e0.map_batches(both_dirs, batch_format="pyarrow")
+    out = pagerank_fixed_point(directed, iters=iters).to_pandas()
+    out = out.rename(columns={"r": "rank_fp"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_skyline_parts(sf_dir: str):
+    """Skyline (Pareto frontier) of the part catalog: maximize size,
+    minimize price — no other part is at least as large AND at most
+    as expensive with one strict inequality.  Block-local skylines
+    then one final pass over their union (dominance is transitive,
+    so local pruning is exact; the 2-D frontier of n random points is
+    ~O(log n), so the final pass is tiny) — stages/skyline.py."""
+    from dedup_restore_ray.stages.skyline import skyline_2d
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_size",
+                                       "p_retailprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = round_half_up(np.asarray(b.column("p_retailprice"),
+                                         dtype=np.float64) * 100.0,
+                              0).astype(np.int64)
+        return pa.table({"p_partkey": b.column("p_partkey"),
+                         "p_size": pc.cast(b.column("p_size"), pa.int64()),
+                         "price_cents": pa.array(cents)})
+
+    sky = skyline_2d(part.map_batches(prep, batch_format="pyarrow"),
+                     max_col="p_size", min_col="price_cents").to_pandas()
+    return sky.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_ssjoin_docs(sf_dir: str):
+    """EXACT set-similarity self-join (3-gram-shingle-set Jaccard
+    >= 1/2) via prefix filtering (AllPairs/PPJoin family,
+    stages/ssjoin.py) — the zero-recall-loss counterpart of the
+    MinHash rail: set elements ordered by global document frequency,
+    candidates must share an element within the first
+    |s| - ceil(|s|/2) + 1 rarest, the threshold held rational
+    end-to-end (3*inter >= n_u + n_v in int64, no float compare)."""
+    from dedup_restore_ray.stages.ssjoin import ssjoin_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ssjoin_pairs(ds, tau_num=1, tau_den=2, k=3).to_pandas()
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def q_copurchase_parts(sf_dir: str, min_orders: int = 2):
+    """Co-occurrence graph construction (the bipartite projection
+    behind co-click / co-purchase graphs): part pairs appearing in
+    the same order, weighted by the number of shared orders, kept at
+    weight >= min_orders.  Distinct (order, part) rows -> one sort by
+    order + vectorized within-group pair emission
+    (stages/graph.group_value_pairs — emission is O(C(basket, 2)),
+    bounded by the naturally small basket size) -> one grouped count.
+    No driver state, two sorts total."""
+    from dedup_restore_ray.stages.graph import group_value_pairs
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    e = distinct_rows(li, ["l_orderkey", "l_partkey"])
+    pairs = group_value_pairs(e, "l_orderkey", "l_partkey")
+    agg = grouped_aggregate(pairs, ["a", "b"], {},
+                            count_alias="n_orders")
+
+    def sel(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("n_orders"),
+                                      pa.scalar(min_orders)))
+        return pa.table({"u": t.column("a"), "v": t.column("b"),
+                         "n_orders": t.column("n_orders")})
+
+    out = agg.map_batches(sel, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def q_pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50):
+    """Top-k collocations by pointwise mutual information — the
+    association-mining op behind phrase detection (word2vec-style
+    phrase merging).  One corpus pass emits BOTH adjacent-bigram and
+    unigram partial counts (unigram rows tagged by an empty second
+    word, impossible for a \\w+ token); one grouped sum; the two
+    unigram legs re-attach by sort-scatter.  PMI ordering uses
+    (c_xy * N) / (c_x * c_y) computed in IEEE double from exact int64
+    legs — bit-identical in numpy and DuckDB — with (w1, w2) ASC
+    tie-breaks; the OUTPUT is the integer legs only, so the hash
+    never touches a float."""
+    from collections import Counter
+
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bi: Counter = Counter()
+        uni: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = tokenize(t)
+            uni.update(toks)
+            bi.update(zip(toks[:-1], toks[1:]))
+        w1 = [w[0] for w in bi] + list(uni.keys())
+        w2 = [w[1] for w in bi] + [""] * len(uni)
+        pcs = list(bi.values()) + list(uni.values())
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "pc": pa.array(pcs, pa.int64())})
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w1", "w2"], {"c": ("pc", "sum")}).materialize()
+    bigrams = agg.filter(expr="w2 != ''")
+    unigrams = agg.filter(expr="w2 == ''")
+
+    def nsum(b: pa.Table) -> pa.Table:
+        return pa.table({"s": pa.array(
+            [int(np.asarray(b.column("c"), dtype=np.int64).sum())])})
+
+    n_bigrams = int(bigrams.map_batches(
+        nsum, batch_format="pyarrow").to_pandas()["s"].sum())
+
+    u1 = unigrams.map_batches(
+        lambda b: pa.table({"w1": b.column("w1"), "c_x": b.column("c")}),
+        batch_format="pyarrow")
+    u2 = unigrams.map_batches(
+        lambda b: pa.table({"w2": b.column("w1"), "c_y": b.column("c")}),
+        batch_format="pyarrow")
+    rows = _scatter_lookup(
+        bigrams.filter(expr=f"c >= {int(min_count)}"), u1,
+        key_col="w1", payload_col="c_x", out_cols=["w1", "w2", "c"])
+    rows = _scatter_lookup(rows, u2, key_col="w2", payload_col="c_y",
+                           out_cols=["w1", "w2", "c", "c_x"])
+
+    pdf = rows.to_pandas()
+    if "w1" not in pdf.columns:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in
+                             [("w1", "object"), ("w2", "object"),
+                              ("c_xy", "int64"), ("c_x", "int64"),
+                              ("c_y", "int64")]})
+    # IEEE double of exact int64 legs: bit-identical to the DuckDB
+    # oracle's (c*nb)::DOUBLE / (c1*c2)::DOUBLE
+    num = (pdf["c"].to_numpy(np.int64) * n_bigrams).astype(np.float64)
+    den = (pdf["c_x"].to_numpy(np.int64)
+           * pdf["c_y"].to_numpy(np.int64)).astype(np.float64)
+    pdf["_ratio"] = num / den
+    pdf = (pdf.sort_values(["_ratio", "w1", "w2"],
+                           ascending=[False, True, True]).head(k))
+    out = pd.DataFrame({"w1": pdf["w1"], "w2": pdf["w2"],
+                        "c_xy": pdf["c"].astype("int64"),
+                        "c_x": pdf["c_x"].astype("int64"),
+                        "c_y": pdf["c_y"].astype("int64")})
+    return out.reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -4953,6 +5446,15 @@ QUERIES = {
     "user_value_trend": q_user_value_trend,
     "waiting_orders_suppliers": q_waiting_orders_suppliers,
     "dormant_rich_customers": q_dormant_rich_customers,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "graph_triangles": q_graph_triangles,
+    "pagerank_parts": q_pagerank_parts,
+    "skyline_parts": q_skyline_parts,
+    "ssjoin_docs": q_ssjoin_docs,
+    "copurchase_parts": q_copurchase_parts,
+    "pmi_collocations": q_pmi_collocations,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
 }
@@ -6928,6 +7430,177 @@ ORACLE_SQL = {
         SELECT c_nationkey, sum(cents)::BIGINT AS total_cents,
                count(*)::BIGINT AS n_customers
         FROM sel GROUP BY 1
+    """,
+    "volume_shipping": """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey,
+                 year(l_shipdate)::BIGINT AS l_year,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT) AS cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01')
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               l_year, sum(cents)::BIGINT AS revenue_cents
+        FROM li
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ns ON ns.n_nationkey = s_nationkey
+          JOIN nation nc ON nc.n_nationkey = c_nationkey
+        WHERE (s_nationkey = 1 AND c_nationkey = 2)
+           OR (s_nationkey = 2 AND c_nationkey = 1)
+        GROUP BY 1, 2, 3
+    """,
+    "market_share": """
+        SELECT year(o_orderdate)::BIGINT AS o_year,
+               sum(CASE WHEN s_nationkey = 7 THEN cents
+                        ELSE 0 END)::BIGINT AS nation_cents,
+               sum(cents)::BIGINT AS total_cents
+        FROM (SELECT l_orderkey, l_suppkey, l_partkey,
+                     CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                                0) AS BIGINT) AS cents
+              FROM lineitem) li
+          JOIN part     ON p_partkey = l_partkey AND p_type = 'PROMO'
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n ON n.n_nationkey = c_nationkey
+          JOIN region   ON r_regionkey = n.n_regionkey
+                       AND r_name = 'ASIA'
+        GROUP BY 1
+    """,
+    "product_profit": """
+        SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)
+                   - CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT))::BIGINT AS profit_cents
+        FROM lineitem
+          JOIN part     ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN nation   ON n_nationkey = s_nationkey
+        GROUP BY 1, 2
+    """,
+    "graph_triangles": """
+        WITH e AS (
+          SELECT a.vec_id AS u, b.vec_id AS v
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]) >= 0.3),
+        und AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+        deg AS (SELECT node, count(*)::BIGINT AS d FROM und GROUP BY 1)
+        SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+               (SELECT count(*) FROM e)::BIGINT AS n_edges,
+               (SELECT coalesce(sum((d * (d - 1)) // 2), 0)
+                FROM deg)::BIGINT AS n_wedges,
+               (SELECT count(*)
+                FROM e e1
+                  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+               )::BIGINT AS n_triangles
+    """,
+    "pagerank_parts": """
+        WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                    FROM lineitem),
+        und AS (SELECT 2 * s AS src, 2 * p + 1 AS dst FROM e0
+                UNION ALL
+                SELECT 2 * p + 1, 2 * s FROM e0),
+        deg AS (SELECT src AS node, count(*)::BIGINT AS d
+                FROM und GROUP BY 1),
+        r0 AS (SELECT node, 1000000::BIGINT AS r, d FROM deg),
+        r1 AS (SELECT u.dst AS node,
+                      (150000 + (850 * sum(r0.r // r0.d)) // 1000
+                      )::BIGINT AS r
+               FROM und u JOIN r0 ON r0.node = u.src GROUP BY 1),
+        r1d AS (SELECT r1.node, r1.r, deg.d FROM r1
+                JOIN deg ON deg.node = r1.node),
+        r2 AS (SELECT u.dst AS node,
+                      (150000 + (850 * sum(r1d.r // r1d.d)) // 1000
+                      )::BIGINT AS r
+               FROM und u JOIN r1d ON r1d.node = u.src GROUP BY 1),
+        r2d AS (SELECT r2.node, r2.r, deg.d FROM r2
+                JOIN deg ON deg.node = r2.node),
+        r3 AS (SELECT u.dst AS node,
+                      (150000 + (850 * sum(r2d.r // r2d.d)) // 1000
+                      )::BIGINT AS r
+               FROM und u JOIN r2d ON r2d.node = u.src GROUP BY 1),
+        r3d AS (SELECT r3.node, r3.r, deg.d FROM r3
+                JOIN deg ON deg.node = r3.node),
+        r4 AS (SELECT u.dst AS node,
+                      (150000 + (850 * sum(r3d.r // r3d.d)) // 1000
+                      )::BIGINT AS r
+               FROM und u JOIN r3d ON r3d.node = u.src GROUP BY 1)
+        SELECT node, r AS rank_fp FROM r4
+    """,
+    "skyline_parts": """
+        WITH p AS (
+          SELECT p_partkey, p_size::BIGINT AS p_size,
+                 CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                   AS price_cents
+          FROM part)
+        SELECT p_partkey, p_size, price_cents FROM p a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.p_size >= a.p_size
+              AND b.price_cents <= a.price_cents
+              AND (b.p_size > a.p_size
+                   OR b.price_cents < a.price_cents))
+    """,
+    "copurchase_parts": """
+        WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               count(*)::BIGINT AS n_orders
+        FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    "pmi_collocations": r"""
+        WITH toks AS (
+          SELECT regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        uni AS (SELECT unnest(t) AS w FROM toks),
+        uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+        grams AS (
+          SELECT unnest(list_transform(
+                   range(1, greatest(length(t) - 1, 0) + 1),
+                   i -> [t[i], t[i+1]])) AS g
+          FROM toks),
+        bc AS (SELECT g[1] AS w1, g[2] AS w2, count(*)::BIGINT AS c
+               FROM grams GROUP BY 1, 2),
+        n AS (SELECT sum(c)::BIGINT AS nb FROM bc),
+        scored AS (
+          SELECT bc.w1, bc.w2, bc.c AS c_xy, u1.c AS c_x, u2.c AS c_y,
+                 (bc.c * n.nb)::DOUBLE / (u1.c * u2.c)::DOUBLE AS ratio
+          FROM bc CROSS JOIN n
+            JOIN uc u1 ON u1.w = bc.w1
+            JOIN uc u2 ON u2.w = bc.w2
+          WHERE bc.c >= 5)
+        SELECT w1, w2, c_xy, c_x, c_y FROM scored
+        QUALIFY row_number() OVER (ORDER BY ratio DESC, w1, w2) <= 50
+    """,
+    "ssjoin_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN []
+                      ELSE list_distinct(list_transform(
+                           range(1, greatest(length(t) - 2, 1) + 1),
+                           i -> array_to_string(t[i:i+2], ' '))) END AS s
+          FROM toks)
+        SELECT a.doc_id AS u, b.doc_id AS v,
+               length(list_intersect(a.s, b.s))::BIGINT AS n_inter,
+               length(a.s)::BIGINT AS n_u,
+               length(b.s)::BIGINT AS n_v
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND length(a.s) > 0 AND length(b.s) > 0
+          AND 3 * length(list_intersect(a.s, b.s))
+              >= length(a.s) + length(b.s)
     """,
     "weighted_sample_docs": """
         SELECT doc_id, n_chars FROM documents

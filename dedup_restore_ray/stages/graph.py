@@ -1,0 +1,279 @@
+"""Distributed graph analytics over edge Datasets.
+
+Two classic operators a dedup engine's pair stream feeds directly:
+
+- ``triangle_stats``: exact triangle / wedge counting via the
+  degree-orientation wedge join (Cohen's MapReduce formulation;
+  Suri & Vassilvitskii, WWW'11).  Orienting every edge from its
+  lower-(degree, id) endpoint to the higher one turns the graph into
+  a DAG whose max out-degree is O(sqrt(m)), so per-node wedge
+  emission is bounded even on power-law degree distributions — the
+  skew story the plain "emit all neighbor pairs" formulation lacks.
+  Each triangle is counted exactly once (at its unique
+  orientation-minimal vertex).
+
+- ``pagerank_fixed_point``: PageRank power iteration in pure int64
+  fixed-point arithmetic (micro-ranks).  Every step is
+  order-independent integer math — ``r' = base + damp * sum(r // deg)
+  // 1000`` — so the result is bit-identical regardless of block
+  layout or summation order, which makes the operator
+  SQL-oracle-checkable (the DuckDB oracle unrolls the same
+  iterations); float PageRank sums are addition-order-dependent and
+  can't be hash-compared (CLAUDE.md's oracle-float-trap rule).
+
+Both ride the engine's sort-scatter machinery: one sort per shuffle,
+no ``groupby().map_groups`` on many-group paths, no driver-side state
+proportional to the graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from dedup_restore_ray.functions.hashing import arrow_row_hashes, mix64
+from dedup_restore_ray.stages.cluster import _scatter_lookup
+from dedup_restore_ray.stages.groups import (flatten_blocks, group_bounds,
+                                             grouped_aggregate, sorted_split)
+
+
+def degree_table(edges: "ray.data.Dataset", u_col: str = "u",
+                 v_col: str = "v") -> "ray.data.Dataset":
+    """(node, deg) from distinct undirected (u, v) edges (u != v)."""
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column(u_col), dtype=np.int64)
+        v = np.asarray(b.column(v_col), dtype=np.int64)
+        return pa.table({"node": pa.array(np.concatenate([u, v]))})
+
+    both = edges.map_batches(endpoints, batch_format="pyarrow")
+    return grouped_aggregate(both, ["node"], {}, count_alias="deg")
+
+
+def _oriented_edges(edges: "ray.data.Dataset",
+                    deg: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Attach both endpoint degrees (two sort-scatters), then orient
+    each edge from the lower-(deg, id) endpoint to the higher."""
+    du = deg.map_batches(
+        lambda b: pa.table({"u": b.column("node"), "du": b.column("deg")}),
+        batch_format="pyarrow")
+    dv = deg.map_batches(
+        lambda b: pa.table({"v": b.column("node"), "dv": b.column("deg")}),
+        batch_format="pyarrow")
+    withu = _scatter_lookup(edges, du, key_col="u", payload_col="du",
+                            out_cols=["u", "v"])
+    withb = _scatter_lookup(withu, dv, key_col="v", payload_col="dv",
+                            out_cols=["u", "v", "du"])
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("u"), dtype=np.int64)
+        v = np.asarray(b.column("v"), dtype=np.int64)
+        du = np.asarray(b.column("du"), dtype=np.int64)
+        dv = np.asarray(b.column("dv"), dtype=np.int64)
+        # src = endpoint with smaller (deg, id); edges are u != v so
+        # the tuple comparison is always strict one way
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pa.table({"src": pa.array(np.where(u_first, u, v)),
+                         "dst": pa.array(np.where(u_first, v, u))})
+
+    return withb.map_batches(orient, batch_format="pyarrow")
+
+
+def group_value_pairs(ds: "ray.data.Dataset", key_col: str,
+                      val_col: str) -> "ray.data.Dataset":
+    """All within-group value pairs (a < b) per key group, WITHOUT a
+    global distinct — a pair emitted by k distinct groups appears k
+    times, which is exactly what co-occurrence counting and wedge
+    joins need.  Same sort + per-block-triu + residual pattern as
+    groups._batch_bucket_pairs, minus the dedup/cap.  Callers must
+    guarantee bounded group sizes (orientation for wedge joins,
+    naturally-small containers for co-occurrence) — emission is
+    O(C(group, 2))."""
+    interior, edge = sorted_split(ds, [key_col, val_col], [key_col])
+
+    def emit(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        starts, ends = group_bounds(b, [key_col])
+        sizes = ends - starts
+        us, vs = [], []
+        for s in np.unique(sizes):
+            s = int(s)
+            if s < 2:
+                continue
+            class_starts = starts[sizes == s]
+            iu, iv = np.triu_indices(s, k=1)
+            us.append((class_starts[:, None] + iu[None, :]).reshape(-1))
+            vs.append((class_starts[:, None] + iv[None, :]).reshape(-1))
+        if not us:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        dst = b.column(val_col)
+        # values ascend within each group -> a < b by construction
+        return pa.table({"a": dst.take(pa.array(np.concatenate(us))),
+                         "b": dst.take(pa.array(np.concatenate(vs)))})
+
+    def residual(g: pa.Table) -> pa.Table:
+        return emit(g.sort_by([(key_col, "ascending"),
+                               (val_col, "ascending")]))
+
+    return (interior.map_batches(emit, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(residual,
+                                                    batch_format="pyarrow")))
+
+
+def _wedges(oriented: "ray.data.Dataset") -> "ray.data.Dataset":
+    """All out-neighbor pairs (a < b) per source node — per-source
+    fan-out bounded O(sqrt(m)) by the degree orientation."""
+    return group_value_pairs(oriented, "src", "dst")
+
+
+def _pair_sig(b: pa.Table, ucol: str, vcol: str, tag: int) -> pa.Table:
+    """(ph, ph2, tag) rows — the engine's 128-bit pair-hash identity
+    convention (groups.distinct_pairs): equality of (ph, ph2) IS pair
+    identity."""
+    n = b.num_rows
+    if n == 0:
+        return pa.table({"ph": pa.array([], pa.uint64()),
+                         "ph2": pa.array([], pa.uint64()),
+                         "tag": pa.array([], pa.int8())})
+    with np.errstate(over="ignore"):
+        hu = arrow_row_hashes(b.column(ucol))
+        hv = arrow_row_hashes(b.column(vcol))
+        ph = hu * np.uint64(0xBF58476D1CE4E5B9) + hv
+        ph2 = mix64(hv * np.uint64(0x94D049BB133111EB) + hu)
+    return pa.table({"ph": pa.array(ph, pa.uint64()),
+                     "ph2": pa.array(ph2, pa.uint64()),
+                     "tag": pa.array(np.full(n, tag, np.int8))})
+
+
+def triangle_stats(edges: "ray.data.Dataset", u_col: str = "u",
+                   v_col: str = "v") -> dict:
+    """Exact global triangle census of a distinct undirected edge set:
+    {n_nodes, n_edges, n_wedges, n_triangles} (all exact int64).
+    n_wedges counts unordered length-2 paths = sum_v C(deg(v), 2),
+    the denominator of the global clustering coefficient
+    (3 * n_triangles / n_wedges)."""
+    edges = edges.select_columns([u_col, v_col]).materialize()
+    deg = degree_table(edges, u_col, v_col).materialize()
+
+    def deg_moments(b: pa.Table) -> pa.Table:
+        d = np.asarray(b.column("deg"), dtype=np.int64)
+        return pa.table({"n": pa.array([len(d)]),
+                         "w": pa.array([int((d * (d - 1) // 2).sum())])})
+
+    m = deg.map_batches(deg_moments, batch_format="pyarrow").to_pandas()
+    n_nodes, n_wedges = int(m["n"].sum()), int(m["w"].sum())
+    n_edges = edges.count()
+
+    oriented = _oriented_edges(edges, deg)
+    wedges = _wedges(oriented)
+
+    # membership: a wedge (a, b) closes a triangle iff canonical edge
+    # (a, b) exists.  One tagged co-sort over (pair-hash, tag); per
+    # block, groups holding an edge row contribute their wedge count.
+    def canon(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column(u_col), dtype=np.int64)
+        v = np.asarray(b.column(v_col), dtype=np.int64)
+        return pa.table({"a": pa.array(np.minimum(u, v)),
+                         "b": pa.array(np.maximum(u, v))})
+
+    rows = (edges.map_batches(canon, batch_format="pyarrow")
+            .map_batches(lambda b: _pair_sig(b, "a", "b", 0),
+                         batch_format="pyarrow")
+            .union(wedges.map_batches(lambda b: _pair_sig(b, "a", "b", 1),
+                                      batch_format="pyarrow")))
+    interior, edge_rows = sorted_split(flatten_blocks(rows),
+                                       ["ph", "ph2", "tag"], ["ph", "ph2"])
+
+    def tri_count(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"t": pa.array([], pa.int64())})
+        starts, _ends = group_bounds(b, ["ph", "ph2"])
+        tag = np.asarray(b.column("tag"), dtype=np.int64)
+        has_edge = np.minimum.reduceat(tag, starts) == 0
+        n_wedge_rows = np.add.reduceat(tag, starts)  # edges add 0
+        return pa.table(
+            {"t": pa.array([int(n_wedge_rows[has_edge].sum())])})
+
+    def tri_residual(g: pa.Table) -> pa.Table:
+        return tri_count(g.sort_by([("ph", "ascending"),
+                                    ("ph2", "ascending"),
+                                    ("tag", "ascending")]))
+
+    parts = (interior.map_batches(tri_count, batch_format="pyarrow",
+                                  batch_size=None)
+             .union(edge_rows.groupby(["ph", "ph2"]).map_groups(
+                 tri_residual, batch_format="pyarrow"))).to_pandas()
+    n_triangles = int(parts["t"].sum()) if len(parts) else 0
+    return {"n_nodes": n_nodes, "n_edges": n_edges,
+            "n_wedges": n_wedges, "n_triangles": n_triangles}
+
+
+def pagerank_fixed_point(directed: "ray.data.Dataset", iters: int = 4,
+                         base: int = 150_000, damp_num: int = 850,
+                         damp_den: int = 1_000,
+                         init: int = 1_000_000) -> "ray.data.Dataset":
+    """Integer fixed-point PageRank over a DIRECTED edge Dataset
+    (src, dst) — for an undirected graph pass both directions.
+
+    r_0(v) = init; r_{k+1}(v) = base + damp_num * S_v // damp_den,
+    S_v = sum over in-edges (u, v) of (r_k(u) // out_deg(u)).
+    All int64; every node must have out_deg >= 1 (true for
+    symmetrized undirected graphs — callers with dangling nodes must
+    add self-loops or drop them).  Per iteration: one contribution
+    scatter onto the edge stream + one grouped sum + one degree
+    re-attach = three sorts, zero driver state.
+
+    Returns (node, rank_fp) — micro-rank units; sum over nodes is
+    conserved up to the integer-floor remainders, exactly as the
+    unrolled SQL oracle computes it.
+    """
+    deg = grouped_aggregate(directed.select_columns(["src"]), ["src"],
+                            {}, count_alias="deg").materialize()
+
+    # state: (node, deg, r)
+    state = deg.map_batches(
+        lambda b: pa.table({"node": b.column("src"),
+                            "deg": b.column("deg"),
+                            "r": pa.array(np.full(b.num_rows, init,
+                                                  np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        contrib = state.map_batches(
+            lambda b: pa.table(
+                {"src": b.column("node"),
+                 "c": pa.array(np.asarray(b.column("r"), dtype=np.int64)
+                               // np.asarray(b.column("deg"),
+                                             dtype=np.int64))}),
+            batch_format="pyarrow")
+        flows = _scatter_lookup(directed, contrib, key_col="src",
+                                payload_col="c", out_cols=["dst"])
+        sums = grouped_aggregate(
+            flows.map_batches(
+                lambda b: pa.table({"node": b.column("dst"),
+                                    "c": b.column("c")}),
+                batch_format="pyarrow"),
+            ["node"], {"s": ("c", "sum")})
+        ranked = sums.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"),
+                 "r": pa.array(base + damp_num * np.asarray(
+                     b.column("s"), dtype=np.int64) // damp_den)}),
+            batch_format="pyarrow")
+        dstore = deg.map_batches(
+            lambda b: pa.table({"node": b.column("src"),
+                                "deg": b.column("deg")}),
+            batch_format="pyarrow")
+        state = flatten_blocks(
+            _scatter_lookup(ranked, dstore, key_col="node",
+                            payload_col="deg", out_cols=["node", "r"]))
+
+    return state.select_columns(["node", "r"])

@@ -1,0 +1,200 @@
+"""Graph analytics (triangles, fixed-point PageRank), the 2-D skyline
+and the exact prefix-filter set-similarity join — each checked against
+a brute-force sequential reference on randomized inputs, plus
+block-layout-independence checks (results must not depend on how Ray
+happens to split blocks)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _random_edges(rng, n_nodes, n_edges):
+    """Distinct undirected (u < v) edges as int64 arrays."""
+    u = rng.integers(0, n_nodes, size=n_edges * 2)
+    v = rng.integers(0, n_nodes, size=n_edges * 2)
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    keep = lo != hi
+    pairs = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+    return pairs[:n_edges, 0].astype(np.int64), \
+        pairs[:n_edges, 1].astype(np.int64)
+
+
+def _brute_triangles(u, v):
+    adj = {}
+    for a, b in zip(u.tolist(), v.tolist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(len(adj[a] & adj[b]) for a, b in zip(u.tolist(), v.tolist()))
+    deg = np.array([len(s) for s in adj.values()], dtype=np.int64)
+    return {"n_nodes": len(adj), "n_edges": len(u),
+            "n_wedges": int((deg * (deg - 1) // 2).sum()),
+            "n_triangles": tri // 3}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTriangles:
+    def test_vs_bruteforce_random(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.graph import triangle_stats
+        rng = np.random.default_rng(7)
+        u, v = _random_edges(rng, 60, 300)
+        ds = rd.from_arrow(pa.table({"u": pa.array(u), "v": pa.array(v)}))
+        got = triangle_stats(ds)
+        assert got == _brute_triangles(u, v)
+
+    def test_block_layout_independent(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.graph import triangle_stats
+        rng = np.random.default_rng(11)
+        u, v = _random_edges(rng, 40, 150)
+        tbl = pa.table({"u": pa.array(u), "v": pa.array(v)})
+        a = triangle_stats(rd.from_arrow(tbl))
+        b = triangle_stats(rd.from_arrow(tbl).repartition(13))
+        assert a == b == _brute_triangles(u, v)
+
+    def test_triangle_free_graph(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.graph import triangle_stats
+        # bipartite graphs have no triangles
+        u = np.arange(10, dtype=np.int64)
+        v = 100 + (u * 7) % 10
+        ds = rd.from_arrow(pa.table({"u": pa.array(u), "v": pa.array(v)}))
+        assert triangle_stats(ds)["n_triangles"] == 0
+
+
+def _brute_pagerank(src, dst, iters, base=150_000, damp=850, den=1_000,
+                    init=1_000_000):
+    nodes = np.unique(np.concatenate([src, dst]))
+    deg = {int(n): 0 for n in nodes}
+    for s in src.tolist():
+        deg[s] += 1
+    r = {int(n): init for n in nodes}
+    for _ in range(iters):
+        s_in = {int(n): 0 for n in nodes}
+        for s, d in zip(src.tolist(), dst.tolist()):
+            s_in[d] += r[s] // deg[s]
+        r = {n: base + damp * s_in[n] // den for n in nodes}
+    return r
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPageRank:
+    def test_vs_bruteforce_random(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.graph import pagerank_fixed_point
+        rng = np.random.default_rng(3)
+        u, v = _random_edges(rng, 50, 200)
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                     "dst": pa.array(dst)}))
+        out = pagerank_fixed_point(ds, iters=3).to_pandas()
+        ref = _brute_pagerank(src, dst, iters=3)
+        got = dict(zip(out["node"].astype(int), out["r"].astype(int)))
+        assert got == ref
+        # rank mass is conserved up to the integer-floor remainders
+        assert abs(sum(got.values()) - 1_000_000 * len(ref)) \
+            < 1_000 * len(ref)
+
+    def test_star_graph_hub_dominates(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.graph import pagerank_fixed_point
+        hub, leaves = 0, np.arange(1, 21, dtype=np.int64)
+        src = np.concatenate([np.zeros(20, np.int64), leaves])
+        dst = np.concatenate([leaves, np.zeros(20, np.int64)])
+        out = pagerank_fixed_point(
+            rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)})),
+            iters=4).to_pandas()
+        r = dict(zip(out["node"].astype(int), out["r"].astype(int)))
+        assert r[hub] > max(r[int(leaf)] for leaf in leaves) * 5
+
+
+def _brute_skyline(size, cents):
+    keep = np.ones(len(size), dtype=bool)
+    for i in range(len(size)):
+        dom = ((size >= size[i]) & (cents <= cents[i])
+               & ((size > size[i]) | (cents < cents[i])))
+        keep[i] = not dom.any()
+    return keep
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkyline:
+    def test_vs_bruteforce_with_ties(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.skyline import skyline_2d
+        rng = np.random.default_rng(5)
+        # coarse grid -> plenty of exact ties and duplicate points
+        size = rng.integers(0, 12, size=400).astype(np.int64)
+        cents = rng.integers(0, 15, size=400).astype(np.int64) * 10
+        ids = np.arange(400, dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"id": pa.array(ids),
+                                     "s": pa.array(size),
+                                     "c": pa.array(cents)}))
+        out = skyline_2d(ds.repartition(7), "s", "c").to_pandas()
+        ref_ids = set(ids[_brute_skyline(size, cents)].tolist())
+        assert set(out["id"].astype(int)) == ref_ids
+        # duplicate frontier points must ALL be kept
+        assert len(out) == len(ref_ids)
+
+    def test_single_point_and_chain(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.skyline import skyline_2d
+        # strictly improving chain: every point on the frontier
+        s = np.arange(10, dtype=np.int64)
+        c = np.arange(10, dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"s": pa.array(s), "c": pa.array(c)}))
+        assert len(skyline_2d(ds, "s", "c").to_pandas()) == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSSJoin:
+    def _brute_pairs(self, ids, texts, k, tau_num, tau_den):
+        from dedup_restore_ray.functions.shingle import ShingleEncoder
+        enc = ShingleEncoder(k=k)
+        flat, offs = enc.encode(texts)
+        sets = [set(flat[offs[i]:offs[i + 1]].tolist())
+                for i in range(len(ids))]
+        out = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = sets[i], sets[j]
+                if not a or not b:
+                    continue
+                inter = len(a & b)
+                if (tau_num + tau_den) * inter >= tau_num * (len(a) + len(b)):
+                    out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+        return out
+
+    def test_exact_vs_bruteforce_planted(self, pages_corpus):
+        import ray.data as rd
+        from dedup_restore_ray.stages.ssjoin import ssjoin_pairs
+        pages, _truth = pages_corpus
+        texts = pages.column("text").to_pylist()[:150]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        out = ssjoin_pairs(rd.from_arrow(tbl).repartition(5),
+                           tau_num=1, tau_den=2, k=3).to_pandas()
+        got = set(zip(out["u"].astype(int), out["v"].astype(int)))
+        ref = self._brute_pairs(list(range(len(texts))), texts, 3, 1, 2)
+        assert got == ref          # zero recall loss AND zero false hits
+        assert len(ref) > 0        # planted corpus is non-degenerate
+        # verify the emitted integer legs on a sample pair
+        if len(out):
+            r = out.iloc[0]
+            assert 3 * r["n_inter"] >= r["n_u"] + r["n_v"]
+
+    def test_empty_and_tiny_docs(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.ssjoin import ssjoin_pairs
+        tbl = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                        "text": pa.array(["", "a b c", "a b c", None],
+                                         pa.string())})
+        out = ssjoin_pairs(rd.from_arrow(tbl), tau_num=1, tau_den=2,
+                           k=3).to_pandas()
+        got = (set(zip(out["u"].astype(int), out["v"].astype(int)))
+               if len(out) else set())
+        assert got == {(2, 3)}     # empty docs never pair
