@@ -238,6 +238,19 @@ def pagerank_fixed_point(directed: "ray.data.Dataset", iters: int = 4,
     deg = grouped_aggregate(directed.select_columns(["src"]), ["src"],
                             {}, count_alias="deg").materialize()
 
+    # Attach the DESTINATION's degree to every edge ONCE: the grouped
+    # sum can then carry it as a min-aggregate (constant per group), so
+    # each iteration costs TWO sorts (contribution scatter + grouped
+    # sum) instead of three (no per-iteration degree re-attach) — 8
+    # extra bytes/edge buys a third of the iteration shuffles.
+    ddeg = deg.map_batches(
+        lambda b: pa.table({"dst": b.column("src"),
+                            "ddeg": b.column("deg")}),
+        batch_format="pyarrow")
+    edges = _scatter_lookup(directed, ddeg, key_col="dst",
+                            payload_col="ddeg",
+                            out_cols=["src", "dst"]).materialize()
+
     # state: (node, deg, r)
     state = deg.map_batches(
         lambda b: pa.table({"node": b.column("src"),
@@ -254,26 +267,21 @@ def pagerank_fixed_point(directed: "ray.data.Dataset", iters: int = 4,
                                // np.asarray(b.column("deg"),
                                              dtype=np.int64))}),
             batch_format="pyarrow")
-        flows = _scatter_lookup(directed, contrib, key_col="src",
-                                payload_col="c", out_cols=["dst"])
+        flows = _scatter_lookup(edges, contrib, key_col="src",
+                                payload_col="c", out_cols=["dst", "ddeg"])
         sums = grouped_aggregate(
             flows.map_batches(
                 lambda b: pa.table({"node": b.column("dst"),
+                                    "ddeg": b.column("ddeg"),
                                     "c": b.column("c")}),
                 batch_format="pyarrow"),
-            ["node"], {"s": ("c", "sum")})
-        ranked = sums.map_batches(
+            ["node"], {"s": ("c", "sum"), "deg": ("ddeg", "min")})
+        state = flatten_blocks(sums.map_batches(
             lambda b: pa.table(
                 {"node": b.column("node"),
+                 "deg": b.column("deg"),
                  "r": pa.array(base + damp_num * np.asarray(
                      b.column("s"), dtype=np.int64) // damp_den)}),
-            batch_format="pyarrow")
-        dstore = deg.map_batches(
-            lambda b: pa.table({"node": b.column("src"),
-                                "deg": b.column("deg")}),
-            batch_format="pyarrow")
-        state = flatten_blocks(
-            _scatter_lookup(ranked, dstore, key_col="node",
-                            payload_col="deg", out_cols=["node", "r"]))
+            batch_format="pyarrow"))
 
     return state.select_columns(["node", "r"])
