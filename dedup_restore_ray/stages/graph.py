@@ -219,7 +219,9 @@ def triangle_stats(edges: "ray.data.Dataset", u_col: str = "u",
 def pagerank_fixed_point(directed: "ray.data.Dataset", iters: int = 4,
                          base: int = 150_000, damp_num: int = 850,
                          damp_den: int = 1_000,
-                         init: int = 1_000_000) -> "ray.data.Dataset":
+                         init: int = 1_000_000,
+                         broadcast_limit: int | None = None
+                         ) -> "ray.data.Dataset":
     """Integer fixed-point PageRank over a DIRECTED edge Dataset
     (src, dst) — for an undirected graph pass both directions.
 
@@ -227,9 +229,19 @@ def pagerank_fixed_point(directed: "ray.data.Dataset", iters: int = 4,
     S_v = sum over in-edges (u, v) of (r_k(u) // out_deg(u)).
     All int64; every node must have out_deg >= 1 (true for
     symmetrized undirected graphs — callers with dangling nodes must
-    add self-loops or drop them).  Per iteration: one contribution
-    scatter onto the edge stream + one grouped sum + one degree
-    re-attach = three sorts, zero driver state.
+    add self-loops or drop them).
+
+    Auto scale gate (the engine's standard two-tier pattern): up to
+    ``broadcast_limit`` nodes (cfg default 2M) the rank vector lives
+    on the driver and each iteration is ONE task wave over the
+    pre-indexed edge blocks (zero sorts in the loop — Ray sort fixed
+    cost otherwise dominates small graphs); beyond the gate, the
+    fully distributed formulation runs: per iteration one
+    contribution scatter onto the edge stream + one grouped sum
+    (destination degree carried on the edges) = two sorts, zero
+    driver state.  Both paths are bit-identical, including the
+    die-off semantics: a node whose in-flow sources have all dropped
+    out stops contributing from the next iteration.
 
     Returns (node, rank_fp) — micro-rank units; sum over nodes is
     conserved up to the integer-floor remainders, exactly as the
@@ -237,6 +249,13 @@ def pagerank_fixed_point(directed: "ray.data.Dataset", iters: int = 4,
     """
     deg = grouped_aggregate(directed.select_columns(["src"]), ["src"],
                             {}, count_alias="deg").materialize()
+
+    if broadcast_limit is None:
+        from dedup_restore_ray.config import PipelineConfig
+        broadcast_limit = PipelineConfig().broadcast_limit
+    if deg.count() <= broadcast_limit:
+        return _pagerank_broadcast(directed, deg, iters, base,
+                                   damp_num, damp_den, init)
 
     # Attach the DESTINATION's degree to every edge ONCE: the grouped
     # sum can then carry it as a min-aggregate (constant per group), so
@@ -285,3 +304,109 @@ def pagerank_fixed_point(directed: "ray.data.Dataset", iters: int = 4,
             batch_format="pyarrow"))
 
     return state.select_columns(["node", "r"])
+
+
+@ray.remote
+def _pr_part_task(state, *blocks):
+    """One task wave member of the gated PageRank: per-edge-block
+    partial in-flow sums over pre-indexed (si, di) edges.  ``state``
+    is (c, alive): c[i] = r_i // deg_i for alive node i, alive is the
+    die-off mask (see pagerank_fixed_point).  Returns (partial S,
+    received-from-alive-src mask)."""
+    c, alive = state
+    n = len(c)
+    s = np.zeros(n, np.int64)
+    got = np.zeros(n, bool)
+    for b in blocks:
+        si = np.asarray(b.column("si"), dtype=np.int64)
+        di = np.asarray(b.column("di"), dtype=np.int64)
+        m = alive[si]
+        if not m.all():
+            si, di = si[m], di[m]
+        got[di] = True
+        # bincount sums in float64; exact here because every partial
+        # sum is bounded by the conserved total rank mass
+        # (~ n_nodes * init <= 2M * 1e6 = 2e12 << 2^53).
+        s += np.bincount(di, weights=c[si].astype(np.float64),
+                         minlength=n).astype(np.int64)
+    return s, got
+
+
+@ray.remote
+def _pr_reduce_task(*parts):
+    """Sum the per-task partials so the driver pulls ONE (S, got)
+    pair per iteration instead of one per edge-block group."""
+    s = parts[0][0].copy()
+    got = parts[0][1].copy()
+    for p in parts[1:]:
+        s += p[0]
+        got |= p[1]
+    return s, got
+
+
+def _pagerank_broadcast(directed: "ray.data.Dataset",
+                        deg: "ray.data.Dataset", iters: int, base: int,
+                        damp_num: int, damp_den: int,
+                        init: int) -> "ray.data.Dataset":
+    """Gated small-graph PageRank: driver-resident rank vector (the
+    gate bounds it), edges pre-indexed ONCE into (si, di) positions
+    against the sorted node vector, then each iteration is a single
+    task wave over the materialized edge blocks + one remote reduce —
+    no Dataset sort/shuffle in the loop.  Raw Ray tasks are justified
+    here (iterative algorithm with a shared dense accumulator); the
+    >gate tier keeps everything in Dataset ops."""
+    dpdf = deg.to_pandas()
+    if len(dpdf) == 0:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "r": pa.array([], pa.int64())}))
+    order = np.argsort(dpdf["src"].to_numpy())
+    nodes = dpdf["src"].to_numpy()[order].astype(np.int64)
+    degv = dpdf["deg"].to_numpy()[order].astype(np.int64)
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+
+    def index_edges(b: pa.Table) -> pa.Table:
+        nd = ray.get(nodes_ref)
+        src = np.asarray(b.column("src"), dtype=np.int64)
+        dst = np.asarray(b.column("dst"), dtype=np.int64)
+        si = np.searchsorted(nd, src)
+        di = np.searchsorted(nd, dst)
+        # every node must have out_deg >= 1, i.e. appear as a src;
+        # fail loudly on a dst that never occurs as a src
+        bad = (np.minimum(di, len(nd) - 1) != di) | (nd[np.minimum(
+            di, len(nd) - 1)] != dst)
+        if bad.any():
+            raise ValueError(
+                f"pagerank: {int(bad.sum())} dst node(s) have no "
+                "out-edges (out_deg >= 1 contract)")
+        if (nd[si] != src).any():
+            raise ValueError("pagerank: src missing from degree table")
+        return pa.table({"si": pa.array(si), "di": pa.array(di)})
+
+    indexed = directed.map_batches(index_edges,
+                                   batch_format="pyarrow").materialize()
+    block_refs = []
+    for bundle in indexed.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    per_task = max(1, len(block_refs) // (2 * cpus))
+
+    r = np.full(n, init, np.int64)
+    alive = np.ones(n, bool)
+    for _ in range(iters):
+        state_ref = ray.put((np.where(alive, r // degv, 0), alive))
+        futs = [_pr_part_task.remote(state_ref,
+                                     *block_refs[g:g + per_task])
+                for g in range(0, len(block_refs), per_task)]
+        s, got = ray.get(_pr_reduce_task.remote(*futs)) if futs else (
+            np.zeros(n, np.int64), np.zeros(n, bool))
+        alive = got
+        r = base + damp_num * s // damp_den
+
+    return ray.data.from_arrow(pa.table(
+        {"node": pa.array(nodes[alive]),
+         "r": pa.array(r[alive])}))

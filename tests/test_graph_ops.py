@@ -98,6 +98,27 @@ class TestPageRank:
         assert abs(sum(got.values()) - 1_000_000 * len(ref)) \
             < 1_000 * len(ref)
 
+    def test_tiers_identical_with_dieoff(self):
+        # broadcast (gated) vs distributed sort path must be
+        # bit-identical, including die-off: node 9 has an out-edge
+        # but no in-edges, so it drops out after iteration 1 and its
+        # contribution must stop flowing from iteration 2 on.
+        import ray.data as rd
+        from dedup_restore_ray.stages.graph import pagerank_fixed_point
+        rng = np.random.default_rng(11)
+        u, v = _random_edges(rng, 30, 80)
+        src = np.concatenate([u, v, [9_999]])
+        dst = np.concatenate([v, u, [int(u[0])]])
+        ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                     "dst": pa.array(dst)}))
+        fast = pagerank_fixed_point(ds, iters=3).to_pandas()
+        slow = pagerank_fixed_point(ds, iters=3,
+                                    broadcast_limit=0).to_pandas()
+        a = dict(zip(fast["node"].astype(int), fast["r"].astype(int)))
+        b = dict(zip(slow["node"].astype(int), slow["r"].astype(int)))
+        assert a == b
+        assert 9_999 not in a
+
     def test_star_graph_hub_dominates(self):
         import ray.data as rd
         from dedup_restore_ray.stages.graph import pagerank_fixed_point
