@@ -109,7 +109,8 @@ def run_benchmarks() -> dict:
                  "soft_dedup_weights_docs", "ccnet_buckets_docs",
                  "ssjoin_docs", "graph_triangles", "pagerank_parts",
                  "skyline_parts", "volume_shipping", "product_profit",
-                 "copurchase_parts", "pmi_collocations"]:
+                 "copurchase_parts", "pmi_collocations",
+                 "unimax_alloc_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)

@@ -4804,6 +4804,64 @@ def q_soft_dedup_weights_docs(sf_dir: str):
     return withsz.map_batches(wt, batch_format="pyarrow")
 
 
+def q_unimax_alloc_docs(sf_dir: str, epoch_cap: int = 3):
+    """UniMax language-budget allocation (Chung et al., ICLR 2023,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): distribute a total
+    training budget of one corpus epoch across languages by
+    water-filling — scan languages by ASCENDING size and give each
+    min(epoch_cap * n_lang, remaining_budget / remaining_langs) docs
+    of budget, so low-resource languages are capped at epoch_cap
+    epochs and the surplus flows to larger ones — then attach each
+    language's per-document expected sampling mass to every document.
+    All arithmetic is integer micro-docs with floor division at every
+    sequential step, so the DuckDB recursive-CTE oracle is
+    bit-identical.  Distributed shape: one tiny grouped count
+    (per-batch combiner, |langs| rows total) + a driver loop over the
+    handful of languages + one broadcast attach — the corpus never
+    shuffles."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang"]).aggregate([("lang", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "pn": g.column("lang_count")})
+
+    counts = grouped_aggregate(
+        ds.map_batches(local_counts, batch_format="pyarrow"),
+        ["lang"], {"n": ("pn", "sum")}).to_pandas()
+    if len(counts) == 0:
+        e = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(
+            {"doc_id": e, "lang": pa.array([], pa.string()),
+             "n_docs": e, "alloc_micro": e, "w_micro": e}))
+    counts = counts.sort_values(["n", "lang"]).reset_index(drop=True)
+    nvec = counts["n"].to_numpy(np.int64)
+    rem = int(nvec.sum()) * 1_000_000
+    k = len(nvec)
+    allocs = np.zeros(k, np.int64)
+    for i, n in enumerate(nvec.tolist()):
+        a = min(n * epoch_cap * 1_000_000, rem // k)
+        allocs[i] = a
+        rem -= a
+        k -= 1
+    langs = pa.array(counts["lang"].tolist(), pa.string())
+    w = allocs // nvec
+
+    def attach(b: pa.Table) -> pa.Table:
+        idx = np.asarray(pc.index_in(b.column("lang"), value_set=langs),
+                         dtype=np.int64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "n_docs": pa.array(nvec[idx]),
+                         "alloc_micro": pa.array(allocs[idx]),
+                         "w_micro": pa.array(w[idx])})
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def q_volume_shipping(sf_dir: str, nation_a: int = 1, nation_b: int = 2):
     """TPC-H Q7-shaped cross-nation trade flow: 1996-97 shipment
     revenue between two nations, by (supplier nation, customer
@@ -5404,6 +5462,7 @@ QUERIES = {
     "dsir_weights_docs": q_dsir_weights_docs,
     "dsir_sample_docs": q_dsir_sample_docs,
     "soft_dedup_weights_docs": q_soft_dedup_weights_docs,
+    "unimax_alloc_docs": q_unimax_alloc_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -6961,6 +7020,33 @@ ORACLE_SQL = {
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey
+    """,
+    "unimax_alloc_docs": r"""
+        WITH RECURSIVE counts AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY lang),
+        ord AS (
+          SELECT lang, n,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n, lang) AS BIGINT) AS i
+          FROM counts),
+        alloc AS (
+          SELECT CAST(0 AS BIGINT) AS i,
+                 CAST((SELECT SUM(n) FROM counts) AS BIGINT) * 1000000
+                   AS rem,
+                 CAST((SELECT COUNT(*) FROM counts) AS BIGINT) AS k,
+                 CAST(0 AS BIGINT) AS a,
+                 CAST(NULL AS VARCHAR) AS lang,
+                 CAST(0 AS BIGINT) AS n
+          UNION ALL
+          SELECT o.i,
+                 prev.rem - LEAST(o.n * 3 * 1000000, prev.rem // prev.k),
+                 prev.k - 1,
+                 LEAST(o.n * 3 * 1000000, prev.rem // prev.k),
+                 o.lang, o.n
+          FROM alloc prev JOIN ord o ON o.i = prev.i + 1)
+        SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
+               al.a // al.n AS w_micro
+        FROM documents d JOIN alloc al ON d.lang = al.lang
     """,
     "dsir_weights_docs": r"""
         WITH toks AS (
