@@ -4862,6 +4862,59 @@ def q_unimax_alloc_docs(sf_dir: str, epoch_cap: int = 3):
     return ds.map_batches(attach, batch_format="pyarrow")
 
 
+def q_bpe_merge_pairs_docs(sf_dir: str, k: int = 64):
+    """One BPE tokenizer-training step, distributed: the corpus-wide
+    adjacent-symbol pair counts whose argmax is the next merge (Sennrich
+    et al., ACL 2016).  Tokens come from ``lower(text)`` split on
+    ``\\W+`` — RE2's ``\\w`` is ASCII-only in BOTH Arrow and DuckDB, so
+    every token is pure ASCII and the pair space is bounded by 256^2:
+    each batch joins its tokens with spaces, views the bytes as uint8,
+    and bincounts (c1 << 8 | c2) over in-token positions — a few
+    thousand integer partial rows per block, one tiny grouped sum, and
+    a driver top-k over a <= 65536-row aggregate (bounded by the
+    alphabet, not the corpus).  Ties at the boundary break by pair
+    string so the top-k SET is deterministic."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if t.null_count:
+            t = t.fill_null("")
+        sp = pc.split_pattern_regex(pc.utf8_lower(t), r"\W+")
+        flat = pc.list_flatten(sp)
+        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+        if len(flat) == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"pk": e, "pn": e})
+        one = pa.ListArray.from_arrays(
+            pa.array([0, len(flat)], pa.int32()), flat)
+        s = pc.binary_join(one, " ").to_pylist()[0]
+        u = np.frombuffer(s.encode("ascii"), np.uint8)
+        a, c = u[:-1].astype(np.int64), u[1:].astype(np.int64)
+        m = (a != 32) & (c != 32)
+        cnt = np.bincount((a[m] << 8) | c[m], minlength=1 << 16)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"pk": pa.array(nz.astype(np.int64)),
+                         "pn": pa.array(cnt[nz].astype(np.int64))})
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["pk"], {"cnt": ("pn", "sum")}).to_pandas()
+    if len(agg) == 0:
+        return pd.DataFrame({"pair": pd.Series([], dtype=str),
+                             "cnt": pd.Series([], dtype=np.int64)})
+    agg["pair"] = [chr(p >> 8) + chr(p & 255)
+                   for p in agg["pk"].astype(int)]
+    out = (agg.sort_values(["cnt", "pair"], ascending=[False, True])
+              .head(k)[["pair", "cnt"]].reset_index(drop=True))
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
 def q_volume_shipping(sf_dir: str, nation_a: int = 1, nation_b: int = 2):
     """TPC-H Q7-shaped cross-nation trade flow: 1996-97 shipment
     revenue between two nations, by (supplier nation, customer
@@ -5463,6 +5516,7 @@ QUERIES = {
     "dsir_sample_docs": q_dsir_sample_docs,
     "soft_dedup_weights_docs": q_soft_dedup_weights_docs,
     "unimax_alloc_docs": q_unimax_alloc_docs,
+    "bpe_merge_pairs_docs": q_bpe_merge_pairs_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -7047,6 +7101,19 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
                al.a // al.n AS w_micro
         FROM documents d JOIN alloc al ON d.lang = al.lang
+    """,
+    "bpe_merge_pairs_docs": r"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+          FROM documents),
+        expand AS (
+          SELECT w, unnest(range(1, length(w))) AS i FROM toks),
+        pairs AS (
+          SELECT substr(w, CAST(i AS INT), 2) AS pair FROM expand)
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair
+        LIMIT 64
     """,
     "dsir_weights_docs": r"""
         WITH toks AS (
