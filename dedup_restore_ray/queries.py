@@ -4915,6 +4915,52 @@ def q_bpe_merge_pairs_docs(sf_dir: str, k: int = 64):
     return out
 
 
+def q_snm_pairs_docs(sf_dir: str, window: int = 3, key_chars: int = 12):
+    """Sorted-neighborhood dedup blocking (Hernandez & Stolfo, SIGMOD
+    1995): sort the corpus by a cheap blocking key (lowercased first
+    ``key_chars`` characters) and emit every candidate pair within a
+    ``window``-row sliding window of the sorted sequence — the classic
+    sort-based complement to the LSH blocking rails.  Distributed
+    shape: one ``global_rank`` sort (block-offset map, no driver rank
+    state) + one sort-scatter joining each rank to ranks rn+1..rn+w;
+    probes past the end of the sequence miss and drop.  Exactly the
+    SQL ROW_NUMBER band join, so the oracle hash-matches."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.windows import global_rank
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if t.null_count:
+            t = t.fill_null("")
+        return pa.table({
+            "k": pc.utf8_lower(pc.utf8_slice_codeunits(t, 0, key_chars)),
+            "doc_id": b.column("doc_id")})
+
+    ranked = global_rank(ds.map_batches(keyed, batch_format="pyarrow"),
+                         ["k", "doc_id"], rank_col="rn").materialize()
+
+    def probes(b: pa.Table) -> pa.Table:
+        rn = np.asarray(b.column("rn"), dtype=np.int64)
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        tr = np.concatenate([rn + j for j in range(1, window + 1)])
+        return pa.table({"rn": pa.array(tr),
+                         "id_a": pa.array(np.tile(ids, window))})
+
+    store = ranked.map_batches(
+        lambda b: pa.table({"rn": b.column("rn"),
+                            "id_b": b.column("doc_id")}),
+        batch_format="pyarrow")
+    out = _scatter_lookup(ranked.map_batches(probes,
+                                             batch_format="pyarrow"),
+                          store, key_col="rn", payload_col="id_b",
+                          out_cols=["id_a"])
+    return out.select_columns(["id_a", "id_b"])
+
+
 def q_volume_shipping(sf_dir: str, nation_a: int = 1, nation_b: int = 2):
     """TPC-H Q7-shaped cross-nation trade flow: 1996-97 shipment
     revenue between two nations, by (supplier nation, customer
@@ -5517,6 +5563,7 @@ QUERIES = {
     "soft_dedup_weights_docs": q_soft_dedup_weights_docs,
     "unimax_alloc_docs": q_unimax_alloc_docs,
     "bpe_merge_pairs_docs": q_bpe_merge_pairs_docs,
+    "snm_pairs_docs": q_snm_pairs_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -7101,6 +7148,16 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
                al.a // al.n AS w_micro
         FROM documents d JOIN alloc al ON d.lang = al.lang
+    """,
+    "snm_pairs_docs": r"""
+        WITH r AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY lower(substr(COALESCE(text, ''), 1, 12)),
+                            doc_id) AS rn
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
     """,
     "bpe_merge_pairs_docs": r"""
         WITH toks AS (
