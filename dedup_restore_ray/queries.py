@@ -4961,6 +4961,65 @@ def q_snm_pairs_docs(sf_dir: str, window: int = 3, key_chars: int = 12):
     return out.select_columns(["id_a", "id_b"])
 
 
+def q_filter_funnel_docs(sf_dir: str):
+    """Curation-pipeline attrition funnel (the survivors-per-stage
+    table every corpus paper publishes, e.g. RefinedWeb/Gopher): docs
+    surviving each CUMULATIVE filter stage — the six Gopher quality
+    rules in order, then exact dedup of the survivors (distinct
+    content count = what first-wins keeps).  ONE fused pass over the
+    text emits both the 7 per-batch stage counters (integer rows) and
+    the final-stage survivors' sha1 hashes; a 7-group sum and one
+    20 B/row distinct shuffle finish the job — the corpus text never
+    shuffles and the driver sees 8 integers."""
+    from dedup_restore_ray.functions.textstats import quality_filter_counts
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    names = ["all", "min_tokens", "max_tokens", "token_len",
+             "stopwords", "punct", "upper", "exact_dedup"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = quality_filter_counts(b.column("text").to_pylist())
+        nt, sl = c["n_tokens"], c["sum_token_len"]
+        conds = [nt >= 5, nt <= 50000,
+                 (sl >= 2 * nt) & (sl <= 12 * nt),
+                 20 * c["stop_hits"] >= nt,
+                 5 * c["n_punct"] <= c["n_chars"],
+                 10 * c["n_upper"] <= 3 * c["n_chars"]]
+        m = np.ones(len(nt), bool)
+        pns = [len(nt)]
+        for cond in conds:
+            m &= cond
+            pns.append(int(m.sum()))
+        h = content_hashes_arrow(b.column("text").filter(pa.array(m)))
+        k = len(h)
+        return pa.table({
+            "stage": pa.array(np.concatenate(
+                [np.arange(7), np.full(k, 7)]).astype(np.int64)),
+            "pn": pa.array(np.concatenate(
+                [np.asarray(pns, np.int64), np.ones(k, np.int64)])),
+            "h": pa.array([b""] * 7 + list(h), pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    cnt_rows = rows.map_batches(
+        lambda b: b.filter(pc.less(b.column("stage"), 7))
+                   .select(["stage", "pn"]),
+        batch_format="pyarrow")
+    hash_rows = rows.map_batches(
+        lambda b: b.filter(pc.equal(b.column("stage"), 7)).select(["h"]),
+        batch_format="pyarrow")
+    agg = grouped_aggregate(cnt_rows, ["stage"],
+                            {"survivors": ("pn", "sum")}).to_pandas()
+    got = dict(zip(agg["stage"].astype(int), agg["survivors"].astype(int)))
+    got[7] = distinct_rows(hash_rows, ["h"]).count()
+    return pd.DataFrame({
+        "stage": pd.Series(range(8), dtype=np.int64),
+        "name": names,
+        "survivors": pd.Series([got.get(i, 0) for i in range(8)],
+                               dtype=np.int64)})
+
+
 def q_volume_shipping(sf_dir: str, nation_a: int = 1, nation_b: int = 2):
     """TPC-H Q7-shaped cross-nation trade flow: 1996-97 shipment
     revenue between two nations, by (supplier nation, customer
@@ -5564,6 +5623,7 @@ QUERIES = {
     "unimax_alloc_docs": q_unimax_alloc_docs,
     "bpe_merge_pairs_docs": q_bpe_merge_pairs_docs,
     "snm_pairs_docs": q_snm_pairs_docs,
+    "filter_funnel_docs": q_filter_funnel_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -7148,6 +7208,55 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
                al.a // al.n AS w_micro
         FROM documents d JOIN alloc al ON d.lang = al.lang
+    """,
+    "filter_funnel_docs": rf"""
+        WITH f AS (
+          SELECT doc_id, text,
+                 coalesce(regexp_extract_all(lower(coalesce(text, '')),
+                                             '\w+'), []) AS t,
+                 coalesce(length(text), 0) AS n_chars,
+                 length(regexp_extract_all(coalesce(text, ''),
+                                           '[^\w\s]')) AS n_punct,
+                 length(regexp_extract_all(coalesce(text, ''),
+                                           '[A-Z]')) AS n_upper
+          FROM documents),
+        g AS (
+          SELECT doc_id, text, length(t) AS n_tokens,
+                 coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                   AS sum_len,
+                 len(list_filter(t, x -> list_contains([{_STOP_SQL}], x)))
+                   AS stop_hits,
+                 n_chars, n_punct, n_upper
+          FROM f),
+        m AS (
+          SELECT text,
+                 n_tokens >= 5 AS c1,
+                 n_tokens <= 50000 AS c2,
+                 (sum_len >= 2 * n_tokens AND sum_len <= 12 * n_tokens)
+                   AS c3,
+                 20 * stop_hits >= n_tokens AS c4,
+                 5 * n_punct <= n_chars AS c5,
+                 10 * n_upper <= 3 * n_chars AS c6
+          FROM g)
+        SELECT CAST(0 AS BIGINT) AS stage, 'all' AS name,
+               CAST(COUNT(*) AS BIGINT) AS survivors FROM m
+        UNION ALL SELECT 1, 'min_tokens',
+               COUNT(*) FILTER (WHERE c1) FROM m
+        UNION ALL SELECT 2, 'max_tokens',
+               COUNT(*) FILTER (WHERE c1 AND c2) FROM m
+        UNION ALL SELECT 3, 'token_len',
+               COUNT(*) FILTER (WHERE c1 AND c2 AND c3) FROM m
+        UNION ALL SELECT 4, 'stopwords',
+               COUNT(*) FILTER (WHERE c1 AND c2 AND c3 AND c4) FROM m
+        UNION ALL SELECT 5, 'punct',
+               COUNT(*) FILTER (WHERE c1 AND c2 AND c3 AND c4 AND c5)
+               FROM m
+        UNION ALL SELECT 6, 'upper',
+               COUNT(*) FILTER (WHERE c1 AND c2 AND c3 AND c4 AND c5
+                                AND c6) FROM m
+        UNION ALL SELECT 7, 'exact_dedup',
+               (SELECT COUNT(DISTINCT text) FROM m
+                WHERE c1 AND c2 AND c3 AND c4 AND c5 AND c6)
     """,
     "snm_pairs_docs": r"""
         WITH r AS (
