@@ -4961,6 +4961,30 @@ def q_snm_pairs_docs(sf_dir: str, window: int = 3, key_chars: int = 12):
     return out.select_columns(["id_a", "id_b"])
 
 
+def q_mutual_nn_embeddings(sf_dir: str):
+    """Mutual-nearest-neighbor alignment between two embedding
+    partitions (label < 5 vs label >= 5) — the margin-free core of
+    bitext mining (Artetxe & Schwenk, ACL 2019): (a, b) kept iff each
+    is the other's best cosine match, cosines quantized to 1e-4 units
+    before the argmax (ties -> smaller id) so the winner is integer
+    math the SQL QUALIFY oracle reproduces exactly
+    (stages/embpairs.mutual_nn_pairs)."""
+    from dedup_restore_ray.stages.embpairs import mutual_nn_pairs
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+
+    def side(lo: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (pc.less(b.column("label"), 5) if lo
+                 else pc.greater_equal(b.column("label"), 5))
+            return b.filter(m).select(["vec_id", "embedding"])
+        return f
+
+    a = ds.map_batches(side(True), batch_format="pyarrow")
+    b = ds.map_batches(side(False), batch_format="pyarrow")
+    return mutual_nn_pairs(a, b, num_blocks=4)
+
+
 def q_filter_funnel_docs(sf_dir: str):
     """Curation-pipeline attrition funnel (the survivors-per-stage
     table every corpus paper publishes, e.g. RefinedWeb/Gopher): docs
@@ -5624,6 +5648,7 @@ QUERIES = {
     "bpe_merge_pairs_docs": q_bpe_merge_pairs_docs,
     "snm_pairs_docs": q_snm_pairs_docs,
     "filter_funnel_docs": q_filter_funnel_docs,
+    "mutual_nn_embeddings": q_mutual_nn_embeddings,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -7208,6 +7233,24 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
                al.a // al.n AS w_micro
         FROM documents d JOIN alloc al ON d.lang = al.lang
+    """,
+    "mutual_nn_embeddings": r"""
+        WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings WHERE label < 5),
+        b AS (SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings WHERE label >= 5),
+        ab AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+                      CAST(round(list_cosine_similarity(a.e, b.e)
+                                 * 10000) AS BIGINT) AS c
+               FROM a, b),
+        na AS (SELECT ai, bi, c FROM ab
+               QUALIFY row_number() OVER (
+                 PARTITION BY ai ORDER BY c DESC, bi) = 1),
+        nb AS (SELECT ai, bi, c FROM ab
+               QUALIFY row_number() OVER (
+                 PARTITION BY bi ORDER BY c DESC, ai) = 1)
+        SELECT na.ai AS id_a, na.bi AS id_b, na.c AS cosine_e4
+        FROM na JOIN nb ON na.ai = nb.ai AND na.bi = nb.bi
     """,
     "filter_funnel_docs": rf"""
         WITH f AS (

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -78,6 +79,106 @@ def cosine_pairs_blockwise(emb: "rd.Dataset", threshold: float,
             "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
             "cosine": pa.array([], pa.float64())}))
     return rd.from_arrow_refs(tasks)
+
+
+_NN_ID_BITS = 41
+_NN_ID_MASK = (1 << _NN_ID_BITS) - 1
+
+
+@ray.remote
+def _block_nn_task(ta: pa.Table, tb: pa.Table, id_col: str,
+                   vec_col: str) -> pa.Table:
+    """Per-(block_a, block_b) partial nearest neighbors, BOTH
+    directions from one matmul.  Cosines quantize to 1e-4 units
+    (half away from zero, DuckDB round parity) BEFORE the argmax so
+    the winner — ties broken by the smaller candidate id — is integer
+    math the SQL oracle reproduces.  Emits one packed
+    ((e4 + 10000) << 41 | ~other_id) candidate row per (side, id);
+    the cross-block grouped MAX of the pack IS the argmax."""
+    ids_a = np.asarray(ta.column(id_col), dtype=np.int64)
+    ids_b = np.asarray(tb.column(id_col), dtype=np.int64)
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        e = pa.array([], pa.int64())
+        return pa.table({"side": e, "id": e, "pack": e})
+    if max(ids_a.max(), ids_b.max()) >= _NN_ID_MASK:
+        raise ValueError("mutual_nn: vec ids exceed 41-bit pack range")
+    va = l2_normalize(list_to_matrix(ta.column(vec_col)))
+    vb = l2_normalize(list_to_matrix(tb.column(vec_col)))
+    s = va @ vb.T
+    e4 = (np.sign(s) * np.floor(np.abs(s) * 10000.0 + 0.5)).astype(
+        np.int64)
+
+    def best(rows_e4, other_ids):
+        m = rows_e4.max(axis=1)
+        cand = np.where(rows_e4 == m[:, None], other_ids[None, :],
+                        np.int64(_NN_ID_MASK))
+        ob = cand.min(axis=1)
+        return ((m + 10000) << _NN_ID_BITS) | (_NN_ID_MASK - ob)
+
+    pack_a = best(e4, ids_b)
+    pack_b = best(e4.T, ids_a)
+    return pa.table({
+        "side": pa.array(np.concatenate(
+            [np.zeros(len(ids_a), np.int64),
+             np.ones(len(ids_b), np.int64)])),
+        "id": pa.array(np.concatenate([ids_a, ids_b])),
+        "pack": pa.array(np.concatenate([pack_a, pack_b]))})
+
+
+def mutual_nn_pairs(emb_a: "rd.Dataset", emb_b: "rd.Dataset",
+                    num_blocks: int | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> "rd.Dataset":
+    """Mutual-nearest-neighbor alignment between two embedding sets
+    (the margin-free core of bitext mining, Artetxe & Schwenk 2019):
+    (a, b) is emitted iff b is a's best cosine match in B AND a is
+    b's best match in A, ties by smaller id on both sides.
+
+    Distributed shape: block-cross-product tasks emit ONE packed
+    partial-argmax row per (side, row, opposite block) — linear in
+    n x blocks, never the n^2 pair stream — then one grouped pack-max
+    resolves the true argmax and one grouped count over the directed
+    claims keeps the pairs claimed from BOTH sides.  Exact rail; the
+    ANN/IVF index is the approximate 100-TB path."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    if num_blocks:
+        emb_a = emb_a.repartition(num_blocks)
+        emb_b = emb_b.repartition(num_blocks)
+    refs_a = emb_a.select_columns([id_col, vec_col]).to_arrow_refs()
+    refs_b = emb_b.select_columns([id_col, vec_col]).to_arrow_refs()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine_e4": pa.array([], pa.int64())})
+    tasks = [_block_nn_task.remote(ra, rb, id_col, vec_col)
+             for ra in refs_a for rb in refs_b]
+    if not tasks:
+        return rd.from_arrow(empty)
+    parts = rd.from_arrow_refs(tasks)
+    won = grouped_aggregate(parts, ["side", "id"],
+                            {"p": ("pack", "max")})
+
+    def claims(b: pa.Table) -> pa.Table:
+        side = np.asarray(b.column("side"), dtype=np.int64)
+        me = np.asarray(b.column("id"), dtype=np.int64)
+        p = np.asarray(b.column("p"), dtype=np.int64)
+        other = _NN_ID_MASK - (p & _NN_ID_MASK)
+        e4 = (p >> _NN_ID_BITS) - 10000
+        a = np.where(side == 0, me, other)
+        bb = np.where(side == 0, other, me)
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(bb),
+                         "e4": pa.array(e4)})
+
+    both = grouped_aggregate(
+        won.map_batches(claims, batch_format="pyarrow"),
+        ["id_a", "id_b"], {"cosine_e4": ("e4", "min")},
+        count_alias="n_claims")
+
+    def mutual(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("n_claims"), 2))
+        return t.select(["id_a", "id_b", "cosine_e4"])
+
+    return both.map_batches(mutual, batch_format="pyarrow")
 
 
 def hyperplane_lsh_pairs(emb: "rd.Dataset", threshold: float,
