@@ -4961,6 +4961,41 @@ def q_snm_pairs_docs(sf_dir: str, window: int = 3, key_chars: int = 12):
     return out.select_columns(["id_a", "id_b"])
 
 
+_BLOCKLIST = ("damn", "hell", "crap", "idiot", "stupid", "moron",
+              "jerk", "dumb")
+_BLOCK_SQL = ",".join(f"'{w}'" for w in sorted(_BLOCKLIST))
+
+
+def q_badwords_filter_docs(sf_dir: str):
+    """C4-style blocklist filter (Raffel et al. 2020 §2.2: drop any
+    page containing a blocklisted word): per-doc blocklist hit count
+    over the \\w+ token stream + the kept flag (zero hits).  The list
+    here is a small neutral stand-in — swap `_BLOCKLIST` for a real
+    deployment list; the operator shape (embarrassingly parallel
+    vectorized membership count, no shuffle) is what's under test."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    blocked = pa.array(sorted(_BLOCKLIST))
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if t.null_count:
+            t = t.fill_null("")
+        sp = pc.split_pattern_regex(pc.utf8_lower(t), r"\W+")
+        flat = pc.list_flatten(sp)
+        hit = pc.cast(pc.is_in(flat, value_set=blocked), pa.int64())
+        off = np.asarray(sp.offsets, dtype=np.int64)
+        cum = np.concatenate([np.zeros(1, np.int64),
+                              np.cumsum(np.asarray(hit, np.int64))])
+        n_bad = cum[off[1:]] - cum[off[:-1]]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_bad": pa.array(n_bad),
+                         "kept": pa.array(n_bad == 0)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_mutual_nn_embeddings(sf_dir: str):
     """Mutual-nearest-neighbor alignment between two embedding
     partitions (label < 5 vs label >= 5) — the margin-free core of
@@ -5649,6 +5684,7 @@ QUERIES = {
     "snm_pairs_docs": q_snm_pairs_docs,
     "filter_funnel_docs": q_filter_funnel_docs,
     "mutual_nn_embeddings": q_mutual_nn_embeddings,
+    "badwords_filter_docs": q_badwords_filter_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -7233,6 +7269,20 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
                al.a // al.n AS w_micro
         FROM documents d JOIN alloc al ON d.lang = al.lang
+    """,
+    "badwords_filter_docs": rf"""
+        WITH f AS (
+          SELECT doc_id,
+                 coalesce(regexp_extract_all(lower(coalesce(text, '')),
+                                             '\w+'), []) AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(list_filter(t,
+                    x -> list_contains([{_BLOCK_SQL}], x))) AS BIGINT)
+                 AS n_bad,
+               len(list_filter(t,
+                    x -> list_contains([{_BLOCK_SQL}], x))) = 0 AS kept
+        FROM f
     """,
     "mutual_nn_embeddings": r"""
         WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS e
