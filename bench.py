@@ -110,7 +110,9 @@ def run_benchmarks() -> dict:
                  "ssjoin_docs", "graph_triangles", "pagerank_parts",
                  "skyline_parts", "volume_shipping", "product_profit",
                  "copurchase_parts", "pmi_collocations",
-                 "unimax_alloc_docs"]:
+                 "unimax_alloc_docs", "bpe_merge_pairs_docs",
+                 "snm_pairs_docs", "filter_funnel_docs",
+                 "mutual_nn_embeddings", "badwords_filter_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)
