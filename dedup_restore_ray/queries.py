@@ -5020,6 +5020,28 @@ def q_mutual_nn_embeddings(sf_dir: str):
     return mutual_nn_pairs(a, b, num_blocks=4)
 
 
+def q_mutual_nn_lsh_embeddings(sf_dir: str):
+    """Approximate mutual-NN alignment via hyperplane-LSH candidate
+    buckets (rows-only: LSH candidate sets are probabilistic; recall
+    is asserted on a planted corpus in tests) — the 100-TB scale path
+    for q_mutual_nn_embeddings: rows score only against bucket
+    collisions, never the whole opposite partition."""
+    from dedup_restore_ray.stages.embpairs import mutual_nn_pairs_lsh
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+
+    def side(lo: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (pc.less(b.column("label"), 5) if lo
+                 else pc.greater_equal(b.column("label"), 5))
+            return b.filter(m).select(["vec_id", "embedding"])
+        return f
+
+    a = ds.map_batches(side(True), batch_format="pyarrow")
+    b = ds.map_batches(side(False), batch_format="pyarrow")
+    return mutual_nn_pairs_lsh(a, b)
+
+
 def q_filter_funnel_docs(sf_dir: str):
     """Curation-pipeline attrition funnel (the survivors-per-stage
     table every corpus paper publishes, e.g. RefinedWeb/Gopher): docs
@@ -5685,6 +5707,7 @@ QUERIES = {
     "filter_funnel_docs": q_filter_funnel_docs,
     "mutual_nn_embeddings": q_mutual_nn_embeddings,
     "badwords_filter_docs": q_badwords_filter_docs,
+    "mutual_nn_lsh_embeddings": q_mutual_nn_lsh_embeddings,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,

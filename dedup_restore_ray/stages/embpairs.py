@@ -181,6 +181,94 @@ def mutual_nn_pairs(emb_a: "rd.Dataset", emb_b: "rd.Dataset",
     return both.map_batches(mutual, batch_format="pyarrow")
 
 
+def mutual_nn_pairs_lsh(emb_a: "rd.Dataset", emb_b: "rd.Dataset",
+                        cfg: PipelineConfig | None = None,
+                        num_bands: int = 16, bits_per_band: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> "rd.Dataset":
+    """Approximate mutual-NN alignment — the 100-TB path: candidates
+    come from the hyperplane-LSH bucket stream over the tagged union
+    of both sides (only the projection matrix is broadcast), so each
+    row is scored only against its bucket collisions, never the whole
+    opposite set.  Per-direction argmax via the same packed grouped
+    MAX as the exact rail, mutuality via the two-claim rendezvous.
+    Approximate: a true mutual pair is missed iff it never shares a
+    band bucket (recall asserted on a planted corpus in tests);
+    rows with zero cross-side candidates drop out."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    def tag(add: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column(id_col), dtype=np.int64)
+            if len(ids) and ids.max() >= (1 << 40):
+                raise ValueError("mutual_nn_lsh: ids exceed tag range")
+            return pa.table({id_col: pa.array(ids * 2 + add),
+                             vec_col: b.column(vec_col)})
+        return f
+
+    union = (emb_a.map_batches(tag(0), batch_format="pyarrow")
+             .union(emb_b.map_batches(tag(1), batch_format="pyarrow")))
+    pairs = hyperplane_lsh_pairs(union, threshold=-1.0, cfg=cfg,
+                                 num_bands=num_bands,
+                                 bits_per_band=bits_per_band,
+                                 id_col=id_col, vec_col=vec_col)
+
+    def cross(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("u"), dtype=np.int64)
+        v = np.asarray(b.column("v"), dtype=np.int64)
+        s = np.asarray(b.column("cosine"), dtype=np.float64)
+        m = (u & 1) != (v & 1)
+        u, v, s = u[m], v[m], s[m]
+        a = np.where(u & 1 == 0, u, v) >> 1
+        bb = np.where(u & 1 == 0, v, u) >> 1
+        e4 = (np.sign(s) * np.floor(np.abs(s) * 10000.0 + 0.5)).astype(
+            np.int64)
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(bb),
+                         "e4": pa.array(e4)})
+
+    scored = pairs.map_batches(cross, batch_format="pyarrow")
+
+    def packed(key: str, other: str):
+        def f(b: pa.Table) -> pa.Table:
+            e4 = np.asarray(b.column("e4"), dtype=np.int64)
+            ob = np.asarray(b.column(other), dtype=np.int64)
+            return pa.table({
+                "id": b.column(key),
+                "pack": pa.array(((e4 + 10000) << _NN_ID_BITS)
+                                 | (_NN_ID_MASK - ob))})
+        return f
+
+    def claim(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            me = np.asarray(b.column("id"), dtype=np.int64)
+            p = np.asarray(b.column("p"), dtype=np.int64)
+            other = _NN_ID_MASK - (p & _NN_ID_MASK)
+            e4 = (p >> _NN_ID_BITS) - 10000
+            a = me if side == 0 else other
+            bb = other if side == 0 else me
+            return pa.table({"id_a": pa.array(a), "id_b": pa.array(bb),
+                             "e4": pa.array(e4)})
+        return f
+
+    claims = None
+    for side, (key, other) in enumerate([("id_a", "id_b"),
+                                         ("id_b", "id_a")]):
+        won = grouped_aggregate(
+            scored.map_batches(packed(key, other),
+                               batch_format="pyarrow"),
+            ["id"], {"p": ("pack", "max")})
+        c = won.map_batches(claim(side), batch_format="pyarrow")
+        claims = c if claims is None else claims.union(c)
+
+    both = grouped_aggregate(claims, ["id_a", "id_b"],
+                             {"cosine_e4": ("e4", "min")},
+                             count_alias="n_claims")
+    return both.map_batches(
+        lambda b: b.filter(pc.equal(b.column("n_claims"), 2))
+                   .select(["id_a", "id_b", "cosine_e4"]),
+        batch_format="pyarrow")
+
+
 def hyperplane_lsh_pairs(emb: "rd.Dataset", threshold: float,
                          cfg: PipelineConfig | None = None,
                          num_bands: int = 16, bits_per_band: int = 8,

@@ -57,3 +57,25 @@ class TestMutualNN:
                           out["cosine_e4"].astype(int)))
             assert got == want, f"blocks={blocks}"
         assert {(100 + i, 500 + i, 10000) for i in range(5)} <= want
+
+    def test_lsh_path_planted_recall(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.embpairs import mutual_nn_pairs_lsh
+        rng = np.random.default_rng(9)
+        na, nb, d = 80, 70, 32
+        va = rng.standard_normal((na, d))
+        vb = rng.standard_normal((nb, d))
+        vb[:8] = va[:8]          # identical vectors: collide in EVERY band
+        ids_a = np.arange(na, dtype=np.int64)
+        ids_b = np.arange(1000, 1000 + nb, dtype=np.int64)
+        ta = pa.table({"vec_id": pa.array(ids_a),
+                       "embedding": pa.array(list(va))})
+        tb = pa.table({"vec_id": pa.array(ids_b),
+                       "embedding": pa.array(list(vb))})
+        out = mutual_nn_pairs_lsh(rd.from_arrow(ta),
+                                  rd.from_arrow(tb)).to_pandas()
+        got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+        assert {(i, 1000 + i) for i in range(8)} <= got
+        assert (out["cosine_e4"] <= 10000).all()
+        # argmax winners are claimed from both directions -> unique per id
+        assert out["id_a"].is_unique and out["id_b"].is_unique
