@@ -4996,6 +4996,50 @@ def q_badwords_filter_docs(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_char_entropy_docs(sf_dir: str):
+    """Character-entropy quality signal (binary-junk / gibberish
+    detection: natural text sits near 4-4.7 nats, base64 blobs and
+    char-repetition garbage fall outside).  Shannon entropy over the
+    doc's codepoint distribution in fixed-point micro-nats, made
+    ORDER-FREE for the oracle: every per-character term floors to an
+    integer BEFORE the sum — entropy_micro = floor(ln(N)*1e6) -
+    (sum_c floor(n_c*ln(n_c)*1e6)) // N — so DuckDB's arbitrary
+    aggregation order cannot flip a bit (same single-libm-call
+    contract as the DSIR/bigram micro-nat operators).  One
+    embarrassingly-parallel pass: per batch, codepoints of all docs
+    concatenate into one uint32 view, (doc, char) counts via one
+    np.unique on packed (doc_idx << 21 | cp) keys, per-doc sums via
+    reduceat — no Python per row, no shuffle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        lens = np.array([len(t) if t else 0 for t in texts], np.int64)
+        ent = np.zeros(len(texts), np.int64)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            joined = "".join(texts[i] for i in nz)
+            cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+            doc_idx = np.repeat(np.arange(len(nz), dtype=np.int64),
+                                lens[nz])
+            key = (doc_idx << 21) | cp.astype(np.int64)
+            uk, counts = np.unique(key, return_counts=True)
+            terms = np.floor(counts * np.log(counts) * 1e6).astype(
+                np.int64)
+            owner = uk >> 21
+            starts = np.flatnonzero(np.concatenate(
+                [[True], owner[1:] != owner[:-1]]))
+            sums = np.add.reduceat(terms, starts)
+            n = lens[nz]
+            ent[nz] = (np.floor(np.log(n) * 1e6).astype(np.int64)
+                       - sums // n)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_chars_text": pa.array(lens),
+                         "entropy_micro": pa.array(ent)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_mutual_nn_embeddings(sf_dir: str):
     """Mutual-nearest-neighbor alignment between two embedding
     partitions (label < 5 vs label >= 5) — the margin-free core of
@@ -5708,6 +5752,7 @@ QUERIES = {
     "mutual_nn_embeddings": q_mutual_nn_embeddings,
     "badwords_filter_docs": q_badwords_filter_docs,
     "mutual_nn_lsh_embeddings": q_mutual_nn_lsh_embeddings,
+    "char_entropy_docs": q_char_entropy_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -7292,6 +7337,27 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
                al.a // al.n AS w_micro
         FROM documents d JOIN alloc al ON d.lang = al.lang
+    """,
+    "char_entropy_docs": r"""
+        WITH chars AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(coalesce(text, ''),
+                                           '[\s\S]')) AS ch
+          FROM documents),
+        cc AS (
+          SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n
+          FROM chars GROUP BY doc_id, ch),
+        terms AS (
+          SELECT doc_id,
+                 SUM(CAST(floor(n * ln(n) * 1000000) AS BIGINT)) AS s,
+                 CAST(SUM(n) AS BIGINT) AS nn
+          FROM cc GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(t.nn, 0) AS n_chars_text,
+               CAST(COALESCE(CAST(floor(ln(t.nn) * 1000000) AS BIGINT)
+                             - t.s // t.nn, 0) AS BIGINT)
+                 AS entropy_micro
+        FROM documents d LEFT JOIN terms t USING (doc_id)
     """,
     "badwords_filter_docs": rf"""
         WITH f AS (
