@@ -4825,6 +4825,8 @@ def q_unimax_alloc_docs(sf_dir: str, epoch_cap: int = 3):
     ds = _docs(sf_dir, ["doc_id", "lang"])
 
     def local_counts(b: pa.Table) -> pa.Table:
+        # NULL-lang docs drop, matching the oracle's JOIN ... ON lang
+        b = b.filter(pc.is_valid(b.column("lang")))
         g = b.group_by(["lang"]).aggregate([("lang", "count")])
         return pa.table({"lang": g.column("lang"),
                          "pn": g.column("lang_count")})
@@ -4851,6 +4853,7 @@ def q_unimax_alloc_docs(sf_dir: str, epoch_cap: int = 3):
     w = allocs // nvec
 
     def attach(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("lang")))
         idx = np.asarray(pc.index_in(b.column("lang"), value_set=langs),
                          dtype=np.int64)
         return pa.table({"doc_id": b.column("doc_id"),
@@ -5136,7 +5139,10 @@ def q_filter_funnel_docs(sf_dir: str):
         batch_format="pyarrow")
     agg = grouped_aggregate(cnt_rows, ["stage"],
                             {"survivors": ("pn", "sum")}).to_pandas()
-    got = dict(zip(agg["stage"].astype(int), agg["survivors"].astype(int)))
+    # an EMPTY Dataset's to_pandas() has no columns at all (CLAUDE.md)
+    got = ({} if "stage" not in agg.columns else
+           dict(zip(agg["stage"].astype(int),
+                    agg["survivors"].astype(int))))
     got[7] = distinct_rows(hash_rows, ["h"]).count()
     return pd.DataFrame({
         "stage": pd.Series(range(8), dtype=np.int64),

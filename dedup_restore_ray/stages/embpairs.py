@@ -100,8 +100,10 @@ def _block_nn_task(ta: pa.Table, tb: pa.Table, id_col: str,
     if len(ids_a) == 0 or len(ids_b) == 0:
         e = pa.array([], pa.int64())
         return pa.table({"side": e, "id": e, "pack": e})
-    if max(ids_a.max(), ids_b.max()) >= _NN_ID_MASK:
-        raise ValueError("mutual_nn: vec ids exceed 41-bit pack range")
+    if (max(ids_a.max(), ids_b.max()) >= _NN_ID_MASK
+            or min(ids_a.min(), ids_b.min()) < 0):
+        raise ValueError("mutual_nn: vec ids outside the 41-bit "
+                         "pack range [0, 2^41 - 1)")
     va = l2_normalize(list_to_matrix(ta.column(vec_col)))
     vb = l2_normalize(list_to_matrix(tb.column(vec_col)))
     s = va @ vb.T
@@ -109,11 +111,10 @@ def _block_nn_task(ta: pa.Table, tb: pa.Table, id_col: str,
         np.int64)
 
     def best(rows_e4, other_ids):
-        m = rows_e4.max(axis=1)
-        cand = np.where(rows_e4 == m[:, None], other_ids[None, :],
-                        np.int64(_NN_ID_MASK))
-        ob = cand.min(axis=1)
-        return ((m + 10000) << _NN_ID_BITS) | (_NN_ID_MASK - ob)
+        # the in-block winner IS the pack max — one int64 temp, and
+        # the (max e4, min id) tie-break exists in exactly one form
+        return (((rows_e4 + 10000) << _NN_ID_BITS)
+                | (_NN_ID_MASK - other_ids[None, :])).max(axis=1)
 
     pack_a = best(e4, ids_b)
     pack_b = best(e4.T, ids_a)
@@ -200,18 +201,23 @@ def mutual_nn_pairs_lsh(emb_a: "rd.Dataset", emb_b: "rd.Dataset",
     def tag(add: int):
         def f(b: pa.Table) -> pa.Table:
             ids = np.asarray(b.column(id_col), dtype=np.int64)
-            if len(ids) and ids.max() >= (1 << 40):
-                raise ValueError("mutual_nn_lsh: ids exceed tag range")
+            if len(ids) and (ids.max() >= (1 << 40) or ids.min() < 0):
+                raise ValueError("mutual_nn_lsh: ids outside [0, 2^40)")
             return pa.table({id_col: pa.array(ids * 2 + add),
                              vec_col: b.column(vec_col)})
         return f
 
     union = (emb_a.map_batches(tag(0), batch_format="pyarrow")
              .union(emb_b.map_batches(tag(1), batch_format="pyarrow")))
+    # same-side bucket collisions are rejected from the ids alone,
+    # BEFORE the two vector scatter shuffles — on self-similar corpora
+    # same-side pairs dominate the candidate stream
     pairs = hyperplane_lsh_pairs(union, threshold=-1.0, cfg=cfg,
                                  num_bands=num_bands,
                                  bits_per_band=bits_per_band,
-                                 id_col=id_col, vec_col=vec_col)
+                                 id_col=id_col, vec_col=vec_col,
+                                 cand_filter=lambda u, v:
+                                     (u & 1) != (v & 1))
 
     def cross(b: pa.Table) -> pa.Table:
         u = np.asarray(b.column("u"), dtype=np.int64)
@@ -226,7 +232,10 @@ def mutual_nn_pairs_lsh(emb_a: "rd.Dataset", emb_b: "rd.Dataset",
         return pa.table({"id_a": pa.array(a), "id_b": pa.array(bb),
                          "e4": pa.array(e4)})
 
-    scored = pairs.map_batches(cross, batch_format="pyarrow")
+    # materialize: two grouped_aggregate consumers follow — a lazy
+    # plan would re-run the whole LSH candidate + verify chain twice
+    scored = pairs.map_batches(cross,
+                               batch_format="pyarrow").materialize()
 
     def packed(key: str, other: str):
         def f(b: pa.Table) -> pa.Table:
@@ -274,7 +283,8 @@ def hyperplane_lsh_pairs(emb: "rd.Dataset", threshold: float,
                          num_bands: int = 16, bits_per_band: int = 8,
                          seed: int = 42,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> "rd.Dataset":
+                         vec_col: str = "embedding",
+                         cand_filter=None) -> "rd.Dataset":
     """Approximate near-dup pairs: sign-random-projection LSH.
 
     Collision probability per bit = 1 - theta/pi; with 16 bands x 8
@@ -282,6 +292,11 @@ def hyperplane_lsh_pairs(emb: "rd.Dataset", threshold: float,
     asserted on a planted corpus in tests).  Only the [d x bands*bits]
     projection matrix is broadcast — never the corpus.  Verification
     is exact cosine with both sides' vectors delivered by sort-scatter.
+
+    ``cand_filter``: optional vectorized (u_int64, v_int64) -> bool
+    mask applied to candidate ids BEFORE the two vector scatter
+    shuffles — callers that can reject pairs from ids alone (e.g. the
+    mutual-NN cross-side parity test) prune the verify volume here.
     """
     from dedup_restore_ray.functions.hashing import combine64, mix64
     from dedup_restore_ray.stages.cluster import _scatter_lookup
@@ -318,6 +333,12 @@ def hyperplane_lsh_pairs(emb: "rd.Dataset", threshold: float,
 
     rows = emb.map_batches(bucket_rows, batch_format="pyarrow")
     cands = bucket_pairs(rows, cfg.max_bucket_pairs, cfg.num_salts)
+    if cand_filter is not None:
+        def prune(b: pa.Table) -> pa.Table:
+            keep = cand_filter(np.asarray(b.column("u"), dtype=np.int64),
+                               np.asarray(b.column("v"), dtype=np.int64))
+            return b.filter(pa.array(keep))
+        cands = cands.map_batches(prune, batch_format="pyarrow")
 
     # exact-cosine verification: attach u's and v's vectors by scatter
     vec_type = pa.list_(pa.float64())

@@ -240,8 +240,10 @@ def pagerank_fixed_point(directed: "ray.data.Dataset", iters: int = 4,
     contribution scatter onto the edge stream + one grouped sum
     (destination degree carried on the edges) = two sorts, zero
     driver state.  Both paths are bit-identical, including the
-    die-off semantics: a node whose in-flow sources have all dropped
-    out stops contributing from the next iteration.
+    die-off semantics (a node whose in-flow sources have all dropped
+    out stops contributing from the next iteration) and the handling
+    of contract-violating edges into zero-out-degree nodes (dropped
+    by the degree attach in both tiers).
 
     Returns (node, rank_fp) — micro-rank units; sum over nodes is
     conserved up to the integer-floor remainders, exactly as the
@@ -370,17 +372,17 @@ def _pagerank_broadcast(directed: "ray.data.Dataset",
         nd = ray.get(nodes_ref)
         src = np.asarray(b.column("src"), dtype=np.int64)
         dst = np.asarray(b.column("dst"), dtype=np.int64)
-        si = np.searchsorted(nd, src)
         di = np.searchsorted(nd, dst)
-        # every node must have out_deg >= 1, i.e. appear as a src;
-        # fail loudly on a dst that never occurs as a src
-        bad = (np.minimum(di, len(nd) - 1) != di) | (nd[np.minimum(
-            di, len(nd) - 1)] != dst)
-        if bad.any():
-            raise ValueError(
-                f"pagerank: {int(bad.sum())} dst node(s) have no "
-                "out-edges (out_deg >= 1 contract)")
-        if (nd[si] != src).any():
+        # an edge into a node with no out-edges (out_deg >= 1 contract
+        # violation) is DROPPED — exactly what the distributed tier's
+        # degree attach (_scatter_lookup keyed by dst) does, so both
+        # tiers stay bit-identical even on contract-violating input
+        ok = (np.minimum(di, len(nd) - 1) == di) & (nd[np.minimum(
+            di, len(nd) - 1)] == dst)
+        if not ok.all():
+            src, di = src[ok], di[ok]
+        si = np.minimum(np.searchsorted(nd, src), len(nd) - 1)
+        if len(si) and (nd[si] != src).any():
             raise ValueError("pagerank: src missing from degree table")
         return pa.table({"si": pa.array(si), "di": pa.array(di)})
 

@@ -22,3 +22,21 @@ class TestFilterFunnel:
         asg = q_exact_dedup_docs(sf_dir).to_pandas()
         assert s[0] == len(asg)
         assert s[7] <= (~asg["is_dup"]).sum()
+
+    def test_empty_corpus(self):
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dedup_restore_ray.queries import q_filter_funnel_docs
+        t = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string()),
+                      "lang": pa.array([], pa.string()),
+                      "source": pa.array([], pa.string()),
+                      "n_chars": pa.array([], pa.int64())})
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "documents.parquet"))
+            f = q_filter_funnel_docs(d)
+        assert list(f["survivors"]) == [0] * 8

@@ -119,6 +119,26 @@ class TestPageRank:
         assert a == b
         assert 9_999 not in a
 
+    def test_tiers_identical_on_sink_edges(self):
+        # contract-violating edge INTO a node with no out-edges: both
+        # tiers must DROP it (the distributed tier's degree attach
+        # does; the broadcast tier must match, not raise)
+        import ray.data as rd
+        from dedup_restore_ray.stages.graph import pagerank_fixed_point
+        rng = np.random.default_rng(13)
+        u, v = _random_edges(rng, 20, 50)
+        src = np.concatenate([u, v, [int(u[0])]])
+        dst = np.concatenate([v, u, [77_777]])  # 77777 never a src
+        ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                     "dst": pa.array(dst)}))
+        fast = pagerank_fixed_point(ds, iters=2).to_pandas()
+        slow = pagerank_fixed_point(ds, iters=2,
+                                    broadcast_limit=0).to_pandas()
+        a = dict(zip(fast["node"].astype(int), fast["r"].astype(int)))
+        b = dict(zip(slow["node"].astype(int), slow["r"].astype(int)))
+        assert a == b
+        assert 77_777 not in a
+
     def test_star_graph_hub_dominates(self):
         import ray.data as rd
         from dedup_restore_ray.stages.graph import pagerank_fixed_point

@@ -40,6 +40,30 @@ class TestUniMax:
         assert (per_lang["a"] <= per_lang["n"] * cap * 1_000_000).all()
         assert (w["w_micro"] == w["alloc_micro"] // w["n_docs"]).all()
 
+    def test_null_lang_dropped_like_oracle(self):
+        # NULL-lang docs must drop (the SQL oracle's JOIN ON lang
+        # excludes them), not crash the attach
+        import ray.data as rd
+        from dedup_restore_ray.queries import q_unimax_alloc_docs
+        import os
+        import tempfile
+        import pyarrow.parquet as pq
+
+        langs = ["en", "en", None, "fr", None, "en"]
+        t = pa.table({"doc_id": pa.array(np.arange(len(langs))),
+                      "text": pa.array(["x"] * len(langs)),
+                      "lang": pa.array(langs, pa.string()),
+                      "source": pa.array(["s"] * len(langs)),
+                      "n_chars": pa.array(np.ones(len(langs), np.int64))})
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "documents.parquet"))
+            w = q_unimax_alloc_docs(d, epoch_cap=3).to_pandas()
+        assert len(w) == 4                      # the two NULLs dropped
+        assert set(w["lang"]) == {"en", "fr"}
+        # budget is ONE epoch over the non-null corpus (4 docs)
+        assert 0 <= 4_000_000 - int(
+            w.groupby("lang")["alloc_micro"].first().sum()) < 2
+
     def test_cap_binds_only_small_languages(self):
         # synthetic skewed corpus: tiny languages hit the 3-epoch cap,
         # the surplus flows to the largest language
