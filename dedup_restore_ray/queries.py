@@ -5151,6 +5151,60 @@ def q_filter_funnel_docs(sf_dir: str):
                                dtype=np.int64)})
 
 
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape — top supplier(s) by quarterly shipped revenue:
+    the revenue VIEW + scalar MAX + equality-join-back pattern.  One
+    column-pruned lineitem pass with a per-batch (suppkey, cents)
+    combiner, one tiny grouped sum (|suppliers| rows), the scalar max
+    via `Dataset.max` (no driver table), then the winners (ties all
+    kept, exactly like the SQL) pick up s_name by one sort-scatter.
+    Integer cents fixed per row before any summation."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    lo = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-04-01"), pa.timestamp("us"))
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_shipdate",
+                                     "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        cents = round_half_up(
+            np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+            * (1.0 - np.asarray(t.column("l_discount"),
+                                dtype=np.float64)) * 100.0, 0
+        ).astype(np.int64)
+        g = pa.table({"l_suppkey": t.column("l_suppkey"),
+                      "pc_": pa.array(cents)}).group_by(
+            ["l_suppkey"]).aggregate([("pc_", "sum")])
+        return pa.table({"l_suppkey": g.column("l_suppkey"),
+                         "pn": g.column("pc__sum")})
+
+    rev = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey"], {"total_cents": ("pn", "sum")}).materialize()
+    mx = rev.max("total_cents")
+
+    winners = rev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_cents"), mx)),
+        batch_format="pyarrow")
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_name"])
+    store = supp.map_batches(
+        lambda b: pa.table({"l_suppkey": b.column("s_suppkey"),
+                            "s_name": b.column("s_name")}),
+        batch_format="pyarrow")
+    out = _scatter_lookup(winners, store, key_col="l_suppkey",
+                          payload_col="s_name",
+                          out_cols=["l_suppkey", "total_cents"])
+    return out.map_batches(
+        lambda b: pa.table({"s_suppkey": b.column("l_suppkey"),
+                            "s_name": b.column("s_name"),
+                            "total_cents": b.column("total_cents")}),
+        batch_format="pyarrow")
+
+
 def q_volume_shipping(sf_dir: str, nation_a: int = 1, nation_b: int = 2):
     """TPC-H Q7-shaped cross-nation trade flow: 1996-97 shipment
     revenue between two nations, by (supplier nation, customer
@@ -5759,6 +5813,7 @@ QUERIES = {
     "badwords_filter_docs": q_badwords_filter_docs,
     "mutual_nn_lsh_embeddings": q_mutual_nn_lsh_embeddings,
     "char_entropy_docs": q_char_entropy_docs,
+    "top_supplier_revenue": q_top_supplier_revenue,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -7343,6 +7398,20 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
                al.a // al.n AS w_micro
         FROM documents d JOIN alloc al ON d.lang = al.lang
+    """,
+    "top_supplier_revenue": r"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_cents
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
     """,
     "char_entropy_docs": r"""
         WITH chars AS (
