@@ -5151,6 +5151,99 @@ def q_filter_funnel_docs(sf_dir: str):
                                dtype=np.int64)})
 
 
+def q_source_kl_docs(sf_dir: str):
+    """Corpus-composition drift monitor: KL(source || corpus) over the
+    token distribution, per source, in fixed-point micro-nats — the
+    standard check that one ingest source hasn't drifted from the
+    blend.  Unsmoothed on the source's own support (corpus counts
+    dominate source counts there, so true KL >= 0); every per-token
+    term floors to int64 BEFORE the sum (order-free oracle), the
+    final sum clamps at 0 (floor loss can dip epsilon-negative) and
+    divides by the source's token count — all integer ops DuckDB
+    reproduces.  NOTE: DuckDB ``//`` TRUNCATES toward zero on
+    negatives while numpy floors — the clamp keeps the dividend
+    non-negative where both agree.  Distributed shape: per-batch
+    (source, token) combiner -> one grouped sum (the only vocab-sized
+    shuffle) -> tiny corpus-count re-aggregate -> one token-keyed
+    sort-scatter attach -> per-batch floored terms -> |sources|-row
+    grouped sum."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("source")))
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if t.null_count:
+            t = t.fill_null("")
+        sp = pc.split_pattern_regex(pc.utf8_lower(t), r"\W+")
+        flat = pc.list_flatten(sp)
+        off = np.asarray(sp.offsets, dtype=np.int64)
+        reps = off[1:] - off[:-1]
+        srcs = b.column("source").take(
+            pa.array(np.repeat(np.arange(b.num_rows), reps)))
+        keep = pc.greater(pc.binary_length(flat), 0)
+        g = (pa.table({"source": srcs.filter(keep),
+                       "w": flat.filter(keep)})
+             .group_by(["source", "w"]).aggregate([("w", "count")]))
+        return pa.table({"source": g.column("source"),
+                         "w": g.column("w"),
+                         "pc_": g.column("w_count")})
+
+    sc = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "w"], {"c": ("pc_", "sum")}).materialize()
+    cw = grouped_aggregate(
+        sc.map_batches(lambda b: b.select(["w", "c"]),
+                       batch_format="pyarrow"),
+        ["w"], {"cc": ("c", "sum")})
+    ns = grouped_aggregate(
+        sc.map_batches(
+            lambda b: pa.table({"source": b.column("source"),
+                                "c": b.column("c")}),
+            batch_format="pyarrow"),
+        ["source"], {"n": ("c", "sum")}).to_pandas()
+    if len(ns) == 0:
+        return pd.DataFrame({"source": pd.Series([], dtype=str),
+                             "n_tokens": pd.Series([], dtype=np.int64),
+                             "kl_micro": pd.Series([], dtype=np.int64)})
+    ns = ns.sort_values("source").reset_index(drop=True)
+    srcs_arr = pa.array(ns["source"].tolist(), pa.string())
+    nvec = ns["n"].to_numpy(np.int64)
+    nc = float(nvec.sum())
+
+    rows = _scatter_lookup(sc, cw, key_col="w", payload_col="cc",
+                           out_cols=["source", "c"])
+
+    def terms(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("c"), dtype=np.float64)
+        cc = np.asarray(b.column("cc"), dtype=np.float64)
+        sidx = np.asarray(pc.index_in(b.column("source"),
+                                      value_set=srcs_arr),
+                          dtype=np.int64)
+        n_s = nvec[sidx].astype(np.float64)
+        t = np.floor(c * np.log((c * nc) / (cc * n_s)) * 1e6).astype(
+            np.int64)
+        g = (pa.table({"sidx": pa.array(sidx), "t": pa.array(t)})
+             .group_by(["sidx"]).aggregate([("t", "sum")]))
+        return pa.table({"sidx": g.column("sidx"),
+                         "pt": g.column("t_sum")})
+
+    agg = grouped_aggregate(
+        rows.map_batches(terms, batch_format="pyarrow"),
+        ["sidx"], {"s": ("pt", "sum")}).to_pandas()
+    sums = np.zeros(len(ns), np.int64)
+    sums[agg["sidx"].to_numpy(np.int64)] = agg["s"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": ns["source"],
+        "n_tokens": pd.Series(nvec, dtype=np.int64),
+        "kl_micro": pd.Series(np.maximum(sums, 0) // nvec,
+                              dtype=np.int64)})
+
+
 def q_top_supplier_revenue(sf_dir: str):
     """TPC-H Q15 shape — top supplier(s) by quarterly shipped revenue:
     the revenue VIEW + scalar MAX + equality-join-back pattern.  One
@@ -5814,6 +5907,7 @@ QUERIES = {
     "mutual_nn_lsh_embeddings": q_mutual_nn_lsh_embeddings,
     "char_entropy_docs": q_char_entropy_docs,
     "top_supplier_revenue": q_top_supplier_revenue,
+    "source_kl_docs": q_source_kl_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -7398,6 +7492,32 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
                al.a // al.n AS w_micro
         FROM documents d JOIN alloc al ON d.lang = al.lang
+    """,
+    "source_kl_docs": r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\w+')) AS w
+          FROM documents WHERE source IS NOT NULL),
+        sc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY source, w),
+        cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cc
+               FROM sc GROUP BY w),
+        ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+               FROM sc GROUP BY source),
+        nc AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM sc),
+        terms AS (
+          SELECT sc.source,
+                 CAST(floor(sc.c * ln((sc.c * CAST(nc.nn AS DOUBLE))
+                                      / (cw.cc * CAST(ns.n AS DOUBLE)))
+                            * 1000000) AS BIGINT) AS t
+          FROM sc JOIN cw USING (w) JOIN ns USING (source)
+               CROSS JOIN nc)
+        SELECT ns.source, ns.n AS n_tokens,
+               GREATEST(CAST(COALESCE(SUM(t.t), 0) AS BIGINT),
+                        CAST(0 AS BIGINT)) // ns.n AS kl_micro
+        FROM ns LEFT JOIN terms t USING (source)
+        GROUP BY ns.source, ns.n
     """,
     "top_supplier_revenue": r"""
         WITH rev AS (
