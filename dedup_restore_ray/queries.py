@@ -5244,6 +5244,76 @@ def q_source_kl_docs(sf_dir: str):
                               dtype=np.int64)})
 
 
+def q_zipf_slope_tokens(sf_dir: str):
+    """Zipf-law slope of the corpus token distribution — the
+    rank-frequency power-law exponent (natural text sits near -1;
+    deviations flag synthetic/templated corpora).  Least squares of
+    ln(freq) on ln(rank): the four regression sums accumulate as
+    PER-TOKEN FLOORED micro-nat terms (order-free, like source_kl),
+    ranks come from ONE global_rank over the vocabulary (freq desc,
+    token asc — unique tiebreak), and the slope recomputes from the
+    five exact integer legs in float64 the same way on both sides.
+    Distributed: per-batch token combiner -> one vocab-sized grouped
+    sum -> one vocab sort -> per-block one-row partials; the driver
+    sees n_blocks rows."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.windows import global_rank
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if t.null_count:
+            t = t.fill_null("")
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(t), r"\W+"))
+        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+        g = (pa.table({"w": flat}).group_by(["w"])
+             .aggregate([("w", "count")]))
+        return pa.table({"w": g.column("w"), "pc_": g.column("w_count")})
+
+    cw = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w"], {"c": ("pc_", "sum")})
+    neg = cw.map_batches(
+        lambda b: pa.table({"negc": pc.negate(pc.cast(b.column("c"),
+                                                      pa.int64())),
+                            "w": b.column("w")}),
+        batch_format="pyarrow")
+    ranked = global_rank(neg, ["negc", "w"], rank_col="rk")
+
+    def sums(b: pa.Table) -> pa.Table:
+        c = -np.asarray(b.column("negc"), dtype=np.int64)
+        rk = np.asarray(b.column("rk"), dtype=np.int64)
+        x = np.log(rk.astype(np.float64))
+        y = np.log(c.astype(np.float64))
+        return pa.table({
+            "v": pa.array([len(c)]),
+            "sx": pa.array([int(np.floor(x * 1e6).astype(np.int64).sum())]),
+            "sy": pa.array([int(np.floor(y * 1e6).astype(np.int64).sum())]),
+            "sxy": pa.array([int(np.floor(x * y * 1e6).astype(np.int64).sum())]),
+            "sxx": pa.array([int(np.floor(x * x * 1e6).astype(np.int64).sum())])})
+
+    p = ranked.map_batches(sums, batch_format="pyarrow").to_pandas()
+    if len(p) == 0 or int(p["v"].sum()) < 2:
+        return pd.DataFrame({"v": pd.Series([0], dtype=np.int64),
+                             "sx": [0], "sy": [0], "sxy": [0],
+                             "sxx": [0], "slope_micro": [0]})
+    v = int(p["v"].sum())
+    sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+    sxy, sxx = int(p["sxy"].sum()), int(p["sxx"].sum())
+    # micro scales: sxy/sxx carry one 1e6 factor, sx*sy carries two —
+    # multiply the single-factor legs by 1e6 so the ratio is unitless
+    num = (float(v) * float(sxy)) * 1e6 - float(sx) * float(sy)
+    den = (float(v) * float(sxx)) * 1e6 - float(sx) * float(sx)
+    slope_micro = int(np.floor(num / den * 1e6))
+    return pd.DataFrame({"v": pd.Series([v], dtype=np.int64),
+                         "sx": [sx], "sy": [sy], "sxy": [sxy],
+                         "sxx": [sxx], "slope_micro": [slope_micro]})
+
+
 def q_top_supplier_revenue(sf_dir: str):
     """TPC-H Q15 shape — top supplier(s) by quarterly shipped revenue:
     the revenue VIEW + scalar MAX + equality-join-back pattern.  One
@@ -5908,6 +5978,7 @@ QUERIES = {
     "char_entropy_docs": q_char_entropy_docs,
     "top_supplier_revenue": q_top_supplier_revenue,
     "source_kl_docs": q_source_kl_docs,
+    "zipf_slope_tokens": q_zipf_slope_tokens,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -7492,6 +7563,37 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
                al.a // al.n AS w_micro
         FROM documents d JOIN alloc al ON d.lang = al.lang
+    """,
+    "zipf_slope_tokens": r"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\w+')) AS w
+          FROM documents),
+        cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY w),
+        r AS (SELECT w, c,
+                     CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w)
+                          AS BIGINT) AS rk
+              FROM cw),
+        t AS (SELECT
+                CAST(floor(ln(rk) * 1000000) AS BIGINT) AS tx,
+                CAST(floor(ln(c) * 1000000) AS BIGINT) AS ty,
+                CAST(floor(ln(rk) * ln(c) * 1000000) AS BIGINT) AS txy,
+                CAST(floor(ln(rk) * ln(rk) * 1000000) AS BIGINT) AS txx
+              FROM r),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                     CAST(SUM(tx) AS BIGINT) AS sx,
+                     CAST(SUM(ty) AS BIGINT) AS sy,
+                     CAST(SUM(txy) AS BIGINT) AS sxy,
+                     CAST(SUM(txx) AS BIGINT) AS sxx
+              FROM t)
+        SELECT v, sx, sy, sxy, sxx,
+               CAST(floor(((CAST(v AS DOUBLE) * sxy) * 1000000
+                           - CAST(sx AS DOUBLE) * sy)
+                          / ((CAST(v AS DOUBLE) * sxx) * 1000000
+                             - CAST(sx AS DOUBLE) * sx)
+                          * 1000000) AS BIGINT) AS slope_micro
+        FROM s
     """,
     "source_kl_docs": r"""
         WITH toks AS (
