@@ -112,7 +112,9 @@ def run_benchmarks() -> dict:
                  "copurchase_parts", "pmi_collocations",
                  "unimax_alloc_docs", "bpe_merge_pairs_docs",
                  "snm_pairs_docs", "filter_funnel_docs",
-                 "mutual_nn_embeddings", "badwords_filter_docs"]:
+                 "mutual_nn_embeddings", "badwords_filter_docs",
+                 "char_entropy_docs", "source_kl_docs",
+                 "zipf_slope_tokens", "top_supplier_revenue"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)
