@@ -5244,6 +5244,157 @@ def q_source_kl_docs(sf_dir: str):
                               dtype=np.int64)})
 
 
+def q_weighted_neardup_pairs_docs(sf_dir: str, num: int = 4, den: int = 5,
+                                  n_perm: int = 128, n_bands: int = 32):
+    """WEIGHTED near-dup pairs: token-multiset Jaccard >= num/den (0.8)
+    via ICWS weighted MinHash (Ioffe 2010, functions/wminhash.py) —
+    the multiplicity-aware rail the binary MinHash flagship cannot
+    express (a doc repeating one boilerplate line 50x looks different
+    under J_w).  One fused pass computes per-doc (token, count) runs
+    AND the [128]-sample signature; 32 bands x 4 rows ride the same
+    salted bucket_pairs stream as every other rail (J_w=0.8 miss
+    probability ~5e-8, and the seed is fixed so the pair set is
+    deterministic); verification is EXACT integer legs (sum-min /
+    sum-max via the sorted-merge kernel) with both docs' packed runs
+    delivered by sort-scatter — so the final pair set is exact and
+    the brute-force SQL cross join hash-matches."""
+    from dedup_restore_ray.functions.hashing import arrow_row_hashes, combine64
+    from dedup_restore_ray.functions.wminhash import (icws_signatures,
+                                                      weighted_jaccard_legs)
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import bucket_pairs, distinct_rows
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    rows_per_band = n_perm // n_bands
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if t.null_count:
+            t = t.fill_null("")
+        sp = pc.split_pattern_regex(pc.utf8_lower(t), r"\W+")
+        flat = pc.list_flatten(sp)
+        keep = pc.greater(pc.binary_length(flat), 0)
+        off = np.asarray(sp.offsets, dtype=np.int64)
+        keep_np = np.asarray(keep)
+        cum = np.zeros(len(keep_np) + 1, np.int64)
+        np.cumsum(keep_np, out=cum[1:])
+        doc_tok_counts = cum[off[1:]] - cum[off[:-1]]
+        flat = flat.filter(keep)
+        th = arrow_row_hashes(flat)
+        row_of = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                           doc_tok_counts)
+        # (doc, token) counts: lexsort then run-length
+        order = np.lexsort((th, row_of))
+        rs, ts = row_of[order], th[order]
+        newrun = np.concatenate([[True], (rs[1:] != rs[:-1])
+                                 | (ts[1:] != ts[:-1])])
+        starts = np.flatnonzero(newrun)
+        counts = np.diff(np.concatenate([starts, [len(ts)]]))
+        utok, urow = ts[starts], rs[starts]
+        per_doc = np.bincount(urow, minlength=b.num_rows)
+        doc_off = np.zeros(b.num_rows + 1, np.int64)
+        np.cumsum(per_doc, out=doc_off[1:])
+        sig = icws_signatures(utok, counts.astype(np.float64), doc_off,
+                              n_perm=n_perm)
+        # pack [tokens..., counts...] per doc (tokens ascend in-run),
+        # positions computed vectorized from the two offset ramps
+        pak = np.empty(2 * len(utok), np.int64)
+        pk_off = np.zeros(b.num_rows + 1, np.int64)
+        np.cumsum(2 * per_doc, out=pk_off[1:])
+        rel = np.arange(len(utok), dtype=np.int64) - doc_off[urow]
+        tok_pos = pk_off[urow] + rel
+        pak[tok_pos] = utok.view(np.int64)
+        pak[tok_pos + per_doc[urow]] = counts
+        pack_col = pa.ListArray.from_arrays(
+            pa.array(pk_off, pa.int32()), pa.array(pak))
+        folded = np.empty((b.num_rows, n_bands), np.uint64)
+        for bi in range(n_bands):
+            acc = sig[:, bi * rows_per_band]
+            for j in range(1, rows_per_band):
+                acc = combine64(acc, sig[:, bi * rows_per_band + j])
+            folded[:, bi] = combine64(acc, np.uint64(bi + 1))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "nt": pa.array(per_doc),
+            "pack": pack_col,
+            "bands": pa.ListArray.from_arrays(
+                pa.array(np.arange(b.num_rows + 1) * n_bands,
+                         pa.int32()),
+                pa.array(folded.reshape(-1).view(np.int64)))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def bucket_rows(b: pa.Table) -> pa.Table:
+        # token-less docs share identical all-zero signatures — drop
+        # them here or they'd form one giant spurious bucket
+        b = b.filter(pc.greater(b.column("nt"), 0))
+        keys = np.asarray(pc.list_flatten(b.column("bands")),
+                          dtype=np.int64).view(np.uint64)
+        ids = b.column("doc_id").take(
+            pa.array(np.repeat(np.arange(b.num_rows), n_bands)))
+        return pa.table({"bucket_key": pa.array(keys, pa.uint64()),
+                         "doc_id": ids})
+
+    cands = bucket_pairs(
+        prepped.map_batches(bucket_rows, batch_format="pyarrow"),
+        CFG.max_bucket_pairs, CFG.num_salts)
+    cands = distinct_rows(cands, ["u", "v"])
+
+    store = prepped.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "pack": b.column("pack")}),
+        batch_format="pyarrow")
+    with_u = _scatter_lookup(
+        cands.map_batches(
+            lambda b: pa.table({"doc_id": b.column("u"),
+                                "u": b.column("u"), "v": b.column("v")}),
+            batch_format="pyarrow"),
+        store, key_col="doc_id", payload_col="pack", out_cols=["u", "v"])
+    both = _scatter_lookup(
+        with_u.map_batches(
+            lambda b: pa.table({"doc_id": b.column("v"),
+                                "u": b.column("u"), "v": b.column("v"),
+                                "pack_u": b.column("pack")}),
+            batch_format="pyarrow"),
+        store, key_col="doc_id", payload_col="pack",
+        out_cols=["u", "v", "pack_u"])
+
+    def check(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        us = np.asarray(b.column("u"), dtype=np.int64)
+        vs = np.asarray(b.column("v"), dtype=np.int64)
+
+        def unpack(col):
+            col = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            flat = np.asarray(col.values, dtype=np.int64)
+            off = np.asarray(col.offsets, dtype=np.int64)
+            return flat, off
+
+        fu, ou = unpack(b.column("pack_u"))
+        fv, ov = unpack(b.column("pack"))
+        keep = np.zeros(n, bool)
+        nums = np.zeros(n, np.int64)
+        dens = np.zeros(n, np.int64)
+        for i in range(n):
+            a = fu[ou[i]:ou[i + 1]]
+            c = fv[ov[i]:ov[i + 1]]
+            ka, kc = len(a) // 2, len(c) // 2
+            jn, jd = weighted_jaccard_legs(
+                a[:ka].view(np.uint64), a[ka:],
+                c[:kc].view(np.uint64), c[kc:])
+            nums[i], dens[i] = jn, jd
+            keep[i] = jd > 0 and den * jn >= num * jd
+        return pa.table({"u": pa.array(us[keep]),
+                         "v": pa.array(vs[keep]),
+                         "jw_num": pa.array(nums[keep]),
+                         "jw_den": pa.array(dens[keep])})
+
+    return both.map_batches(check, batch_format="pyarrow")
+
+
 def q_zipf_slope_tokens(sf_dir: str):
     """Zipf-law slope of the corpus token distribution — the
     rank-frequency power-law exponent (natural text sits near -1;
@@ -5979,6 +6130,7 @@ QUERIES = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "source_kl_docs": q_source_kl_docs,
     "zipf_slope_tokens": q_zipf_slope_tokens,
+    "weighted_neardup_pairs_docs": q_weighted_neardup_pairs_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -7563,6 +7715,28 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
                al.a // al.n AS w_micro
         FROM documents d JOIN alloc al ON d.lang = al.lang
+    """,
+    "weighted_neardup_pairs_docs": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\w+')) AS w
+          FROM documents),
+        tc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY doc_id, w),
+        tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+                FROM tc GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS u, b.doc_id AS v,
+                 CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS num
+          FROM tc a JOIN tc b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT i.u, i.v, i.num AS jw_num,
+               (ta.n + tb.n - i.num) AS jw_den
+        FROM inter i
+        JOIN tot ta ON ta.doc_id = i.u
+        JOIN tot tb ON tb.doc_id = i.v
+        WHERE 5 * i.num >= 4 * (ta.n + tb.n - i.num)
     """,
     "zipf_slope_tokens": r"""
         WITH toks AS (
