@@ -114,7 +114,8 @@ def run_benchmarks() -> dict:
                  "snm_pairs_docs", "filter_funnel_docs",
                  "mutual_nn_embeddings", "badwords_filter_docs",
                  "char_entropy_docs", "source_kl_docs",
-                 "zipf_slope_tokens", "top_supplier_revenue"]:
+                 "zipf_slope_tokens", "top_supplier_revenue",
+                 "weighted_neardup_pairs_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)
