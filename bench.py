@@ -115,7 +115,8 @@ def run_benchmarks() -> dict:
                  "mutual_nn_embeddings", "badwords_filter_docs",
                  "char_entropy_docs", "source_kl_docs",
                  "zipf_slope_tokens", "top_supplier_revenue",
-                 "weighted_neardup_pairs_docs"]:
+                 "weighted_neardup_pairs_docs",
+                 "distinct_tokens_by_source_kmv"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)

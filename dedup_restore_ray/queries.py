@@ -5395,6 +5395,92 @@ def q_weighted_neardup_pairs_docs(sf_dir: str, num: int = 4, den: int = 5,
     return both.map_batches(check, batch_format="pyarrow")
 
 
+def q_distinct_tokens_by_source_kmv(sf_dir: str, k: int = 64):
+    """GROUPED KMV sketch: approximate distinct-token count PER
+    SOURCE (vocabulary size per ingest feed — the per-group variant
+    of distinct_users_kmv, same DuckDB-reproducible md5 hash so the
+    estimates themselves hash-check).  Per batch, each source keeps
+    its k smallest distinct token hashes (md5 only on the batch's
+    dictionary, not per occurrence); one distinct pass + one
+    grouped_topk bottom-k merge; the driver sees <= k rows per
+    source."""
+    from dedup_restore_ray.functions.sketch import (KMV_HASH_DENOM,
+                                                    kmv_hash)
+    from dedup_restore_ray.stages.groups import distinct_rows, grouped_topk
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def cand(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("source")))
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if t.null_count:
+            t = t.fill_null("")
+        sp = pc.split_pattern_regex(pc.utf8_lower(t), r"\W+")
+        flat = pc.list_flatten(sp)
+        keep = pc.greater(pc.binary_length(flat), 0)
+        off = np.asarray(sp.offsets, dtype=np.int64)
+        keep_np = np.asarray(keep)
+        cum = np.zeros(len(keep_np) + 1, np.int64)
+        np.cumsum(keep_np, out=cum[1:])
+        reps = cum[off[1:]] - cum[off[:-1]]
+        sd = b.column("source").combine_chunks().dictionary_encode()
+        src_idx = np.asarray(sd.indices, dtype=np.int64)[
+            np.repeat(np.arange(b.num_rows), reps)]
+        d = flat.filter(keep).dictionary_encode()
+        dh = kmv_hash(d.dictionary.to_pylist())
+        hv = dh[np.asarray(d.indices, dtype=np.int64)] if len(src_idx) \
+            else np.empty(0, np.uint64)
+        if len(src_idx) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "hv": pa.array([], pa.uint64())})
+        # distinct (source, hv) then bottom-k per source, in-batch:
+        # lexsort by (src, hv), drop adjacent dups, head-k per run
+        order = np.lexsort((hv, src_idx))
+        si, hi = src_idx[order], hv[order]
+        first = np.concatenate([[True], (si[1:] != si[:-1])
+                                | (hi[1:] != hi[:-1])])
+        si, hi = si[first], hi[first]
+        newg = np.concatenate([[True], si[1:] != si[:-1]])
+        starts = np.flatnonzero(newg)
+        sizes = np.diff(np.concatenate([starts, [len(si)]]))
+        take_n = np.minimum(sizes, k)
+        idx = np.repeat(starts, take_n) + _ramp_local(take_n)
+        return pa.table({"source": sd.dictionary.take(
+                             pa.array(si[idx])),
+                         "hv": pa.array(hi[idx], pa.uint64())})
+
+    rows = distinct_rows(
+        ds.map_batches(cand, batch_format="pyarrow"), ["source", "hv"])
+    best = grouped_topk(rows, ["source"], [("hv", False)],
+                        k).to_pandas()
+    if len(best) == 0:
+        return pd.DataFrame({"source": pd.Series([], dtype=str),
+                             "est_distinct":
+                                 pd.Series([], dtype=np.float64)})
+    out = []
+    for src, g in best.groupby("source"):
+        hv = np.sort(g["hv"].to_numpy(np.uint64))
+        if len(hv) < k:
+            est = float(len(hv))
+        else:
+            est = (k - 1) / (float(hv[k - 1]) / KMV_HASH_DENOM)
+        out.append((src, float(round_half_up(est, 4))))
+    out.sort()
+    return pd.DataFrame({"source": [s for s, _ in out],
+                         "est_distinct": [e for _, e in out]})
+
+
+def _ramp_local(counts: np.ndarray) -> np.ndarray:
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(np.concatenate(([0], np.cumsum(counts[:-1]))),
+                     counts)
+    return out
+
+
 def q_zipf_slope_tokens(sf_dir: str):
     """Zipf-law slope of the corpus token distribution — the
     rank-frequency power-law exponent (natural text sits near -1;
@@ -6131,6 +6217,7 @@ QUERIES = {
     "source_kl_docs": q_source_kl_docs,
     "zipf_slope_tokens": q_zipf_slope_tokens,
     "weighted_neardup_pairs_docs": q_weighted_neardup_pairs_docs,
+    "distinct_tokens_by_source_kmv": q_distinct_tokens_by_source_kmv,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -7715,6 +7802,26 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
                al.a // al.n AS w_micro
         FROM documents d JOIN alloc al ON d.lang = al.lang
+    """,
+    "distinct_tokens_by_source_kmv": r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\w+')) AS w
+          FROM documents WHERE source IS NOT NULL),
+        h AS (SELECT DISTINCT source, md5_number_lower(w) AS hv
+              FROM toks),
+        b AS (SELECT source, hv FROM h
+              QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY hv) <= 64),
+        s AS (SELECT source, count(*) AS nk, max(hv) AS kth
+              FROM b GROUP BY source)
+        SELECT source,
+               CASE WHEN nk < 64 THEN nk::DOUBLE
+               ELSE round(63.0 / (kth::DOUBLE / 18446744073709551616.0),
+                          4)
+               END AS est_distinct
+        FROM s
     """,
     "weighted_neardup_pairs_docs": r"""
         WITH toks AS (
