@@ -5262,7 +5262,7 @@ def q_weighted_neardup_pairs_docs(sf_dir: str, num: int = 4, den: int = 5,
     from dedup_restore_ray.functions.wminhash import (icws_signatures,
                                                       weighted_jaccard_legs)
     from dedup_restore_ray.stages.cluster import _scatter_lookup
-    from dedup_restore_ray.stages.groups import bucket_pairs, distinct_rows
+    from dedup_restore_ray.stages.groups import bucket_pairs
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     rows_per_band = n_perm // n_bands
@@ -5337,10 +5337,11 @@ def q_weighted_neardup_pairs_docs(sf_dir: str, num: int = 4, den: int = 5,
         return pa.table({"bucket_key": pa.array(keys, pa.uint64()),
                          "doc_id": ids})
 
+    # bucket_pairs already returns a DISTINCT pair set (its 128-bit
+    # pair hash is the identity) — no second dedup shuffle needed
     cands = bucket_pairs(
         prepped.map_batches(bucket_rows, batch_format="pyarrow"),
         CFG.max_bucket_pairs, CFG.num_salts)
-    cands = distinct_rows(cands, ["u", "v"])
 
     store = prepped.map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_id"),
@@ -5404,9 +5405,9 @@ def q_distinct_tokens_by_source_kmv(sf_dir: str, k: int = 64):
     dictionary, not per occurrence); one distinct pass + one
     grouped_topk bottom-k merge; the driver sees <= k rows per
     source."""
-    from dedup_restore_ray.functions.sketch import (KMV_HASH_DENOM,
-                                                    kmv_hash)
-    from dedup_restore_ray.stages.groups import distinct_rows, grouped_topk
+    from dedup_restore_ray.functions.sketch import kmv_estimate, kmv_hash
+    from dedup_restore_ray.stages.groups import (_ramp, distinct_rows,
+                                                 grouped_topk)
 
     ds = _docs(sf_dir, ["source", "text"])
 
@@ -5446,7 +5447,7 @@ def q_distinct_tokens_by_source_kmv(sf_dir: str, k: int = 64):
         starts = np.flatnonzero(newg)
         sizes = np.diff(np.concatenate([starts, [len(si)]]))
         take_n = np.minimum(sizes, k)
-        idx = np.repeat(starts, take_n) + _ramp_local(take_n)
+        idx = np.repeat(starts, take_n) + _ramp(take_n)
         return pa.table({"source": sd.dictionary.take(
                              pa.array(si[idx])),
                          "hv": pa.array(hi[idx], pa.uint64())})
@@ -5461,24 +5462,12 @@ def q_distinct_tokens_by_source_kmv(sf_dir: str, k: int = 64):
                                  pd.Series([], dtype=np.float64)})
     out = []
     for src, g in best.groupby("source"):
-        hv = np.sort(g["hv"].to_numpy(np.uint64))
-        if len(hv) < k:
-            est = float(len(hv))
-        else:
-            est = (k - 1) / (float(hv[k - 1]) / KMV_HASH_DENOM)
+        est = kmv_estimate(g["hv"].to_numpy(np.uint64), k)
         out.append((src, float(round_half_up(est, 4))))
     out.sort()
     return pd.DataFrame({"source": [s for s, _ in out],
                          "est_distinct": [e for _, e in out]})
 
-
-def _ramp_local(counts: np.ndarray) -> np.ndarray:
-    counts = np.asarray(counts, dtype=np.int64)
-    total = int(counts.sum())
-    out = np.arange(total, dtype=np.int64)
-    out -= np.repeat(np.concatenate(([0], np.cumsum(counts[:-1]))),
-                     counts)
-    return out
 
 
 def q_zipf_slope_tokens(sf_dir: str):
@@ -5584,6 +5573,13 @@ def q_top_supplier_revenue(sf_dir: str):
     rev = grouped_aggregate(
         li.map_batches(partial, batch_format="pyarrow"),
         ["l_suppkey"], {"total_cents": ("pn", "sum")}).materialize()
+    if rev.count() == 0:
+        # empty quarter: Dataset.max returns None and the downstream
+        # scatter would hit the empty-schema trap (CLAUDE.md)
+        e = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(
+            {"s_suppkey": e, "s_name": pa.array([], pa.string()),
+             "total_cents": e}))
     mx = rev.max("total_cents")
 
     winners = rev.map_batches(
