@@ -5396,6 +5396,25 @@ def q_weighted_neardup_pairs_docs(sf_dir: str, num: int = 4, den: int = 5,
     return both.map_batches(check, batch_format="pyarrow")
 
 
+def q_weighted_dedup_clusters_docs(sf_dir: str):
+    """End-to-end WEIGHTED dedup clustering: the ICWS weighted-
+    Jaccard pair stream (q_weighted_neardup_pairs_docs) -> connected
+    components -> (doc_id, cluster_id), singletons clustering alone —
+    the multiset-aware counterpart of dedup_clusters_docs.  Valid as
+    an oracle because the banded pair set itself hash-matches its
+    brute-force oracle (fixed seed, deterministic); the component
+    oracle is the same recursive walk the other cluster oracles use."""
+    from dedup_restore_ray.stages.cluster import (cluster_union_find,
+                                                  edges_to_driver)
+    pairs = q_weighted_neardup_pairs_docs(sf_dir).materialize()
+    labels = cluster_union_find(edges_to_driver(
+        pairs.select_columns(["u", "v"])))
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    docs["cluster_id"] = [labels.get(v, v) for v in docs["doc_id"]]
+    return docs
+
+
 def q_distinct_tokens_by_source_kmv(sf_dir: str, k: int = 64):
     """GROUPED KMV sketch: approximate distinct-token count PER
     SOURCE (vocabulary size per ingest feed — the per-group variant
@@ -6214,6 +6233,7 @@ QUERIES = {
     "zipf_slope_tokens": q_zipf_slope_tokens,
     "weighted_neardup_pairs_docs": q_weighted_neardup_pairs_docs,
     "distinct_tokens_by_source_kmv": q_distinct_tokens_by_source_kmv,
+    "weighted_dedup_clusters_docs": q_weighted_dedup_clusters_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -7798,6 +7818,35 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.lang, al.n AS n_docs, al.a AS alloc_micro,
                al.a // al.n AS w_micro
         FROM documents d JOIN alloc al ON d.lang = al.lang
+    """,
+    "weighted_dedup_clusters_docs": r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '\w+')) AS w
+          FROM documents),
+        tc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY doc_id, w),
+        tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+                FROM tc GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS u, b.doc_id AS v,
+                 CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS num
+          FROM tc a JOIN tc b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        wp AS (
+          SELECT i.u, i.v
+          FROM inter i
+          JOIN tot ta ON ta.doc_id = i.u
+          JOIN tot tb ON tb.doc_id = i.v
+          WHERE 5 * i.num >= 4 * (ta.n + tb.n - i.num)),
+        edges AS (SELECT u, v FROM wp UNION SELECT v, u FROM wp),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)
+        SELECT node AS doc_id, min(reach) AS cluster_id
+        FROM walk GROUP BY node
     """,
     "distinct_tokens_by_source_kmv": r"""
         WITH toks AS (

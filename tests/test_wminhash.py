@@ -116,3 +116,21 @@ class TestWeightedNearDupQuery:
         assert (1, 2) not in pairs
         row = out[(out["u"] == 0) & (out["v"] == 1)].iloc[0]
         assert row["jw_num"] == row["jw_den"]  # J_w == 1 exactly
+
+    def test_weighted_clusters_consistent_with_pairs(self, sf_dir):
+        from dedup_restore_ray.queries import (
+            q_weighted_dedup_clusters_docs, q_weighted_neardup_pairs_docs)
+        asg = q_weighted_dedup_clusters_docs(sf_dir)
+        pairs = q_weighted_neardup_pairs_docs(sf_dir).to_pandas()
+        lab = dict(zip(asg["doc_id"].astype(int),
+                       asg["cluster_id"].astype(int)))
+        # every verified pair shares a component label
+        for u, v in zip(pairs["u"].astype(int), pairs["v"].astype(int)):
+            assert lab[u] == lab[v]
+        # labels are component minima
+        import collections
+        members = collections.defaultdict(list)
+        for d, c in lab.items():
+            members[c].append(d)
+        for c, ms in members.items():
+            assert c == min(ms)
