@@ -6113,6 +6113,61 @@ def q_pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50):
     return out.reset_index(drop=True)
 
 
+def q_url_dedup_docs(sf_dir: str):
+    """URL canonicalization + URL-level first-wins dedup — the first
+    stage of a web crawl pipeline (the cheap key that removes
+    re-crawl duplication before any content hashing; cf. the
+    reference's fingerprint-keyed exact dedup, src/dedup.c:105-146).
+
+    The documents table carries no url column, so a deterministic
+    messy URL is constructed per row from doc_id — six variants
+    (scheme/host case, www., :443, tracking params, fragment,
+    doubled + trailing slashes) of one page URL per alias group
+    (doc_id // 6), five of which canonicalize identically while the
+    doc_id%6==5 variant keeps a surviving real query param.  Canonicalization runs entirely in Arrow's
+    RE2 kernels (functions/urlnorm.py) so the DuckDB oracle is
+    bit-identical by construction; the dedup itself is one
+    grouped_aggregate (min doc_id + alias count) keyed by the
+    canonical string."""
+    from dedup_restore_ray.functions.urlnorm import canonicalize_urls
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def build_and_canon(b: pa.Table) -> pa.Table:
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        v = did % 6
+        gi = did // 6
+        g = pa.array(gi).cast(pa.string())
+        # host depends only on the alias GROUP (doc_id // 6), so the
+        # six variants of a group genuinely collide after
+        # canonicalization (the source column varies per row and
+        # would break the collision)
+        h = pa.array(gi % 7).cast(pa.string())
+        j = pc.binary_join_element_wise
+        variants = [
+            j("https://h", h, ".example.com/articles/", g, ""),
+            j("HTTPS://H", h, ".EXAMPLE.com/articles/", g, ""),
+            j("https://www.h", h, ".example.com/articles/", g,
+              "/", ""),
+            j("https://h", h, ".example.com:443/articles/", g,
+              "?utm_source=feed&utm_medium=rss", ""),
+            j("https://h", h, ".example.com//articles/", g,
+              "#toc", ""),
+            j("https://h", h, ".example.com/articles/", g,
+              "?ref=hp&page=2", ""),
+        ]
+        url = variants[0]
+        for k in range(1, 6):
+            url = pc.if_else(pa.array(v == k), variants[k], url)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "canonical_url": canonicalize_urls(url)})
+
+    rows = ds.map_batches(build_and_canon, batch_format="pyarrow")
+    return grouped_aggregate(rows, ["canonical_url"],
+                             {"keep_id": ("doc_id", "min")},
+                             count_alias="n_aliases")
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -6234,6 +6289,7 @@ QUERIES = {
     "weighted_neardup_pairs_docs": q_weighted_neardup_pairs_docs,
     "distinct_tokens_by_source_kmv": q_distinct_tokens_by_source_kmv,
     "weighted_dedup_clusters_docs": q_weighted_dedup_clusters_docs,
+    "url_dedup_docs": q_url_dedup_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -6291,6 +6347,71 @@ QUERIES = {
 
 
 ORACLE_SQL = {
+    # keep every regex here in lockstep with functions/urlnorm.py —
+    # both sides run RE2, so equal patterns are bit-identical
+    "url_dedup_docs": r"""
+        WITH gh AS (
+          SELECT doc_id, CAST(doc_id // 6 AS VARCHAR) AS g,
+                 CAST((doc_id // 6) % 7 AS VARCHAR) AS h
+          FROM documents),
+        u AS (
+          SELECT doc_id,
+            CASE doc_id % 6
+              WHEN 0 THEN 'https://h' || h ||
+                   '.example.com/articles/' || g
+              WHEN 1 THEN 'HTTPS://H' || h ||
+                   '.EXAMPLE.com/articles/' || g
+              WHEN 2 THEN 'https://www.h' || h ||
+                   '.example.com/articles/' || g || '/'
+              WHEN 3 THEN 'https://h' || h ||
+                   '.example.com:443/articles/' || g ||
+                   '?utm_source=feed&utm_medium=rss'
+              WHEN 4 THEN 'https://h' || h ||
+                   '.example.com//articles/' || g || '#toc'
+              ELSE 'https://h' || h ||
+                   '.example.com/articles/' || g || '?ref=hp&page=2'
+            END AS url
+          FROM gh),
+        nofrag AS (
+          SELECT doc_id,
+                 regexp_replace(url, '#[\s\S]*$', '', 'g') AS url
+          FROM u),
+        parts AS (
+          SELECT doc_id,
+            regexp_extract(url,
+              '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([\s\S]*)$',
+              ['scheme', 'hostport', 'rest']) AS p
+          FROM nofrag),
+        comps AS (
+          SELECT doc_id, lower(p.scheme) AS scheme,
+                 regexp_replace(lower(p.hostport), '^www\.', '',
+                                'g') AS host,
+                 regexp_replace(p.rest, '\?[\s\S]*$', '', 'g')
+                   AS path,
+                 regexp_replace(p.rest, '^[^?]*', '', 'g') AS query
+          FROM parts),
+        canon AS (
+          SELECT doc_id, scheme || '://' ||
+            (CASE WHEN scheme = 'http'
+                  THEN regexp_replace(host, ':80$', '', 'g')
+                  WHEN scheme = 'https'
+                  THEN regexp_replace(host, ':443$', '', 'g')
+                  ELSE host END) ||
+            (CASE WHEN regexp_replace(regexp_replace(path, '//+',
+                    '/', 'g'), '/+$', '', 'g') = '' THEN '/'
+                  ELSE regexp_replace(regexp_replace(path, '//+',
+                    '/', 'g'), '/+$', '', 'g') END) ||
+            regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(query,
+                '([?&])(?:utm_[a-zA-Z0-9_]*|gclid|fbclid|ref)=[^&]*',
+                '\1', 'g'),
+              '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]$', '', 'g')
+            AS canonical_url
+          FROM comps)
+        SELECT canonical_url, min(doc_id) AS keep_id,
+               count(*)::BIGINT AS n_aliases
+        FROM canon GROUP BY canonical_url
+    """,
     "exact_substring_spans_docs": r"""
         WITH toks AS (
           SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
