@@ -92,6 +92,47 @@ def jaccard_batch2(flat_a: np.ndarray,
     return out
 
 
+def jaccard_counts_batch2(flat_a: np.ndarray,
+                          a_starts: np.ndarray, a_lens: np.ndarray,
+                          flat_b: np.ndarray,
+                          b_starts: np.ndarray, b_lens: np.ndarray,
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """jaccard_batch2 returning the INTEGER legs (n_inter, n_union)
+    instead of the ratio — for integer-exact threshold comparisons
+    (100*inter >= t*union matches a SQL oracle bit-for-bit where a
+    rounded double might not).  Kept as a separate loop so the hot
+    ratio path (measured per-pair sorted-merge, see jaccard_batch)
+    stays allocation-free; ∅ vs ∅ reports (0, 0) — callers map a
+    zero union to jaccard 1.0, matching jaccard_batch2."""
+    n = len(a_starts)
+    inter = np.zeros(n, dtype=np.int64)
+    union = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return inter, union
+    a_lens = np.asarray(a_lens, dtype=np.int64)
+    b_lens = np.asarray(b_lens, dtype=np.int64)
+    a_starts = np.asarray(a_starts, dtype=np.int64)
+    b_starts = np.asarray(b_starts, dtype=np.int64)
+    searchsorted = np.searchsorted
+    count_nonzero = np.count_nonzero
+    for i in range(n):
+        la = a_lens[i]
+        lb = b_lens[i]
+        if la == 0 or lb == 0:
+            union[i] = la + lb
+            continue
+        a = flat_a[a_starts[i]:a_starts[i] + la]
+        b = flat_b[b_starts[i]:b_starts[i] + lb]
+        if la > lb:
+            a, b = b, a
+        idx = searchsorted(b, a)
+        idx[idx == len(b)] = len(b) - 1
+        ii = count_nonzero(b[idx] == a)
+        inter[i] = ii
+        union[i] = la + lb - ii
+    return inter, union
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int, encoder) -> float:
     """Convenience: exact k-gram Jaccard of two raw texts using a
     ShingleEncoder (for tests / small oracles)."""

@@ -6113,6 +6113,60 @@ def q_pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50):
     return out.reset_index(drop=True)
 
 
+def q_dedup_threshold_curve_docs(sf_dir: str,
+                                 thresholds=(80, 85, 90, 95)):
+    """Dedup THRESHOLD-SWEEP curve — the report a curation run uses
+    to pick its Jaccard cutoff: for each threshold t (integer
+    percent) over ONE verified pair set, the surviving pair count,
+    the number of documents a first-wins dedup would remove, and the
+    number of multi-doc clusters.
+
+    One signature pass + one candidate chain + one verify
+    (emit_counts=True: the integer legs ride along), then the curve
+    is a per-threshold fold over the bounded pair stream —
+    thresholding compares 100*n_inter >= t*n_union in EXACT integers
+    (same idiom as the dedup_clusters oracle's 5*i >= 4*u), so no
+    rounded double can flip a pair across a cutoff.  Thresholds below
+    the verify floor (cfg.jaccard_threshold = 0.8, where the
+    candidate union's full recall is asserted) are rejected — the
+    curve is only meaningful where the pair set is complete.
+
+    Scale contract: the verified pair stream is the gated quantity
+    (candidate caps + salting bound it); components per threshold
+    reuse the same union-find the cluster queries ride, with the
+    distributed tier available beyond the broadcast limit."""
+    from dedup_restore_ray.stages.cluster import cluster_union_find
+    from dedup_restore_ray.stages.pairs import candidate_pairs
+    from dedup_restore_ray.stages.verify import verify_pairs
+    thresholds = sorted(int(t) for t in thresholds)
+    if thresholds[0] < int(CFG.jaccard_threshold * 100):
+        raise ValueError(
+            f"sweep floor {thresholds[0]} below the verified pair "
+            f"set's recall floor {CFG.jaccard_threshold}")
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(SignatureStage(CFG), batch_format="pyarrow",
+                          batch_size=CFG.batch_size).materialize()
+    cands = candidate_pairs(sigs, CFG, use_simhash=True,
+                            use_fingerprints=True, use_norm=False)
+    verified = verify_pairs(cands, sigs, CFG,
+                            emit_counts=True).to_pandas()
+    rows = []
+    for t in thresholds:
+        if len(verified):
+            keep = (100 * verified["n_inter"].to_numpy(np.int64)
+                    >= t * verified["n_union"].to_numpy(np.int64))
+            sub = verified[keep]
+        else:
+            sub = verified
+        labels = cluster_union_find(zip(sub["u"], sub["v"]))
+        n_nodes = len(labels)
+        n_clusters = len(set(labels.values()))
+        rows.append({"t_pct": t, "n_pairs": len(sub),
+                     "n_dup_docs": n_nodes - n_clusters,
+                     "n_clusters": n_clusters})
+    return pd.DataFrame(rows).astype("int64")
+
+
 def q_url_dedup_docs(sf_dir: str):
     """URL canonicalization + URL-level first-wins dedup — the first
     stage of a web crawl pipeline (the cheap key that removes
@@ -6290,6 +6344,7 @@ QUERIES = {
     "distinct_tokens_by_source_kmv": q_distinct_tokens_by_source_kmv,
     "weighted_dedup_clusters_docs": q_weighted_dedup_clusters_docs,
     "url_dedup_docs": q_url_dedup_docs,
+    "dedup_threshold_curve_docs": q_dedup_threshold_curve_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -6347,6 +6402,57 @@ QUERIES = {
 
 
 ORACLE_SQL = {
+    "dedup_threshold_curve_docs": r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN []
+                      ELSE list_distinct(list_transform(
+                           range(1, greatest(length(t) - 4, 1) + 1),
+                           i -> array_to_string(t[i:i+4], ' '))) END AS s
+          FROM toks),
+        pr AS (
+          SELECT a.doc_id AS u, b.doc_id AS v,
+                 length(list_intersect(a.s, b.s)) AS i,
+                 length(a.s) + length(b.s)
+                   - length(list_intersect(a.s, b.s)) AS un
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND length(a.s) > 0 AND length(b.s) > 0
+            AND 5 * length(list_intersect(a.s, b.s))
+                >= 4 * (length(a.s) + length(b.s)
+                        - length(list_intersect(a.s, b.s)))),
+        ts(t) AS (VALUES (80), (85), (90), (95)),
+        pt AS (SELECT t, u, v FROM ts, pr WHERE 100 * i >= t * un),
+        nodes AS (
+          SELECT DISTINCT t, u AS node FROM pt
+          UNION SELECT DISTINCT t, v FROM pt),
+        edges AS (
+          SELECT t, u, v FROM pt UNION SELECT t, v AS u, u AS v
+          FROM pt),
+        walk(t, node, reach) AS (
+          SELECT t, node, node FROM nodes
+          UNION
+          SELECT w.t, w.node, e.v FROM walk w
+          JOIN edges e ON e.t = w.t AND e.u = w.reach),
+        comp AS (
+          SELECT t, node, min(reach) AS root
+          FROM walk GROUP BY t, node),
+        agg AS (
+          SELECT t, count(*) AS n_nodes,
+                 count(DISTINCT root) AS n_clusters
+          FROM comp GROUP BY t),
+        np AS (SELECT t, count(*) AS n_pairs FROM pt GROUP BY t)
+        SELECT ts.t::BIGINT AS t_pct,
+               coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+               coalesce(agg.n_nodes - agg.n_clusters, 0)::BIGINT
+                 AS n_dup_docs,
+               coalesce(agg.n_clusters, 0)::BIGINT AS n_clusters
+        FROM ts LEFT JOIN np ON np.t = ts.t
+        LEFT JOIN agg ON agg.t = ts.t
+    """,
     # keep every regex here in lockstep with functions/urlnorm.py —
     # both sides run RE2, so equal patterns are bit-identical
     "url_dedup_docs": r"""

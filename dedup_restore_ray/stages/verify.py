@@ -32,6 +32,7 @@ from dedup_restore_ray.config import PipelineConfig
 from dedup_restore_ray.functions.hashing import hash_bytes_u64, mix64
 from dedup_restore_ray.functions.jaccard import (jaccard_batch,
                                                  jaccard_batch2,
+                                                 jaccard_counts_batch2,
                                                  jaccard_sorted)
 
 
@@ -128,13 +129,18 @@ class _VerifyPacked:
     over it, replacing a whole extra execution barrier."""
 
     def __init__(self, pack_ref, threshold: float, emit_all: bool = False,
-                 hashed_ids: bool = False):
+                 hashed_ids: bool = False, emit_counts: bool = False):
         self.ref = pack_ref
         self.threshold = threshold
         self.emit_all = emit_all
         # hashed_ids: u/v already carry the uint64 id hash (the hashed
         # pair chain) — skip re-hashing
         self.hashed_ids = hashed_ids
+        # emit_counts: also emit the integer legs (n_inter, n_union)
+        # so downstream thresholds can compare 100*i >= t*u exactly
+        # (threshold-sweep / containment reports); the ratio path
+        # stays the allocation-free kernel when off
+        self.emit_counts = emit_counts
         self._pack = None
 
     @staticmethod
@@ -166,18 +172,28 @@ class _VerifyPacked:
         else:
             uh = _id_hashes(batch.column("u"))
             vh = _id_hashes(batch.column("v"))
+        n_inter = n_union = None
         if not sharded:
             ids, offsets, flat = self._pack
             if len(ids) == 0:
                 jac = np.zeros(n, dtype=np.float64)
+                if self.emit_counts:
+                    n_inter = np.zeros(n, np.int64)
+                    n_union = np.zeros(n, np.int64)
             else:
                 a_starts, a_lens = self._lookup(self._pack, uh)
                 b_starts, b_lens = self._lookup(self._pack, vh)
                 # one batched CSR merge-intersect for the whole batch —
                 # no per-pair Python (docs missing from the pack
                 # compare as ∅)
-                jac = jaccard_batch(flat, a_starts, a_lens,
-                                    b_starts, b_lens)
+                if self.emit_counts:
+                    n_inter, n_union = jaccard_counts_batch2(
+                        flat, a_starts, a_lens, flat, b_starts, b_lens)
+                    jac = np.where(n_union == 0, 1.0,
+                                   n_inter / np.maximum(n_union, 1))
+                else:
+                    jac = jaccard_batch(flat, a_starts, a_lens,
+                                        b_starts, b_lens)
         else:
             packs = self._pack
             K = len(packs)
@@ -204,13 +220,28 @@ class _VerifyPacked:
                     b_starts[mv] = st
                     b_lens[mv] = ln
             jac = np.zeros(n, dtype=np.float64)
+            if self.emit_counts:
+                n_inter = np.zeros(n, np.int64)
+                n_union = np.zeros(n, np.int64)
             combos = ku * K + kv
             for c in np.unique(combos):
                 m = combos == c
-                jac[m] = jaccard_batch2(
-                    packs[int(c) // K][2], a_starts[m], a_lens[m],
-                    packs[int(c) % K][2], b_starts[m], b_lens[m])
+                if self.emit_counts:
+                    ii, uu = jaccard_counts_batch2(
+                        packs[int(c) // K][2], a_starts[m], a_lens[m],
+                        packs[int(c) % K][2], b_starts[m], b_lens[m])
+                    n_inter[m] = ii
+                    n_union[m] = uu
+                    jac[m] = np.where(uu == 0, 1.0,
+                                      ii / np.maximum(uu, 1))
+                else:
+                    jac[m] = jaccard_batch2(
+                        packs[int(c) // K][2], a_starts[m], a_lens[m],
+                        packs[int(c) % K][2], b_starts[m], b_lens[m])
         out = batch.append_column("jaccard", pa.array(jac))
+        if self.emit_counts:
+            out = out.append_column("n_inter", pa.array(n_inter))
+            out = out.append_column("n_union", pa.array(n_union))
         if self.emit_all:
             return out
         return out.filter(pa.array(jac >= self.threshold))
@@ -635,13 +666,19 @@ def verify_pairs_with_pack(pairs: "ray.data.Dataset", pack_ref,
 def verify_pairs(pairs: "ray.data.Dataset", signatures: "ray.data.Dataset",
                  cfg: PipelineConfig | None = None,
                  strategy: str = "broadcast",
-                 hashed_ids: bool = False) -> "ray.data.Dataset":
-    """candidate (u,v) -> verified (u, v, jaccard >= threshold)."""
+                 hashed_ids: bool = False,
+                 emit_counts: bool = False) -> "ray.data.Dataset":
+    """candidate (u,v) -> verified (u, v, jaccard >= threshold);
+    ``emit_counts=True`` (broadcast strategy) adds the integer legs
+    (n_inter, n_union) for exact downstream threshold arithmetic."""
     cfg = cfg or PipelineConfig()
     if hashed_ids and strategy != "scatter":
         raise ValueError("hashed_ids pairs are supported by the scatter "
                          "strategy (use _VerifyPacked(hashed_ids=True) "
                          "for the broadcast form)")
+    if emit_counts and strategy != "broadcast":
+        raise ValueError("emit_counts rides the packed broadcast "
+                         "verify (_VerifyPacked)")
     if strategy == "scatter":
         return verify_pairs_scatter(pairs, signatures, cfg,
                                     hashed_ids=hashed_ids)
@@ -649,7 +686,8 @@ def verify_pairs(pairs: "ray.data.Dataset", signatures: "ray.data.Dataset",
         pack = _member_shingle_pack(pairs, signatures)
         ref = ray.put(pack)
         return pairs.map_batches(
-            _VerifyPacked(ref, cfg.jaccard_threshold),
+            _VerifyPacked(ref, cfg.jaccard_threshold,
+                          emit_counts=emit_counts),
             batch_format="pyarrow")
     if strategy == "join":
         # Acero hash join rejects list-typed payload columns — carry the

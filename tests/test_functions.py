@@ -90,6 +90,33 @@ class TestJaccard:
         b = np.array([2, 3, 4], dtype=np.uint64)
         assert jaccard_sorted(a, b) == 0.5
 
+    def test_counts_batch_matches_ratio_batch(self):
+        from dedup_restore_ray.functions.jaccard import (
+            jaccard_batch2, jaccard_counts_batch2)
+        rng = np.random.default_rng(7)
+        sets = [np.unique(rng.integers(0, 40, size=n).astype(np.uint64))
+                for n in [0, 1, 5, 12, 0, 30]]
+        flat = np.concatenate([s for s in sets if len(s)] or
+                              [np.empty(0, np.uint64)])
+        offs = np.concatenate(([0], np.cumsum([len(s) for s in sets])))
+        idx = [(i, j) for i in range(len(sets))
+               for j in range(len(sets))]
+        a_s = np.array([offs[i] for i, _ in idx])
+        a_l = np.array([len(sets[i]) for i, _ in idx])
+        b_s = np.array([offs[j] for _, j in idx])
+        b_l = np.array([len(sets[j]) for _, j in idx])
+        jac = jaccard_batch2(flat, a_s, a_l, flat, b_s, b_l)
+        ii, uu = jaccard_counts_batch2(flat, a_s, a_l, flat, b_s, b_l)
+        # integer legs reproduce the ratio exactly, incl. the
+        # empty-vs-empty (union 0 -> 1.0) convention
+        rec = np.where(uu == 0, 1.0, ii / np.maximum(uu, 1))
+        assert np.array_equal(jac, rec)
+        # and the legs themselves are right on a hand case
+        k = idx.index((2, 3))
+        inter = len(np.intersect1d(sets[2], sets[3]))
+        assert ii[k] == inter
+        assert uu[k] == len(sets[2]) + len(sets[3]) - inter
+
 
 class TestMinHash:
     def test_estimate_tracks_exact(self):
