@@ -6167,6 +6167,20 @@ def q_dedup_threshold_curve_docs(sf_dir: str,
     return pd.DataFrame(rows).astype("int64")
 
 
+def q_bpe_train_docs(sf_dir: str, n_merges: int = 24):
+    """Full iterative BPE tokenizer TRAINING over the documents table
+    (stages/bpe.py): corpus -> distinct word counts once, then K
+    rounds of {distributed weighted pair count -> driver argmax ->
+    vectorized CSR merge}.  Deterministic merge list (string
+    tie-break); exact parity with a sequential reference trainer is
+    pytest-asserted (tests/test_bpe_train.py) — the loop itself is
+    not SQL-expressible, so this entry is rows-only; the single
+    counting step it iterates IS oracle-checked
+    (bpe_merge_pairs_docs)."""
+    from dedup_restore_ray.stages.bpe import bpe_train
+    return bpe_train(_docs(sf_dir, ["text"]), n_merges=n_merges)
+
+
 def q_url_dedup_docs(sf_dir: str):
     """URL canonicalization + URL-level first-wins dedup — the first
     stage of a web crawl pipeline (the cheap key that removes
@@ -6345,6 +6359,7 @@ QUERIES = {
     "weighted_dedup_clusters_docs": q_weighted_dedup_clusters_docs,
     "url_dedup_docs": q_url_dedup_docs,
     "dedup_threshold_curve_docs": q_dedup_threshold_curve_docs,
+    "bpe_train_docs": q_bpe_train_docs,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,

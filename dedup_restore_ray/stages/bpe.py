@@ -1,0 +1,250 @@
+"""Distributed BPE tokenizer TRAINING (Sennrich et al., ACL 2016) —
+the full iterative merge loop, not just one counting step
+(cf. queries.q_bpe_merge_pairs_docs).
+
+BPE trains on the WORD-FREQUENCY table, not the raw corpus: the
+corpus collapses to distinct (word, count) rows once (the standard
+scalable formulation), then each round
+  1. counts adjacent symbol pairs weighted by word count
+     (per-block exact partials -> one small grouped sum),
+  2. picks the argmax pair on the driver (ties broken by the pair's
+     SYMBOL STRINGS, so the merge list is a deterministic function of
+     the corpus alone),
+  3. applies the merge to every word with a vectorized CSR kernel
+     (leftmost-first non-overlapping, the classic greedy rule).
+
+State per round: the (syms: list<int32>, cnt) Dataset (materialized —
+two consumers per round, see CLAUDE.md's double-consumer note) and a
+driver-held id->string vocab that grows by ONE entry per round.
+Symbols are int32 ids; pair keys pack (a << 21 | b) into one int64.
+
+Scale contract: the word table is bounded by |distinct words| (weyde
+below corpus size; the round loop is K sequential barriers over it).
+The known further optimization — incremental delta-counting of only
+the words touched by the previous merge — trades simplicity for
+fewer counted rows and is unnecessary while the word table fits the
+cluster; the per-round aggregate the driver sees is one row per
+distinct adjacent pair.
+
+Tokens come from ``lower(text)`` split on ``\\W+`` — RE2's ``\\w`` is
+ASCII-only, so initial symbols are single ASCII bytes and the vocab
+ids stay well under the 2^21 pack bound for any realistic K.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_PACK_BITS = 21
+_PACK_MAX = 1 << _PACK_BITS
+
+
+def merge_pair_csr(flat: np.ndarray, offsets: np.ndarray,
+                   a: int, b: int, new_id: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Apply one merge (a, b) -> new_id over CSR symbol sequences,
+    leftmost-first non-overlapping within each word.
+
+    Overlapping candidates (possible only when a == b, e.g. 'aaaa')
+    are resolved by run parity: within each maximal run of
+    consecutive candidate positions, keep positions 0, 2, 4, ... —
+    exactly the greedy left-to-right scan's choice."""
+    n = len(flat)
+    if n < 2:
+        return flat, offsets
+    cand = np.zeros(n - 1, dtype=bool)
+    np.logical_and(flat[:-1] == a, flat[1:] == b, out=cand)
+    # position i+1 must not start a new word
+    starts = offsets[1:-1]
+    cand[starts[(starts > 0) & (starts < n)] - 1] = False
+    if not cand.any():
+        return flat, offsets
+    # run parity: distance from each run's head must be even
+    idx = np.flatnonzero(cand)
+    run_head = np.ones(len(idx), dtype=bool)
+    run_head[1:] = np.diff(idx) > 1
+    head_pos = idx[run_head]
+    dist = idx - np.repeat(head_pos, np.diff(
+        np.concatenate((np.flatnonzero(run_head), [len(idx)]))))
+    keep = idx[(dist & 1) == 0]
+    out = flat.copy()
+    out[keep] = new_id
+    dead = np.zeros(n, dtype=bool)
+    dead[keep + 1] = True
+    # per-word removed count -> new offsets
+    w = np.searchsorted(offsets, keep + 1, side="right") - 1
+    removed = np.bincount(w, minlength=len(offsets) - 1)
+    new_offsets = offsets.copy()
+    new_offsets[1:] -= np.cumsum(removed)
+    return out[~dead], new_offsets
+
+
+def _pair_partial(b: pa.Table) -> pa.Table:
+    """Per-block exact pair-count partial: (packed pair key, count)."""
+    syms = b.column("syms")
+    if isinstance(syms, pa.ChunkedArray):
+        syms = syms.combine_chunks()
+    offsets = np.asarray(syms.offsets, dtype=np.int64)
+    flat = np.asarray(syms.values, dtype=np.int64)
+    cnt = np.asarray(b.column("cnt"), dtype=np.int64)
+    e = pa.array([], pa.int64())
+    if len(flat) < 2:
+        return pa.table({"pk": e, "pn": e})
+    valid = np.ones(len(flat) - 1, dtype=bool)
+    starts = offsets[1:-1]
+    valid[starts[(starts > 0) & (starts < len(flat))] - 1] = False
+    if not valid.any():
+        return pa.table({"pk": e, "pn": e})
+    pk = (flat[:-1] << _PACK_BITS) | flat[1:]
+    w = np.repeat(cnt, np.diff(offsets))[:-1]
+    pk, w = pk[valid], w[valid]
+    uniq, inv = np.unique(pk, return_inverse=True)
+    tot = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(tot, inv, w)
+    return pa.table({"pk": pa.array(uniq), "pn": pa.array(tot)})
+
+
+def bpe_train(ds, text_col: str = "text", n_merges: int = 24,
+              ) -> pd.DataFrame:
+    """Train ``n_merges`` BPE merges over a document Dataset.
+
+    Returns one row per learned merge: (rank, left, right, merged,
+    cnt) — cnt is the corpus-wide weighted pair count at the time the
+    merge was chosen.  Stops early when no adjacent pair remains with
+    count >= 2 (a singleton pair can never compress)."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    def words(b: pa.Table) -> pa.Table:
+        t = b.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if pa.types.is_null(t.type):      # all-None block
+            t = pa.array([""] * len(t), pa.string())
+        elif t.null_count:
+            t = t.fill_null("")
+        sp = pc.split_pattern_regex(pc.utf8_lower(t), r"\W+")
+        flat = pc.list_flatten(sp)
+        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+        if len(flat) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        d = flat.dictionary_encode()
+        codes = np.asarray(d.indices, dtype=np.int64)
+        tot = np.bincount(codes, minlength=len(d.dictionary))
+        return pa.table({"word": d.dictionary,
+                         "n": pa.array(tot.astype(np.int64))})
+
+    wc = grouped_aggregate(
+        ds.map_batches(words, batch_format="pyarrow"),
+        ["word"], {"cnt": ("n", "sum")})
+
+    def to_syms(b: pa.Table) -> pa.Table:
+        w = b.column("word")
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        # ASCII-only words (RE2 \w): symbol ids = byte values
+        joined = "".join(w.to_pylist())
+        flat = np.frombuffer(joined.encode("ascii"), np.uint8
+                             ).astype(np.int32)
+        lens = np.asarray(pc.binary_length(w), dtype=np.int64)
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        syms = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                        pa.array(flat, pa.int32()))
+        return pa.table({"syms": syms, "cnt": b.column("cnt")})
+
+    table = wc.map_batches(to_syms, batch_format="pyarrow"
+                           ).materialize()
+    vocab = {i: chr(i) for i in range(128)}
+    next_id = 128
+    merges = []
+    for rank in range(n_merges):
+        agg = grouped_aggregate(
+            table.map_batches(_pair_partial, batch_format="pyarrow"),
+            ["pk"], {"cnt": ("pn", "sum")}).to_pandas()
+        if len(agg) == 0:
+            break
+        pk = agg["pk"].to_numpy(np.int64)
+        cn = agg["cnt"].to_numpy(np.int64)
+        best = cn.max()
+        if best < 2:
+            break
+        # tie-break on SYMBOL STRINGS: deterministic in the corpus
+        tie = pk[cn == best]
+        la = [vocab[int(p) >> _PACK_BITS] for p in tie]
+        rb = [vocab[int(p) & (_PACK_MAX - 1)] for p in tie]
+        j = min(range(len(tie)), key=lambda i: (la[i], rb[i]))
+        a_id, b_id = int(tie[j]) >> _PACK_BITS, \
+            int(tie[j]) & (_PACK_MAX - 1)
+        left, right = la[j], rb[j]
+        assert next_id < _PACK_MAX, "vocab exceeds pair-pack bound"
+        vocab[next_id] = left + right
+        merges.append({"rank": rank, "left": left, "right": right,
+                       "merged": left + right, "cnt": int(best)})
+
+        def apply(b: pa.Table, a=a_id, bb=b_id, nid=next_id
+                  ) -> pa.Table:
+            syms = b.column("syms")
+            if isinstance(syms, pa.ChunkedArray):
+                syms = syms.combine_chunks()
+            offs = np.asarray(syms.offsets, dtype=np.int64)
+            flat = np.asarray(syms.values, dtype=np.int32)
+            nf, no = merge_pair_csr(flat, offs, a, bb, nid)
+            out = pa.ListArray.from_arrays(
+                pa.array(no, pa.int32()), pa.array(nf, pa.int32()))
+            return pa.table({"syms": out, "cnt": b.column("cnt")})
+
+        table = table.map_batches(apply, batch_format="pyarrow"
+                                  ).materialize()
+        next_id += 1
+    if not merges:
+        return pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                             "left": pd.Series([], dtype=str),
+                             "right": pd.Series([], dtype=str),
+                             "merged": pd.Series([], dtype=str),
+                             "cnt": pd.Series([], dtype=np.int64)})
+    out = pd.DataFrame(merges)
+    out["rank"] = out["rank"].astype(np.int64)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+def bpe_train_reference(texts: list[str], n_merges: int = 24
+                        ) -> list[tuple[str, str, int]]:
+    """Sequential dict-based reference trainer (tests only): same
+    tokenization, same leftmost-nonoverlap merge, same tie-break."""
+    import re
+    from collections import Counter
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(w for w in re.split(r"\W+", (t or "").lower()) if w)
+    words = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            c = wc[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = max(pairs.values())
+        if best < 2:
+            break
+        a, b = min(p for p, c in pairs.items() if c == best)
+        merges.append((a, b, best))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges

@@ -1,0 +1,84 @@
+"""Iterative BPE training (stages/bpe.py): CSR merge kernel edge
+cases + exact parity with the sequential reference trainer."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from dedup_restore_ray.stages.bpe import (bpe_train, bpe_train_reference,
+                                          merge_pair_csr)
+
+
+def csr(wordslist):
+    flat = np.array([s for w in wordslist for s in w], dtype=np.int32)
+    offs = np.zeros(len(wordslist) + 1, np.int64)
+    np.cumsum([len(w) for w in wordslist], out=offs[1:])
+    return flat, offs
+
+
+def back(flat, offs):
+    return [list(flat[offs[i]:offs[i + 1]])
+            for i in range(len(offs) - 1)]
+
+
+class TestMergeKernel:
+    def test_simple_merge(self):
+        f, o = csr([[1, 2, 3], [2, 3, 2]])
+        nf, no = merge_pair_csr(f, o, 2, 3, 9)
+        assert back(nf, no) == [[1, 9], [9, 2]]
+
+    def test_overlap_same_symbol_greedy(self):
+        # 'aaaa' with (a,a): leftmost-first -> aa, aa; 'aaa' -> aa, a
+        f, o = csr([[5, 5, 5, 5], [5, 5, 5]])
+        nf, no = merge_pair_csr(f, o, 5, 5, 9)
+        assert back(nf, no) == [[9, 9], [9, 5]]
+
+    def test_no_cross_word_merge(self):
+        f, o = csr([[1, 2], [3, 4]])
+        nf, no = merge_pair_csr(f, o, 2, 3, 9)
+        assert back(nf, no) == [[1, 2], [3, 4]]
+
+    def test_no_match_returns_same(self):
+        f, o = csr([[1, 2, 3]])
+        nf, no = merge_pair_csr(f, o, 7, 8, 9)
+        assert back(nf, no) == [[1, 2, 3]]
+
+    def test_empty_words_in_csr(self):
+        f, o = csr([[], [1, 1], []])
+        nf, no = merge_pair_csr(f, o, 1, 1, 9)
+        assert back(nf, no) == [[], [9], []]
+
+
+class TestBpeTrainParity:
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        from dedup_restore_ray.sources.pages import generate_pages
+        pages, _ = generate_pages(120, seed=11)
+        return [t if t is not None else ""
+                for t in pages.column("text").to_pylist()]
+
+    def test_matches_sequential_reference(self, corpus):
+        ref = bpe_train_reference(corpus, n_merges=20)
+        ds = rd.from_items([{"text": t} for t in corpus])
+        got = bpe_train(ds, n_merges=20)
+        assert len(got) == len(ref)
+        for i, (a, b, c) in enumerate(ref):
+            assert got["left"][i] == a
+            assert got["right"][i] == b
+            assert got["merged"][i] == a + b
+            assert got["cnt"][i] == c
+
+    def test_multichar_merges_emerge(self, corpus):
+        got = bpe_train(rd.from_items([{"text": t} for t in corpus]),
+                        n_merges=20)
+        assert (got["merged"].str.len() > 2).any()
+
+    def test_empty_corpus(self):
+        ds = rd.from_items([{"text": ""}, {"text": None}])
+        got = bpe_train(ds, n_merges=4)
+        assert len(got) == 0
+
+    def test_early_stop_on_singleton_pairs(self):
+        ds = rd.from_items([{"text": "ab cd ef"}])
+        got = bpe_train(ds, n_merges=8)
+        assert len(got) == 0  # every pair occurs once -> no merge
