@@ -6167,6 +6167,304 @@ def q_dedup_threshold_curve_docs(sf_dir: str,
     return pd.DataFrame(rows).astype("int64")
 
 
+def q_min_cost_supplier_parts(sf_dir: str, region: str = "EUROPE",
+                              p_size: int = 15):
+    """TPC-H Q2 shape — cheapest regional supplier per part: for
+    parts of one size, the supplier(s) in a region offering the
+    minimum observed unit price (this schema has no partsupp, so
+    supply cost = min lineitem extendedprice in exact cents).  One
+    part scatter (the size filter rides the store), one supplier
+    scatter (region semi join), grouped min per (part, supplier),
+    grouped min per part, tie-keeping equality filter (the Q15
+    idiom), 25-row dimension attach on the driver."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nkeys = nat.loc[nat["n_regionkey"].isin(rkeys),
+                    "n_nationkey"].to_numpy(np.int64)
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_size"])
+
+    def make_pstore(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("p_size"),
+                              pa.scalar(p_size, pa.int64())))
+        return pa.table({"l_partkey": t.column("p_partkey"),
+                         "psize": pa.array([p_size] * t.num_rows,
+                                           pa.int64())})
+
+    pstore = part.map_batches(make_pstore, batch_format="pyarrow")
+
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
+
+    def sstore(b: pa.Table) -> pa.Table:
+        nk = np.asarray(b.column("s_nationkey"), dtype=np.int64)
+        t = b.filter(pa.array(np.isin(nk, nkeys)))
+        return pa.table({"l_suppkey": t.column("s_suppkey"),
+                         "s_nat": pc.cast(t.column("s_nationkey"),
+                                          pa.int64())})
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey",
+                                     "l_extendedprice"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        c = round_half_up(np.asarray(b.column("l_extendedprice"),
+                                     dtype=np.float64) * 100.0,
+                          0).astype(np.int64)
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "cents": pa.array(c)})
+
+    rows = _scatter_lookup(
+        li.map_batches(li_prep, batch_format="pyarrow"), pstore,
+        key_col="l_partkey", payload_col="psize",
+        out_cols=["l_partkey", "l_suppkey", "cents"])
+    rows = _scatter_lookup(
+        rows, supp.map_batches(sstore, batch_format="pyarrow"),
+        key_col="l_suppkey",
+        payload_col="s_nat",
+        out_cols=["l_partkey", "l_suppkey", "cents"])
+    # materialize: ps feeds both the per-part min and the join-back
+    # (a lazy dataset re-executes its plan per consumer)
+    ps = grouped_aggregate(rows, ["l_partkey", "l_suppkey", "s_nat"],
+                           {"cost_cents": ("cents", "min")}
+                           ).materialize()
+    mins = ps.map_batches(
+        lambda b: pa.table({"l_partkey": b.column("l_partkey"),
+                            "mc": b.column("cost_cents")}),
+        batch_format="pyarrow")
+    mins = grouped_aggregate(mins, ["l_partkey"],
+                             {"mc": ("mc", "min")})
+    ps = _scatter_lookup(ps, mins, key_col="l_partkey",
+                         payload_col="mc",
+                         out_cols=["l_partkey", "l_suppkey", "s_nat",
+                                   "cost_cents"])
+    pdf = ps.map_batches(
+        lambda b: b.filter(pc.equal(b.column("cost_cents"),
+                                    b.column("mc"))),
+        batch_format="pyarrow").to_pandas()
+    if "l_partkey" not in pdf.columns:
+        return pd.DataFrame({
+            "p_partkey": pd.Series([], dtype="int64"),
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "cost_cents": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "n_name": pd.Series([], dtype="object")})
+    sdim = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    out = pdf.merge(sdim, left_on="l_suppkey", right_on="s_suppkey")
+    out = out.merge(nat[["n_nationkey", "n_name"]],
+                    left_on="s_nat", right_on="n_nationkey")
+    out = out.rename(columns={"l_partkey": "p_partkey"})
+    return (out[["p_partkey", "s_suppkey", "cost_cents", "s_name",
+                 "n_name"]]
+            .sort_values(["p_partkey", "s_suppkey"])
+            .reset_index(drop=True))
+
+
+def q_important_stock_parts(sf_dir: str, nation: str = "NATION_9",
+                            fraction_ppm: int = 100):
+    """TPC-H Q11 shape — parts whose total lineitem value from one
+    nation's suppliers exceeds a fraction of that nation's total
+    (important-inventory identification).  Per-batch integer-cents
+    combiner, one supplier scatter (nation semi join), one grouped
+    sum, then a global scalar threshold compared in exact integers:
+    value_cents * 1_000_000 > fraction_ppm * total_cents."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    nkey = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
+
+    def make_sstore(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(pc.cast(b.column("s_nationkey"),
+                                      pa.int64()),
+                              pa.scalar(nkey, pa.int64())))
+        return pa.table({"l_suppkey": t.column("s_suppkey"),
+                         "one": pa.array([1] * t.num_rows,
+                                         pa.int64())})
+
+    sstore = supp.map_batches(make_sstore, batch_format="pyarrow")
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey",
+                                     "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        c = round_half_up(np.asarray(b.column("l_extendedprice"),
+                                     dtype=np.float64) * 100.0,
+                          0).astype(np.int64)
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "cents": pa.array(c)})
+
+    rows = _scatter_lookup(
+        li.map_batches(prep, batch_format="pyarrow"), sstore,
+        key_col="l_suppkey", payload_col="one",
+        out_cols=["l_partkey", "cents"])
+    per_part = grouped_aggregate(rows, ["l_partkey"],
+                                 {"value_cents": ("cents", "sum")}
+                                 ).materialize()
+    total = per_part.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(np.asarray(b.column("value_cents"),
+                            dtype=np.int64).sum())], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    tot = int(total["s"].sum())
+    keep = per_part.map_batches(
+        lambda b: b.filter(pa.array(
+            np.asarray(b.column("value_cents"), dtype=np.int64)
+            * 1_000_000 > fraction_ppm * tot)),
+        batch_format="pyarrow").to_pandas()
+    if "l_partkey" not in keep.columns:
+        return pd.DataFrame({
+            "p_partkey": pd.Series([], dtype="int64"),
+            "value_cents": pd.Series([], dtype="int64")})
+    keep = keep.rename(columns={"l_partkey": "p_partkey"})
+    return (keep[["p_partkey", "value_cents"]]
+            .sort_values("p_partkey").reset_index(drop=True))
+
+
+def q_supplier_count_by_part(sf_dir: str, exclude_brand: str = "Brand#1"):
+    """TPC-H Q16 shape — how many DISTINCT suppliers ship each
+    (brand, type, size) part family, excluding one brand and
+    excluding distrusted suppliers (negative account balance — this
+    schema's stand-in for Q16's complaints filter).  Distinct
+    (part, supplier) rows first (one sort), anti join against the
+    bad-supplier side, part-dims scatter, grouped distinct count."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
+    from dedup_restore_ray.stages.joins import anti_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+    pairs = distinct_rows(li, ["l_partkey", "l_suppkey"])
+
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_acctbal"])
+    bad = supp.map_batches(
+        lambda b: pa.table({"l_suppkey": b.filter(
+            pc.less(b.column("s_acctbal"), pa.scalar(0.0))
+        ).column("s_suppkey")}),
+        batch_format="pyarrow")
+    pairs = anti_join(pairs, bad, "l_suppkey")
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand",
+                                       "p_type", "p_size"])
+
+    def pstore(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b.column("p_brand"),
+                                  pa.scalar(exclude_brand)))
+        # pack the three dims into one payload string (scatter carries
+        # one payload column); sizes are 1..50 so two digits suffice
+        key = pc.binary_join_element_wise(
+            t.column("p_brand"), t.column("p_type"),
+            pc.cast(t.column("p_size"), pa.string()), "|")
+        return pa.table({"l_partkey": t.column("p_partkey"),
+                         "dims": key})
+
+    rows = _scatter_lookup(
+        pairs, part.map_batches(pstore, batch_format="pyarrow"),
+        key_col="l_partkey", payload_col="dims",
+        out_cols=["l_suppkey"])
+    # several parts share one (brand, type, size) family — a supplier
+    # shipping two of them must count ONCE (Q16's count DISTINCT)
+    rows = distinct_rows(rows.select_columns(["dims", "l_suppkey"]),
+                         ["dims", "l_suppkey"])
+    counts = grouped_aggregate(rows.select_columns(["dims"]),
+                               ["dims"], {},
+                               count_alias="supplier_cnt").to_pandas()
+    if "dims" not in counts.columns:
+        return pd.DataFrame({
+            "p_brand": pd.Series([], dtype="object"),
+            "p_type": pd.Series([], dtype="object"),
+            "p_size": pd.Series([], dtype="int64"),
+            "supplier_cnt": pd.Series([], dtype="int64")})
+    dims = counts["dims"].str.split("|", expand=True)
+    out = pd.DataFrame({"p_brand": dims[0], "p_type": dims[1],
+                        "p_size": dims[2].astype(np.int64),
+                        "supplier_cnt":
+                            counts["supplier_cnt"].astype(np.int64)})
+    return (out.sort_values(["p_brand", "p_type", "p_size"])
+            .reset_index(drop=True))
+
+
+def q_excess_suppliers(sf_dir: str, nation: str = "NATION_9",
+                       name_prefix: str = "small ",
+                       year: int = 1997, min_qty: int = 50):
+    """TPC-H Q20 shape — suppliers in one nation who shipped more
+    than a quantity threshold of a part family (name prefix) in one
+    year: candidates for overstock/promotion review.  Part-prefix
+    scatter (semi join), year filter at the read, integral-quantity
+    grouped sum per supplier, nation semi join + threshold, name
+    attach on the bounded supplier dimension."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_name"])
+
+    def make_pstore(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.starts_with(b.column("p_name"),
+                                    pattern=name_prefix))
+        return pa.table({"l_partkey": t.column("p_partkey"),
+                         "one": pa.array([1] * t.num_rows,
+                                         pa.int64())})
+
+    pstore = part.map_batches(make_pstore, batch_format="pyarrow")
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey",
+                                     "l_quantity", "l_shipdate"])
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b.column("l_shipdate"),
+                                        pa.scalar(lo)),
+                       pc.less(b.column("l_shipdate"), pa.scalar(hi)))
+        t = b.filter(keep)
+        q = np.asarray(t.column("l_quantity"),
+                       dtype=np.float64).astype(np.int64)
+        return pa.table({"l_partkey": t.column("l_partkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "qty": pa.array(q)})
+
+    rows = _scatter_lookup(
+        li.map_batches(prep, batch_format="pyarrow"), pstore,
+        key_col="l_partkey", payload_col="one",
+        out_cols=["l_suppkey", "qty"])
+    per_supp = grouped_aggregate(rows, ["l_suppkey"],
+                                 {"total_qty": ("qty", "sum")}
+                                 ).to_pandas()
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    nkey = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
+    sdim = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name",
+                                    "s_nationkey"])
+    sdim = sdim[sdim["s_nationkey"] == nkey]
+    if "l_suppkey" not in per_supp.columns:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "total_qty": pd.Series([], dtype="int64")})
+    out = per_supp.merge(sdim, left_on="l_suppkey",
+                         right_on="s_suppkey")
+    out = out[out["total_qty"] > min_qty]
+    out["total_qty"] = out["total_qty"].astype(np.int64)
+    return (out[["s_suppkey", "s_name", "total_qty"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
 def q_bpe_train_docs(sf_dir: str, n_merges: int = 24):
     """Full iterative BPE tokenizer TRAINING over the documents table
     (stages/bpe.py): corpus -> distinct word counts once, then K
@@ -6360,6 +6658,10 @@ QUERIES = {
     "url_dedup_docs": q_url_dedup_docs,
     "dedup_threshold_curve_docs": q_dedup_threshold_curve_docs,
     "bpe_train_docs": q_bpe_train_docs,
+    "min_cost_supplier_parts": q_min_cost_supplier_parts,
+    "important_stock_parts": q_important_stock_parts,
+    "supplier_count_by_part": q_supplier_count_by_part,
+    "excess_suppliers": q_excess_suppliers,
     "shard_pack_docs": q_shard_pack_docs,
     "rolling_active_users": q_rolling_active_users,
     "discounted_revenue_parts": q_discounted_revenue_parts,
@@ -6417,6 +6719,69 @@ QUERIES = {
 
 
 ORACLE_SQL = {
+    "min_cost_supplier_parts": """
+        WITH rs AS (
+          SELECT s_suppkey, s_name, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'),
+        psc AS (
+          SELECT l_partkey, l_suppkey, n_name, s_name,
+                 min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS cost_cents
+          FROM lineitem
+          JOIN rs ON l_suppkey = s_suppkey
+          JOIN part ON p_partkey = l_partkey
+          WHERE p_size = 15
+          GROUP BY l_partkey, l_suppkey, n_name, s_name),
+        m AS (
+          SELECT l_partkey, min(cost_cents) AS mc
+          FROM psc GROUP BY l_partkey)
+        SELECT psc.l_partkey AS p_partkey,
+               psc.l_suppkey AS s_suppkey,
+               psc.cost_cents, psc.s_name, psc.n_name
+        FROM psc JOIN m ON psc.l_partkey = m.l_partkey
+                       AND psc.cost_cents = m.mc
+    """,
+    "important_stock_parts": """
+        WITH v AS (
+          SELECT l_partkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     )::BIGINT AS value_cents
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_9'
+          GROUP BY l_partkey),
+        t AS (SELECT sum(value_cents)::BIGINT AS tot FROM v)
+        SELECT l_partkey AS p_partkey, value_cents
+        FROM v, t WHERE value_cents * 1000000 > 100 * tot
+    """,
+    "supplier_count_by_part": """
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "excess_suppliers": """
+        SELECT s_suppkey, s_name,
+               sum(CAST(l_quantity AS BIGINT))::BIGINT AS total_qty
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE n_name = 'NATION_9'
+          AND p_name LIKE 'small %'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY s_suppkey, s_name
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 50
+    """,
     "dedup_threshold_curve_docs": r"""
         WITH RECURSIVE toks AS (
           SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
