@@ -1010,6 +1010,30 @@ def q_oph_near_dup_pairs_docs(sf_dir: str):
     return verified.sort_values(["u", "v"]).reset_index(drop=True)
 
 
+def q_bbit_near_dup_pairs_docs(sf_dir: str, bbits: int = 4):
+    """Near-dup pairs with the b-BIT minhash banding rail (Li &
+    Koenig, WWW 2010): LSH bands over only the low ``bbits`` of each
+    of the 128 minhash values — the persisted-signature footprint
+    drops 64/b-fold (1 KiB -> 64 B per doc at b=4), which is what an
+    INCREMENTAL near-dup store carries forever.  Masking is a
+    function of the value, so b-bit band keys collide whenever
+    full-value keys collide: the candidate set is a SUPERSET of the
+    full rail's (recall cannot drop; the added false positives die in
+    exact verify).  Oracle: the same brute-force >= 0.8 Jaccard cross
+    join as near_dup_pairs_docs."""
+    from dedup_restore_ray.stages.pairs import candidate_pairs
+    from dedup_restore_ray.stages.verify import verify_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(SignatureStage(CFG), batch_format="pyarrow",
+                          batch_size=CFG.batch_size).materialize()
+    cands = candidate_pairs(sigs, CFG, use_simhash=True,
+                            use_fingerprints=True, use_norm=False,
+                            minhash_bbits=bbits)
+    verified = verify_pairs(cands, sigs, CFG).to_pandas()
+    verified["jaccard"] = round_half_up(verified["jaccard"])
+    return verified.sort_values(["u", "v"]).reset_index(drop=True)
+
+
 def q_near_dup_pairs_docs(sf_dir: str):
     """Verified near-dup pairs (u < v, exact Jaccard >= 0.8) via the
     full LSH+simhash+substring candidate union.  SQL oracle: brute-force
@@ -6659,6 +6683,7 @@ QUERIES = {
     "dedup_threshold_curve_docs": q_dedup_threshold_curve_docs,
     "bpe_train_docs": q_bpe_train_docs,
     "min_cost_supplier_parts": q_min_cost_supplier_parts,
+    "bbit_near_dup_pairs_docs": q_bbit_near_dup_pairs_docs,
     "important_stock_parts": q_important_stock_parts,
     "supplier_count_by_part": q_supplier_count_by_part,
     "excess_suppliers": q_excess_suppliers,
@@ -9425,3 +9450,8 @@ ORACLE_SQL = {
                      doc_id) <= 3
     """,
 }
+
+# b-bit banding changes only WHICH candidates are generated (a
+# superset of the full-value rail's); exact verify makes the emitted
+# pair set the same brute-force-oracle target as near_dup_pairs_docs.
+ORACLE_SQL["bbit_near_dup_pairs_docs"] = ORACLE_SQL["near_dup_pairs_docs"]

@@ -58,9 +58,19 @@ class BandExpand:
     def __init__(self, cfg: PipelineConfig | None = None,
                  use_simhash: bool = True, use_fingerprints: bool = True,
                  use_norm: bool = True, use_minhash: bool = True,
-                 emit_id_hash: bool = False):
+                 emit_id_hash: bool = False, minhash_bbits: int = 0):
         self.cfg = cfg or PipelineConfig()
         self.use_minhash = use_minhash
+        # minhash_bbits > 0: band over only the LOW b bits of each
+        # minhash value (b-bit minhash, Li & Koenig 2010).  Keys
+        # collide whenever the full-value keys collide (masking is a
+        # function of the value), so the candidate set is a SUPERSET
+        # of the full-value rail's — recall never drops; the extra
+        # false positives are killed by exact verify.  The win is the
+        # PERSISTED signature footprint (128 x b bits vs 128 x 64 for
+        # incremental/near-dup stores), not the bucket shuffle (keys
+        # are 64-bit hashes either way).
+        self.minhash_bbits = int(minhash_bbits)
         self.use_simhash = use_simhash
         self.use_fingerprints = use_fingerprints
         self.use_norm = use_norm
@@ -107,7 +117,16 @@ class BandExpand:
                         dtype=U64).reshape(n, cfg.num_perm)
         keys, ids = [], []
         if self.use_minhash:
-            bk = band_keys(mh, cfg.num_bands, cfg.rows_per_band)  # [n, B]
+            mh_band = mh
+            if self.minhash_bbits:
+                # mask AFTER remembering empties: EMPTY_SIG rows must
+                # keep their sentinel so band_keys uniquifies them
+                empty = mh[:, 0] == EMPTY_SIG
+                mh_band = mh & np.uint64(
+                    (1 << self.minhash_bbits) - 1)
+                mh_band[empty] = EMPTY_SIG
+            bk = band_keys(mh_band, cfg.num_bands,
+                           cfg.rows_per_band)  # [n, B]
             keys.append(bk.reshape(-1))
             ids.append(np.repeat(np.arange(n), cfg.num_bands))
         if self.use_simhash:
@@ -332,7 +351,8 @@ def candidate_pairs(signatures: "ray.data.Dataset",
                     use_fingerprints: bool = False,
                     use_norm: bool = False,
                     use_minhash: bool = True,
-                    ids: str = "resolve") -> "ray.data.Dataset":
+                    ids: str = "resolve",
+                    minhash_bbits: int = 0) -> "ray.data.Dataset":
     """signatures -> distinct candidate (u, v) pairs, u < v.
 
     Band expansion (map_batches) feeds the sort-based vectorized bucket
@@ -353,7 +373,8 @@ def candidate_pairs(signatures: "ray.data.Dataset",
     bands = signatures.map_batches(
         BandExpand(cfg, use_simhash=use_simhash,
                    use_fingerprints=use_fingerprints, use_norm=use_norm,
-                   use_minhash=use_minhash, emit_id_hash=True),
+                   use_minhash=use_minhash, emit_id_hash=True,
+                   minhash_bbits=minhash_bbits),
         batch_format="pyarrow")
     pairs = bucket_pairs(bands, cfg.max_bucket_pairs, cfg.num_salts)
     if ids == "hashed":

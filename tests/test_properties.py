@@ -126,3 +126,45 @@ class TestSuffixArrayProperties:
     @settings(max_examples=15, deadline=None)
     def test_identical_docs_always_pair(self, s):
         assert (0, 1) in substring_pairs([s, s], 100)
+
+
+class TestUrlCanonProperties:
+    url_strategy = st.builds(
+        lambda scheme, www, host, port, segs, slash, params, frag:
+            scheme + "://" + www + host + port + "/" + "/".join(segs)
+            + ("/" if slash and segs else "")
+            + ("?" + "&".join(params) if params else "")
+            + ("#" + frag if frag else ""),
+        st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+        st.sampled_from(["", "www.", "WWW."]),
+        st.sampled_from(["ex.com", "Ex.COM", "a-b.org", "X9.net"]),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(st.sampled_from(["a", "B", "c1", "d_e", ""]),
+                 min_size=0, max_size=4),
+        st.booleans(),
+        st.lists(st.sampled_from(
+            ["id=3", "q=x", "utm_source=a", "utm_b=2", "ref=hp",
+             "pref=1", "gclid=9", "page=2"]), min_size=0, max_size=4),
+        st.sampled_from(["", "frag", "a/b?c"]),
+    )
+
+    @given(url_strategy)
+    @settings(max_examples=150, deadline=None)
+    def test_canonicalize_idempotent(self, url):
+        import pyarrow as pa
+        from dedup_restore_ray.functions.urlnorm import canonicalize_urls
+        once = canonicalize_urls(pa.array([url]))[0].as_py()
+        twice = canonicalize_urls(pa.array([once]))[0].as_py()
+        assert twice == once
+
+    @given(url_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_canonical_is_clean(self, url):
+        import pyarrow as pa
+        from dedup_restore_ray.functions.urlnorm import canonicalize_urls
+        c = canonicalize_urls(pa.array([url]))[0].as_py()
+        assert "#" not in c
+        assert "utm_" not in c and "gclid" not in c
+        assert not c.endswith("?") and not c.endswith("&")
+        host = c.split("://", 1)[1]
+        assert not host.startswith("www.")
