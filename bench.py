@@ -116,7 +116,10 @@ def run_benchmarks() -> dict:
                  "char_entropy_docs", "source_kl_docs",
                  "zipf_slope_tokens", "top_supplier_revenue",
                  "weighted_neardup_pairs_docs",
-                 "distinct_tokens_by_source_kmv"]:
+                 "distinct_tokens_by_source_kmv",
+                 "url_dedup_docs", "dedup_threshold_curve_docs",
+                 "bbit_near_dup_pairs_docs", "bpe_train_docs",
+                 "min_cost_supplier_parts"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)
