@@ -6489,6 +6489,24 @@ def q_excess_suppliers(sf_dir: str, nation: str = "NATION_9",
             .sort_values("s_suppkey").reset_index(drop=True))
 
 
+def q_leakage_free_split_docs(sf_dir: str):
+    """Cluster-aware (leakage-free) train/val/test split: the md5
+    split key is the near-dup CLUSTER id, not the doc id, so every
+    member of a duplicate cluster — exact, near, substring — lands in
+    the same split and no duplicated content can leak from train into
+    eval (the split discipline the dedup literature prescribes;
+    contrast split_docs, which hashes doc_id and CAN leak).  One
+    flagship clustering pass + the same per-row md5 bucket map as
+    split_docs; oracle = the recursive-CTE component walk composed
+    with the identical md5 arithmetic on cluster_id."""
+    from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+    from dedup_restore_ray.stages.split import hash_split
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    res = dedup_pipeline(ds, CFG)
+    asg = res.assignments.select_columns(["doc_id", "cluster_id"])
+    return hash_split(asg, key_col="cluster_id")
+
+
 def q_bpe_train_docs(sf_dir: str, n_merges: int = 24):
     """Full iterative BPE tokenizer TRAINING over the documents table
     (stages/bpe.py): corpus -> distinct word counts once, then K
@@ -6682,6 +6700,7 @@ QUERIES = {
     "url_dedup_docs": q_url_dedup_docs,
     "dedup_threshold_curve_docs": q_dedup_threshold_curve_docs,
     "bpe_train_docs": q_bpe_train_docs,
+    "leakage_free_split_docs": q_leakage_free_split_docs,
     "min_cost_supplier_parts": q_min_cost_supplier_parts,
     "bbit_near_dup_pairs_docs": q_bbit_near_dup_pairs_docs,
     "important_stock_parts": q_important_stock_parts,
@@ -7587,6 +7606,54 @@ ORACLE_SQL = {
                      )::UBIGINT % 10000 AS b
               FROM documents)
         WHERE b < 2500
+    """,
+    "leakage_free_split_docs": r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) = 0 THEN []
+                      ELSE list_distinct(list_transform(
+                           range(1, greatest(length(t) - 4, 1) + 1),
+                           i -> array_to_string(t[i:i+4], ' '))) END AS s
+          FROM toks),
+        jp AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND length(a.s) > 0 AND length(b.s) > 0
+            AND 5 * length(list_intersect(a.s, b.s))
+                >= 4 * (length(a.s) + length(b.s)
+                        - length(list_intersect(a.s, b.s)))),
+        ep AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM documents a JOIN documents b ON a.text = b.text
+          WHERE a.doc_id < b.doc_id),
+        zp AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND length(a.s) = 0 AND length(b.s) = 0),
+        edges AS (
+          SELECT u, v FROM jp UNION SELECT v, u FROM jp
+          UNION SELECT u, v FROM ep UNION SELECT v, u FROM ep
+          UNION SELECT u, v FROM zp UNION SELECT v, u FROM zp),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+        comp AS (
+          SELECT node AS doc_id, min(reach) AS cluster_id
+          FROM walk GROUP BY node)
+        SELECT doc_id, cluster_id,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, cluster_id,
+                     ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                      1, 8))::UBIGINT % 10000 AS b
+              FROM comp)
     """,
     "dedup_clusters_docs": r"""
         WITH RECURSIVE toks AS (

@@ -82,3 +82,42 @@ class TestBBitBanding:
         # on this corpus the full rail is already at brute-force
         # recall, so the two verified sets are identical
         assert verified(4) == verified(0)
+
+
+class TestLeakageFreeSplit:
+    def test_no_near_dup_pair_crosses_splits(self):
+        import pyarrow as pa
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+        from dedup_restore_ray.sources.pages import generate_pages
+        from dedup_restore_ray.stages.split import hash_split
+
+        pages, truth = generate_pages(200, seed=3)
+        ds = rd.from_arrow(pages.select(["url", "text"])).map_batches(
+            lambda b: pa.table({"doc_id": b.column("url"),
+                                "text": b.column("text")}),
+            batch_format="pyarrow")
+        res = dedup_pipeline(ds, CFG)
+        asg = hash_split(
+            res.assignments.select_columns(["doc_id", "cluster_id"]),
+            key_col="cluster_id").to_pandas()
+        split_of = dict(zip(asg["doc_id"], asg["split"]))
+        # every ground-truth exact/near duplicate cluster must land
+        # whole inside ONE split.  Substring-kind truth pairs are
+        # excluded: their overall Jaccard is < 0.8 by construction,
+        # so the >= 0.8 cluster graph (the dedup_clusters oracle's
+        # edge set) deliberately does not merge them — span-level
+        # dedup is the exact_substring operator family's job.
+        import collections
+        by_cid = collections.defaultdict(set)
+        for url, cid, kind in zip(
+                truth.column("url").to_pylist(),
+                truth.column("true_cluster_id").to_pylist(),
+                truth.column("kind").to_pylist()):
+            if kind in ("unique", "exact", "near"):
+                by_cid[cid].add(split_of[url])
+        crossings = {c: s for c, s in by_cid.items() if len(s) > 1}
+        assert crossings == {}
+        # and the split is a real 3-way partition of the corpus
+        assert set(asg["split"]) <= {"train", "val", "test"}
+        assert len(asg) == res.assignments.count()
