@@ -6576,6 +6576,22 @@ def q_url_dedup_docs(sf_dir: str):
                              count_alias="n_aliases")
 
 
+def q_funnel_events(sf_dir: str):
+    """Ordered multi-step funnel (view -> click -> purchase): per
+    user, how many funnel steps completed in STRICT timestamp order —
+    each step counts only if it occurs strictly after the earliest
+    qualifying occurrence of the previous step (the chained
+    correlated-min-subquery SQL shape; MATCH_RECOGNIZE's funnel
+    special case).  One user sort + one masked reduceat-min per step
+    (stages/windows.funnel_depths); no joins, no driver state —
+    the conversion-funnel analytics every event pipeline ships."""
+    from dedup_restore_ray.stages.windows import funnel_depths
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+    return funnel_depths(ev, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -6759,6 +6775,7 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
+    "funnel_events": q_funnel_events,
 }
 
 
@@ -9522,3 +9539,22 @@ ORACLE_SQL = {
 # superset of the full-value rail's); exact verify makes the emitted
 # pair set the same brute-force-oracle target as near_dup_pairs_docs.
 ORACLE_SQL["bbit_near_dup_pairs_docs"] = ORACLE_SQL["near_dup_pairs_docs"]
+
+ORACLE_SQL["funnel_events"] = """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           WHERE e.event_type = 'click' GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT u.user_id,
+           ((s1.user_id IS NOT NULL)::BIGINT
+            + (s2.user_id IS NOT NULL)::BIGINT
+            + (s3.user_id IS NOT NULL)::BIGINT) AS depth
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+"""

@@ -677,3 +677,52 @@ def running_totals(ds: "ray.data.Dataset", key_col: str,
                 lambda g: kernel(g.sort_by(
                     [(c, "ascending") for c in sort_keys])),
                 batch_format="pyarrow")))
+
+
+def funnel_depths(ds: "ray.data.Dataset", key_col: str, ts_col: str,
+                  type_col: str, steps: list[str],
+                  out_col: str = "depth") -> "ray.data.Dataset":
+    """Ordered multi-step funnel (the MATCH_RECOGNIZE / funnel-
+    analytics shape): per key, the number of ``steps`` completed in
+    strict timestamp order, where step s counts only if it occurs
+    STRICTLY AFTER the earliest qualifying occurrence of step s-1
+    (the chained correlated-min-subquery SQL formulation).  Depth is
+    a prefix count: a missing step ends the funnel.
+
+    One sort on (key) + a per-block kernel that runs one masked
+    ``np.minimum.reduceat`` per step — order-independent within a key
+    group, so interior blocks need no secondary ts sort and the
+    residual pass reuses the identical kernel.  Per-group state is
+    O(len(steps)); nothing but (key, depth) leaves the pass.
+
+    Output: one row per key — (key_col, out_col int64).
+    """
+    _INF = np.int64(1) << np.int64(62)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(key_col, b.schema.field(key_col).type),
+                                (out_col, pa.int64())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, [key_col])
+        counts = ends - starts
+        ts, _ = _ts_int64(b.column(ts_col), 0)
+        et = b.column(type_col).combine_chunks()
+        depth = np.zeros(len(starts), dtype=np.int64)
+        prev = np.full(len(starts), -_INF, dtype=np.int64)
+        for step in steps:
+            mask = np.asarray(pc.fill_null(pc.equal(et, step), False))
+            v = np.where(mask & (ts > np.repeat(prev, counts)), ts, _INF)
+            cur = np.minimum.reduceat(v, starts)
+            depth += (cur < _INF)
+            prev = cur
+        return pa.table({key_col: b.column(key_col).take(
+                             pa.array(starts, pa.int64())),
+                         out_col: pa.array(depth)})
+
+    interior, edge = sorted_split(ds, [key_col], [key_col])
+    return (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                kernel, batch_format="pyarrow")))

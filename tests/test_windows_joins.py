@@ -557,3 +557,43 @@ class TestRollingActiveUsers:
         want = {d: ed[(ed.day >= d - 6) & (ed.day <= d)].user.nunique()
                 for d in sorted(set(days))}
         assert dict(zip(out.day, out.rolling_users)) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnelDepths:
+    def _run(self, rows, override_num_blocks=1):
+        from dedup_restore_ray.stages.windows import funnel_depths
+        import pyarrow as pa
+        t = pa.table({"k": [r[0] for r in rows],
+                      "ts": pa.array([r[1] for r in rows],
+                                     pa.timestamp("us")),
+                      "et": [r[2] for r in rows]})
+        ds = rd.from_arrow(t).repartition(override_num_blocks)
+        out = funnel_depths(ds, "k", "ts", "et",
+                            ["view", "click", "purchase"]).to_pandas()
+        return dict(zip(out["k"], out["depth"]))
+
+    def test_strict_order_semantics(self):
+        rows = [
+            (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+            # out of order: purchase before any view -> depth 1
+            (2, 10, "purchase"), (2, 20, "view"),
+            # click at SAME ts as earliest view: strictly-after fails
+            (3, 10, "view"), (3, 10, "click"),
+            # second click after view counts even if one click precedes
+            (4, 10, "click"), (4, 20, "view"), (4, 30, "click"),
+            # no qualifying purchase -> depth 2
+            (5, 1, "view"), (5, 2, "click"), (5, 2, "signup"),
+        ]
+        d = self._run(rows)
+        assert d == {1: 3, 2: 1, 3: 1, 4: 2, 5: 2}
+
+    def test_block_layout_independent(self):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        types = ["view", "click", "purchase", "signup", "error"]
+        rows = [(int(rng.integers(0, 40)), int(rng.integers(0, 1000)),
+                 types[rng.integers(0, 5)]) for _ in range(2000)]
+        a = self._run(rows, override_num_blocks=1)
+        b = self._run(rows, override_num_blocks=13)
+        assert a == b
