@@ -6592,6 +6592,77 @@ def q_funnel_events(sf_dir: str):
                          ["view", "click", "purchase"])
 
 
+def q_mad_outlier_events(sf_dir: str):
+    """Robust grouped statistics: per event type, the median, the
+    median absolute deviation (MAD), and the count of |v - median| >
+    3*MAD outliers — the two-pass DEPENDENT grouped aggregation shape
+    (pass 2's input is a function of pass 1's per-group result) that
+    plain groupby().aggregate() can't express.
+
+    Exactness: values enter as integer cents; medians are computed on
+    the DOUBLED scale (even-count interpolation averages two same-
+    parity integers, so ``median(2*cents)`` and ``median(2*|c2-m2|)``
+    are exact int64), and the outlier test ``dev > 3*MAD`` becomes the
+    integer compare ``d4 > 3*mad4`` — no float ever reaches the
+    output or a comparison.  Each pass is one range sort
+    (stages/groups.grouped_quantile) + a tiny (#event-types-row)
+    driver attach, the revenue_by_nation precedent."""
+    from dedup_restore_ray.stages.groups import (grouped_aggregate,
+                                                 grouped_quantile)
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def to_c2(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("value"), dtype=np.float64) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "c2": pa.array(2 * cents)})
+
+    e = ev.map_batches(to_c2, batch_format="pyarrow").materialize()
+    med = grouped_quantile(e, ["event_type"], "c2", [0.5], ["m2"]
+                           ).to_pandas()
+    types = med["event_type"].tolist()
+    m2 = med["m2"].to_numpy(dtype=np.float64).astype(np.int64)
+    type_set = pa.array(types)
+
+    def to_d4(b: pa.Table) -> pa.Table:
+        codes = np.asarray(pc.index_in(b.column("event_type"),
+                                       value_set=type_set))
+        c2 = np.asarray(b.column("c2"), dtype=np.int64)
+        d4 = 2 * np.abs(c2 - m2[codes])
+        return pa.table({"event_type": b.column("event_type"),
+                         "d4": pa.array(d4)})
+
+    dev = e.map_batches(to_d4, batch_format="pyarrow").materialize()
+    mad = grouped_quantile(dev, ["event_type"], "d4", [0.5], ["mad4"]
+                           ).to_pandas()
+    mad4 = np.zeros(len(types), dtype=np.int64)
+    idx = {t: i for i, t in enumerate(types)}
+    for t, v in zip(mad["event_type"], mad["mad4"]):
+        mad4[idx[t]] = np.int64(v)
+
+    def partial(b: pa.Table) -> pa.Table:
+        codes = np.asarray(pc.index_in(b.column("event_type"),
+                                       value_set=type_set))
+        d4 = np.asarray(b.column("d4"), dtype=np.int64)
+        out = (d4 > 3 * mad4[codes]).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "is_out": pa.array(out)})
+
+    cnt = grouped_aggregate(
+        dev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], {"n_outliers": ("is_out", "sum")},
+        count_alias="n_events").to_pandas()
+    out = cnt.merge(pd.DataFrame({"event_type": types,
+                                  "med_halfcents": m2,
+                                  "mad_quartercents": mad4}),
+                    on="event_type")
+    cols = ["event_type", "med_halfcents", "mad_quartercents",
+            "n_outliers", "n_events"]
+    return out[cols].sort_values("event_type").reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -6776,6 +6847,7 @@ QUERIES = {
     "user_top_event_type": q_user_top_event_type,
     "stratified_sample_docs": q_stratified_sample_docs,
     "funnel_events": q_funnel_events,
+    "mad_outlier_events": q_mad_outlier_events,
 }
 
 
@@ -9557,4 +9629,28 @@ ORACLE_SQL["funnel_events"] = """
     LEFT JOIN s1 ON u.user_id = s1.user_id
     LEFT JOIN s2 ON u.user_id = s2.user_id
     LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+ORACLE_SQL["mad_outlier_events"] = """
+    WITH e AS (SELECT event_type,
+                      CAST(round(value * 100, 0) AS BIGINT) * 2 AS c2
+               FROM events),
+    m AS (SELECT event_type,
+                 CAST(quantile_cont(c2, 0.5) AS BIGINT) AS med_halfcents
+          FROM e GROUP BY 1),
+    d AS (SELECT e.event_type, c2, med_halfcents,
+                 2 * abs(c2 - med_halfcents) AS d4
+          FROM e JOIN m USING (event_type)),
+    mm AS (SELECT event_type,
+                  CAST(quantile_cont(d4, 0.5) AS BIGINT)
+                      AS mad_quartercents
+           FROM d GROUP BY 1)
+    SELECT d.event_type,
+           any_value(d.med_halfcents) AS med_halfcents,
+           any_value(mm.mad_quartercents) AS mad_quartercents,
+           (count(*) FILTER (d4 > 3 * mm.mad_quartercents))::BIGINT
+               AS n_outliers,
+           count(*)::BIGINT AS n_events
+    FROM d JOIN mm USING (event_type)
+    GROUP BY 1
 """
