@@ -6663,6 +6663,67 @@ def q_mad_outlier_events(sf_dir: str):
     return out[cols].sort_values("event_type").reset_index(drop=True)
 
 
+def q_corr_moments_lineitem(sf_dir: str):
+    """Grouped second-moment statistics (variance / covariance /
+    Pearson correlation per group) — the distributive-moments shape:
+    each batch pre-reduces (n, Σx, Σy, Σxy, Σx², Σy²) per group, one
+    tiny grouped sum combines them, and corr falls out of the exact
+    int64 legs.  Here: corr(quantity, discount%) per
+    (returnflag, linestatus).
+
+    Exactness: x = quantity (integral), y = discount in whole percent
+    (round-half-up) — every moment is an exact int64 (overflow safety:
+    n*Σxy < 2^63 up to ~10^10 rows at these value ranges).  corr_e6 =
+    floor(1e6 * (nΣxy - ΣxΣy) / sqrt((nΣx²-Σx²)(nΣy²-Σy²))) is
+    computed from identical IEEE-double ops on both sides (int64→
+    double, multiply, sqrt — exactly rounded per IEEE-754, divide,
+    floor), so it hash-matches bit-for-bit."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_linestatus",
+                                     "l_quantity", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = round_half_up(b["l_quantity"].to_numpy(np.float64),
+                          0).astype(np.int64)
+        y = round_half_up(b["l_discount"].to_numpy(np.float64) * 100.0,
+                          0).astype(np.int64)
+        t = pd.DataFrame({"l_returnflag": b["l_returnflag"],
+                          "l_linestatus": b["l_linestatus"],
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          "sxy": x * y, "sx2": x * x, "sy2": y * y})
+        return (t.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False).sum())
+
+    agg = grouped_aggregate(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {c: (c, "sum") for c in ["n", "sx", "sy", "sxy", "sx2", "sy2"]})
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n"), dtype=np.int64)
+        sx = np.asarray(b.column("sx"), dtype=np.int64)
+        sy = np.asarray(b.column("sy"), dtype=np.int64)
+        sxy = np.asarray(b.column("sxy"), dtype=np.int64)
+        sx2 = np.asarray(b.column("sx2"), dtype=np.int64)
+        sy2 = np.asarray(b.column("sy2"), dtype=np.int64)
+        num = n * sxy - sx * sy
+        d1 = n * sx2 - sx * sx
+        d2 = n * sy2 - sy * sy
+        ok = (d1 > 0) & (d2 > 0)
+        corr = np.zeros(len(n), dtype=np.int64)
+        with np.errstate(invalid="ignore"):
+            corr[ok] = np.floor(
+                num[ok].astype(np.float64) * 1_000_000.0
+                / np.sqrt(d1[ok].astype(np.float64)
+                          * d2[ok].astype(np.float64))).astype(np.int64)
+        return b.append_column("corr_e6", pa.array(corr))
+
+    out = agg.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -6848,6 +6909,7 @@ QUERIES = {
     "stratified_sample_docs": q_stratified_sample_docs,
     "funnel_events": q_funnel_events,
     "mad_outlier_events": q_mad_outlier_events,
+    "corr_moments_lineitem": q_corr_moments_lineitem,
 }
 
 
@@ -9629,6 +9691,27 @@ ORACLE_SQL["funnel_events"] = """
     LEFT JOIN s1 ON u.user_id = s1.user_id
     LEFT JOIN s2 ON u.user_id = s2.user_id
     LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+ORACLE_SQL["corr_moments_lineitem"] = """
+    WITH t AS (SELECT l_returnflag, l_linestatus,
+                      CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                      CAST(round(l_discount * 100, 0) AS BIGINT) AS y
+               FROM lineitem),
+    m AS (SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sx2,
+                 sum(y * y)::BIGINT AS sy2
+          FROM t GROUP BY 1, 2)
+    SELECT l_returnflag, l_linestatus, n, sx, sy, sxy, sx2, sy2,
+           CASE WHEN n * sx2 - sx * sx <= 0 OR n * sy2 - sy * sy <= 0
+                THEN 0
+                ELSE CAST(floor(
+                    (n * sxy - sx * sy)::DOUBLE * 1000000.0
+                    / sqrt((n * sx2 - sx * sx)::DOUBLE
+                           * (n * sy2 - sy * sy)::DOUBLE)) AS BIGINT)
+           END AS corr_e6
+    FROM m
 """
 
 ORACLE_SQL["mad_outlier_events"] = """
