@@ -6724,6 +6724,33 @@ def q_corr_moments_lineitem(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_normalized_dedup_docs(sf_dir: str):
+    """Aggressive-normalization exact dedup (the CCNet/Gopher
+    canonicalized-hash rule): NFC unicode normalization -> lowercase
+    -> collapse whitespace runs -> trim, then first-wins dedup on the
+    canonical form's hash — catches trivially-reformatted copies the
+    byte-exact rule misses.  All four normalization steps run in
+    Arrow C++ kernels (utf8_normalize / utf8_lower /
+    replace_substring_regex — RE2, the same engine DuckDB's
+    regexp_replace uses, so ``\\s`` means the same byte class on both
+    sides); only the 28-byte (hash, id) projection shuffles, exactly
+    like exact_dedup_docs."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def canon_hash(b: pa.Table) -> pa.Table:
+        s = pc.utf8_normalize(b.column("text"), form="NFC")
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, pattern=r"\s+",
+                                       replacement=" ")
+        s = pc.utf8_trim(s, characters=" ")
+        h = content_hashes_arrow(s)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "content_hash": pa.array(h, pa.binary(20))})
+
+    return exact_dedup(ds.map_batches(canon_hash,
+                                      batch_format="pyarrow"))
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -6910,6 +6937,7 @@ QUERIES = {
     "funnel_events": q_funnel_events,
     "mad_outlier_events": q_mad_outlier_events,
     "corr_moments_lineitem": q_corr_moments_lineitem,
+    "normalized_dedup_docs": q_normalized_dedup_docs,
 }
 
 
@@ -9691,6 +9719,17 @@ ORACLE_SQL["funnel_events"] = """
     LEFT JOIN s1 ON u.user_id = s1.user_id
     LEFT JOIN s2 ON u.user_id = s2.user_id
     LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+ORACLE_SQL["normalized_dedup_docs"] = r"""
+    WITH n AS (SELECT doc_id,
+                      trim(regexp_replace(lower(nfc_normalize(text)),
+                                          '\s+', ' ', 'g')) AS c
+               FROM documents)
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY c) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY c) AS is_dup
+    FROM n
 """
 
 ORACLE_SQL["corr_moments_lineitem"] = """
