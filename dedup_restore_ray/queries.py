@@ -6751,6 +6751,45 @@ def q_normalized_dedup_docs(sf_dir: str):
                                       batch_format="pyarrow"))
 
 
+def q_passage_neardup_docs(sf_dir: str, window: int = 20):
+    """Passage-granular NEAR-dup detection with zero recall loss: docs
+    split into non-overlapping 20-token passages (the same passage
+    model as passage_dedup_docs), every passage pair with 3-gram-
+    shingle Jaccard >= 1/2 found by the EXACT prefix-filter
+    set-similarity join (stages/ssjoin.py — no MinHash approximation
+    at this granularity), then folded to document pairs with the
+    count of matching passage pairs.  Catches partial-overlap /
+    template-sharing docs whose whole-doc Jaccard is below any
+    near-dup threshold.
+
+    Scale shape inherits ssjoin's: one token-df scatter + one prefix
+    sort over PASSAGE sets (small, bounded by the window), pair
+    verification against the packed shingle store; doc ids travel
+    packed inside the int64 pid (doc << 20 | idx) so the fold-back is
+    two shifts, not a join."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.passages import (_ORDER_BITS,
+                                                   passage_text_rows)
+    from dedup_restore_ray.stages.ssjoin import ssjoin_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    prows = passage_text_rows(ds, "doc_id", "text", window)
+    pairs = ssjoin_pairs(prows, tau_num=1, tau_den=2, k=3,
+                         id_col="pid", text_col="ptext")
+
+    def docpairs(b: pa.Table) -> pa.Table:
+        # pid_u < pid_v and distinct docs imply doc_u < doc_v
+        u = np.asarray(b.column("u"), dtype=np.int64) >> _ORDER_BITS
+        v = np.asarray(b.column("v"), dtype=np.int64) >> _ORDER_BITS
+        keep = u != v
+        return pa.table({"u": pa.array(u[keep]),
+                         "v": pa.array(v[keep])})
+
+    dp = pairs.map_batches(docpairs, batch_format="pyarrow")
+    out = grouped_aggregate(dp, ["u", "v"], {},
+                            count_alias="n_passage_pairs").to_pandas()
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -6938,6 +6977,7 @@ QUERIES = {
     "mad_outlier_events": q_mad_outlier_events,
     "corr_moments_lineitem": q_corr_moments_lineitem,
     "normalized_dedup_docs": q_normalized_dedup_docs,
+    "passage_neardup_docs": q_passage_neardup_docs,
 }
 
 
@@ -9719,6 +9759,31 @@ ORACLE_SQL["funnel_events"] = """
     LEFT JOIN s1 ON u.user_id = s1.user_id
     LEFT JOIN s2 ON u.user_id = s2.user_id
     LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+ORACLE_SQL["passage_neardup_docs"] = r"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '\w+') AS t
+                  FROM documents),
+    win AS (SELECT doc_id, t, unnest(range(1, length(t) + 1, 20)) AS s
+            FROM toks WHERE length(t) > 0),
+    pass AS (SELECT doc_id, doc_id * 1048576 + (s - 1) // 20 AS pid,
+                    t[s:s+19] AS pt FROM win),
+    psh AS (SELECT doc_id, pid,
+                   list_distinct(list_transform(
+                       range(1, greatest(length(pt) - 2, 1) + 1),
+                       i -> array_to_string(pt[i:i+2], ' '))) AS sset
+            FROM pass WHERE length(pt) > 0),
+    grams AS (SELECT doc_id, pid, unnest(sset) AS g FROM psh),
+    cand AS (SELECT DISTINCT a.pid AS pu, b.pid AS pv
+             FROM grams a JOIN grams b ON a.g = b.g
+             WHERE a.pid < b.pid AND a.doc_id <> b.doc_id),
+    ver AS (SELECT pu // 1048576 AS u, pv // 1048576 AS v
+            FROM cand JOIN psh x ON x.pid = pu JOIN psh y ON y.pid = pv
+            WHERE 3 * length(list_intersect(x.sset, y.sset))
+                  >= 1 * (length(x.sset) + length(y.sset)))
+    SELECT u, v, count(*)::BIGINT AS n_passage_pairs
+    FROM ver GROUP BY 1, 2
 """
 
 ORACLE_SQL["normalized_dedup_docs"] = r"""

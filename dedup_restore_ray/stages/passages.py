@@ -210,3 +210,36 @@ def passage_dedup(ds: "ray.data.Dataset", window: int = 20,
                              batch_format="pyarrow")
             .union(misses.map_batches(_clean_kernel(window, False),
                                       batch_format="pyarrow")))
+
+
+def passage_text_rows(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                      text_col: str = "text", window: int = 20
+                      ) -> "ray.data.Dataset":
+    """(pid int64, ptext) — one row per passage, pid packed as
+    ``doc_id << _ORDER_BITS | passage_idx`` (same packing and guards
+    as the identity-hash path, so doc ids recover as
+    ``pid >> _ORDER_BITS``).  Feeds passage-granular operators that
+    need the text itself (e.g. the exact set-similarity join)."""
+
+    def rows(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        texts = b.column(text_col).to_pylist()
+        pids: list[int] = []
+        ptexts: list[str] = []
+        for d, t in zip(ids, texts):
+            if int(d) >> (63 - _ORDER_BITS):
+                raise ValueError(
+                    f"doc_id {d} >= 2^{63 - _ORDER_BITS}: pid packing "
+                    "would bleed into doc-id bits")
+            base = int(d) << _ORDER_BITS
+            j = -1
+            for j, p in enumerate(passage_split(tokenize(t), window)):
+                pids.append(base | j)
+                ptexts.append(p)
+            if j > _ORDER_MASK:
+                raise ValueError(
+                    f"doc {d} has {j + 1} passages > 2^{_ORDER_BITS}")
+        return pa.table({"pid": pa.array(pids, pa.int64()),
+                         "ptext": pa.array(ptexts, pa.string())})
+
+    return ds.map_batches(rows, batch_format="pyarrow")

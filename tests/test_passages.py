@@ -142,3 +142,34 @@ class TestPassageDedup:
         exp = (con.sql(ORACLE_SQL[name]).df()
                .sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPassageTextRows:
+    def test_pid_packing_and_reassembly(self):
+        import pyarrow as pa
+        import ray.data as rd
+        from dedup_restore_ray.functions.shingle import tokenize
+        from dedup_restore_ray.stages.passages import (_ORDER_BITS,
+                                                       passage_text_rows)
+        texts = ["one two three four five six seven",
+                 "", "solo",
+                 " ".join(f"w{i}" for i in range(45))]
+        t = pa.table({"doc_id": list(range(4)), "text": texts})
+        out = (passage_text_rows(rd.from_arrow(t), window=3)
+               .to_pandas().sort_values("pid"))
+        # doc 1 (empty) contributes no passages
+        docs = (out["pid"].to_numpy() >> _ORDER_BITS).tolist()
+        assert 1 not in docs
+        # reassembled token stream == original tokenization
+        for d in [0, 2, 3]:
+            toks = []
+            for p in out[(out["pid"].to_numpy() >> _ORDER_BITS) == d]["ptext"]:
+                toks.extend(p.split(" "))
+            assert toks == tokenize(texts[d])
+        # passage indexes are dense from 0 per doc
+        for d in [0, 3]:
+            idxs = sorted(out[(out["pid"].to_numpy() >> _ORDER_BITS)
+                  == d]["pid"].to_numpy()
+                  & ((1 << _ORDER_BITS) - 1))
+            assert idxs == list(range(len(idxs)))
