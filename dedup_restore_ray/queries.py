@@ -6790,6 +6790,131 @@ def q_passage_neardup_docs(sf_dir: str, window: int = 20):
     return out.sort_values(["u", "v"]).reset_index(drop=True)
 
 
+def q_kmv_rollup_users(sf_dir: str, k: int = 64):
+    """MERGEABLE-sketch rollup: distinct-user KMV estimates per day
+    PLUS the global estimate derived by merging the per-day sketches
+    — the property that makes sketches the 100-TB answer to
+    count(DISTINCT) rollups: the global level never rescans rows, it
+    folds the <= k-value day sketches (bottom-k of a union of
+    bottom-ks == global bottom-k, since a hash in the global bottom-k
+    is necessarily in its own day's bottom-k).  Global row reports
+    day_epoch = -1 (the rollup convention).
+
+    One distinct pass over 16-byte (day, hash) rows + one bottom-k
+    sort; the driver folds <= k rows per day.  Deterministic DuckDB
+    md5 hash makes every estimate hash-checkable."""
+    from dedup_restore_ray.functions.sketch import kmv_estimate, kmv_hash
+    from dedup_restore_ray.stages.groups import distinct_rows, grouped_topk
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def cand(b: pa.Table) -> pa.Table:
+        us = 86_400_000_000
+        ts = np.asarray(pc.cast(b.column("ts"), pa.int64()))
+        day = (ts // us) * 86_400
+        uid = b.column("user_id").combine_chunks().dictionary_encode()
+        dh = kmv_hash(uid.dictionary.to_pylist())
+        hv = dh[np.asarray(uid.indices, dtype=np.int64)]
+        # in-batch combiner: distinct (day, hv), bottom-k per day
+        order = np.lexsort((hv, day))
+        d, h = day[order], hv[order]
+        first = np.concatenate([[True], (d[1:] != d[:-1])
+                                | (h[1:] != h[:-1])])
+        d, h = d[first], h[first]
+        starts = np.concatenate([[0], np.flatnonzero(d[1:] != d[:-1]) + 1])
+        pos = np.arange(len(d)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(d)]])))
+        keep = pos < k
+        return pa.table({"day_epoch": pa.array(d[keep]),
+                         "hv": pa.array(h[keep], pa.uint64())})
+
+    cands = ev.map_batches(cand, batch_format="pyarrow")
+    dd = distinct_rows(cands, ["day_epoch", "hv"])
+    merged = grouped_topk(dd, ["day_epoch"], [("hv", False)], k
+                          ).to_pandas()
+    rows = []
+    for day, g in merged.groupby("day_epoch"):
+        est = kmv_estimate(g["hv"].to_numpy(dtype=np.uint64), k)
+        rows.append((int(day), float(round_half_up(est, 4))))
+    # global level: fold the day sketches, never the raw rows
+    g_est = kmv_estimate(merged["hv"].to_numpy(dtype=np.uint64), k)
+    rows.append((-1, float(round_half_up(g_est, 4))))
+    return (pd.DataFrame(rows, columns=["day_epoch", "est_distinct"])
+            .sort_values("day_epoch").reset_index(drop=True))
+
+
+def q_bfs_copurchase_parts(sf_dir: str, brand: str = "Brand#11",
+                           max_level: int = 3, min_orders: int = 2):
+    """Multi-source BFS shortest-hop levels over the co-purchase
+    graph (graph traversal / reachability — the recursive-CTE shape):
+    seeds are all parts of one brand, edges connect parts co-ordered
+    in >= min_orders orders, and each reached part reports its
+    minimum hop count <= max_level.
+
+    Fully distributed frontier expansion: each round is one
+    sort-scatter semi-join (edges x frontier) + one distinct + one
+    anti-join against the visited set — no driver-side adjacency or
+    visited structure; rounds are bounded by max_level, and every
+    frontier is materialized once (two consumers: the next round's
+    probe and the visited union).  Seeds with no edges still report
+    level 0, matching the SQL."""
+    from dedup_restore_ray.stages.graph import group_value_pairs
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 flatten_blocks,
+                                                 grouped_aggregate)
+    from dedup_restore_ray.stages.joins import anti_join, semi_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    pt = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand"])
+    e = distinct_rows(li, ["l_orderkey", "l_partkey"])
+    pairs = group_value_pairs(e, "l_orderkey", "l_partkey")
+    w = grouped_aggregate(pairs, ["a", "b"], {}, count_alias="n")
+
+    def sym(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("n"),
+                                      pa.scalar(min_orders)))
+        return pa.table({
+            "src": pa.concat_arrays([t.column("a").combine_chunks(),
+                                     t.column("b").combine_chunks()]),
+            "dst": pa.concat_arrays([t.column("b").combine_chunks(),
+                                     t.column("a").combine_chunks()])})
+
+    edges = w.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("p_brand"), brand))
+        return pa.table({"node": t.column("p_partkey")})
+
+    frontier = pt.map_batches(seed_rows,
+                              batch_format="pyarrow").materialize()
+    levels = [frontier.map_batches(
+        lambda b: b.append_column("level", pa.array(
+            np.zeros(b.num_rows, np.int64))), batch_format="pyarrow")]
+    visited = frontier
+    for lvl in range(1, max_level + 1):
+        hits = semi_join(edges.rename_columns({"src": "node",
+                                               "dst": "__d"}),
+                         frontier, "node")
+        nxt = distinct_rows(
+            hits.select_columns(["__d"]).rename_columns({"__d": "node"}),
+            ["node"])
+        frontier = flatten_blocks(
+            anti_join(nxt, visited, "node")).materialize()
+        if frontier.count() == 0:
+            break
+        lv = np.int64(lvl)
+        levels.append(frontier.map_batches(
+            lambda b, lv=lv: b.append_column("level", pa.array(
+                np.full(b.num_rows, lv))), batch_format="pyarrow"))
+        visited = flatten_blocks(visited.union(frontier)).materialize()
+    out = levels[0]
+    for extra in levels[1:]:
+        out = out.union(extra)
+    pdf = out.to_pandas().rename(columns={"node": "p_partkey"})
+    return pdf.sort_values("p_partkey").reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -6978,6 +7103,8 @@ QUERIES = {
     "corr_moments_lineitem": q_corr_moments_lineitem,
     "normalized_dedup_docs": q_normalized_dedup_docs,
     "passage_neardup_docs": q_passage_neardup_docs,
+    "kmv_rollup_users": q_kmv_rollup_users,
+    "bfs_copurchase_parts": q_bfs_copurchase_parts,
 }
 
 
@@ -9759,6 +9886,58 @@ ORACLE_SQL["funnel_events"] = """
     LEFT JOIN s1 ON u.user_id = s1.user_id
     LEFT JOIN s2 ON u.user_id = s2.user_id
     LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+ORACLE_SQL["bfs_copurchase_parts"] = """
+    WITH RECURSIVE
+    dl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pw AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM dl a JOIN dl b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    e AS (SELECT u AS src, v AS dst FROM pw
+          UNION ALL SELECT v, u FROM pw),
+    seeds AS (SELECT p_partkey AS node FROM part
+              WHERE p_brand = 'Brand#11'),
+    r AS (SELECT node, 0 AS level FROM seeds
+          UNION
+          SELECT e.dst, r.level + 1 FROM r
+          JOIN e ON e.src = r.node WHERE r.level < 3)
+    SELECT node AS p_partkey, min(level)::BIGINT AS level
+    FROM r GROUP BY 1
+"""
+
+ORACLE_SQL["kmv_rollup_users"] = """
+    WITH h AS (SELECT DISTINCT
+                   epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+                   md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+               FROM events),
+    d AS (SELECT day_epoch, hv,
+                 row_number() OVER (PARTITION BY day_epoch
+                                    ORDER BY hv) AS rn
+          FROM h),
+    per AS (SELECT day_epoch,
+                   count(*) FILTER (rn <= 64) AS nk,
+                   max(hv) FILTER (rn <= 64) AS kth
+            FROM d GROUP BY 1),
+    g AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+          FROM (SELECT DISTINCT hv FROM h)),
+    gl AS (SELECT count(*) FILTER (rn <= 64) AS nk,
+                  max(hv) FILTER (rn <= 64) AS kth
+           FROM g)
+    SELECT day_epoch,
+           CASE WHEN nk < 64 THEN nk::DOUBLE
+                ELSE round(63.0 / (kth::DOUBLE
+                                   / 18446744073709551616.0), 4)
+           END AS est_distinct
+    FROM per
+    UNION ALL
+    SELECT -1 AS day_epoch,
+           CASE WHEN nk < 64 THEN nk::DOUBLE
+                ELSE round(63.0 / (kth::DOUBLE
+                                   / 18446744073709551616.0), 4)
+           END AS est_distinct
+    FROM gl
 """
 
 ORACLE_SQL["passage_neardup_docs"] = r"""
