@@ -6915,6 +6915,53 @@ def q_bfs_copurchase_parts(sf_dir: str, brand: str = "Brand#11",
     return pdf.sort_values("p_partkey").reset_index(drop=True)
 
 
+def q_incremental_agg_events(sf_dir: str):
+    """Incremental MATERIALIZED-VIEW maintenance: the hourly
+    (type, hour) -> (count, cents) view stands persisted from the
+    existing stream (even event_ids); a new shard (odd ids) arrives
+    and the refresh folds the shard's per-batch partials INTO the
+    view rows — one grouped sum over view-rows + delta-partials,
+    never a rescan of the old raw events (the append.py
+    incremental-dedup discipline applied to aggregates; sums kept in
+    integer cents so refresh order can't flip a bit).  Output = the
+    refreshed view, which the oracle recomputes from scratch."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "ts",
+                                     "value"])
+
+    def partial(half: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_id"] % 2 == half].copy()
+            b["hour_epoch"] = (b["ts"].dt.floor("h")
+                               .astype("datetime64[s]").astype("int64"))
+            b["cents"] = round_half_up(
+                b["value"].to_numpy(np.float64) * 100.0,
+                0).astype(np.int64)
+            return (b.groupby(["event_type", "hour_epoch"],
+                              as_index=False)
+                    .agg(pn=("cents", "size"), pv=("cents", "sum")))
+        return f
+
+    spec = {"n_events": ("pn", "sum"), "total_cents": ("pv", "sum")}
+    keys = ["event_type", "hour_epoch"]
+    # the persisted view (built once from the old stream)
+    view = grouped_aggregate(
+        ev.map_batches(partial(0), batch_format="pandas"),
+        keys, spec).materialize()
+    # refresh: view rows + the new shard's partials, one grouped sum
+    delta = ev.map_batches(partial(1), batch_format="pandas")
+    as_part = view.map_batches(
+        lambda b: b.rename(columns={"n_events": "pn",
+                                    "total_cents": "pv"}),
+        batch_format="pandas")
+    refreshed = grouped_aggregate(as_part.union(delta), keys, spec)
+    out = refreshed.to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return (out.sort_values(keys).reset_index(drop=True))
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -7105,6 +7152,7 @@ QUERIES = {
     "passage_neardup_docs": q_passage_neardup_docs,
     "kmv_rollup_users": q_kmv_rollup_users,
     "bfs_copurchase_parts": q_bfs_copurchase_parts,
+    "incremental_agg_events": q_incremental_agg_events,
 }
 
 
@@ -9886,6 +9934,15 @@ ORACLE_SQL["funnel_events"] = """
     LEFT JOIN s1 ON u.user_id = s1.user_id
     LEFT JOIN s2 ON u.user_id = s2.user_id
     LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+ORACLE_SQL["incremental_agg_events"] = """
+    SELECT event_type,
+           epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+           count(*)::BIGINT AS n_events,
+           sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT
+               AS total_cents
+    FROM events GROUP BY 1, 2
 """
 
 ORACLE_SQL["bfs_copurchase_parts"] = """
