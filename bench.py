@@ -119,7 +119,12 @@ def run_benchmarks() -> dict:
                  "distinct_tokens_by_source_kmv",
                  "url_dedup_docs", "dedup_threshold_curve_docs",
                  "bbit_near_dup_pairs_docs", "bpe_train_docs",
-                 "min_cost_supplier_parts"]:
+                 "min_cost_supplier_parts", "funnel_events",
+                 "mad_outlier_events", "corr_moments_lineitem",
+                 "normalized_dedup_docs", "passage_neardup_docs",
+                 "kmv_rollup_users", "bfs_copurchase_parts",
+                 "incremental_agg_events",
+                 "leakage_free_split_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)
