@@ -123,7 +123,8 @@ def run_benchmarks() -> dict:
                  "mad_outlier_events", "corr_moments_lineitem",
                  "normalized_dedup_docs", "passage_neardup_docs",
                  "kmv_rollup_users", "bfs_copurchase_parts",
-                 "incremental_agg_events",
+                 "incremental_agg_events", "source_venn_docs",
+                 "densify_hourly_events",
                  "leakage_free_split_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()

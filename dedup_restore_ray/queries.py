@@ -6962,6 +6962,113 @@ def q_incremental_agg_events(sf_dir: str):
     return (out.sort_values(keys).reset_index(drop=True))
 
 
+def q_source_venn_docs(sf_dir: str):
+    """Multi-way source-overlap Venn rollup: every distinct text gets
+    a presence BITMAP over the sources it appears in (bit i = the
+    i-th source in sorted order), then one grouped count per mask —
+    the n-way generalization of the pairwise source_overlap matrix
+    (which regions of the source Venn diagram hold how many distinct
+    texts).  Distinct (hash, bit) rows shuffle as 28 B; the mask is a
+    grouped SUM (bits are unique per source, so sum == bitwise OR);
+    sources themselves are a tiny sorted driver attach."""
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
+    ds = _docs(sf_dir, ["source", "text"])
+    srcs = sorted(distinct_rows(ds.select_columns(["source"]),
+                                ["source"]).to_pandas()["source"]
+                  .dropna().tolist())
+    src_set = pa.array(srcs)
+
+    def rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("source")))
+        h = content_hashes_arrow(b.column("text"))
+        codes = np.asarray(pc.index_in(b.column("source"),
+                                       value_set=src_set),
+                           dtype=np.int64)
+        return pa.table({"hh": pa.array(h, pa.binary(20)),
+                         "bit": pa.array(np.int64(1) << codes)})
+
+    dr = distinct_rows(ds.map_batches(rows, batch_format="pyarrow"),
+                       ["hh", "bit"])
+    masks = grouped_aggregate(dr, ["hh"],
+                              {"presence_mask": ("bit", "sum")})
+    out = grouped_aggregate(masks.select_columns(["presence_mask"]),
+                            ["presence_mask"], {},
+                            count_alias="n_texts").to_pandas()
+    m = out["presence_mask"].to_numpy(dtype=np.int64)
+    pop = np.zeros(len(m), dtype=np.int64)
+    for k in range(len(srcs)):
+        pop += (m >> k) & 1
+    out["n_sources"] = pop
+    return (out[["presence_mask", "n_sources", "n_texts"]]
+            .sort_values("presence_mask").reset_index(drop=True))
+
+
+def q_densify_hourly_events(sf_dir: str):
+    """Time-axis densification (gap filling): the hourly count per
+    event type over a DENSE hour axis from the corpus min to max hour
+    — missing (type, hour) combinations appear with 0, the shape
+    every monitoring / time-series consumer needs before windowing.
+    The dense axis is GENERATED distributively (ray.data.range over
+    hours x types — never a driver list), and one
+    scatter_lookup_split rendezvous fills hits with their count and
+    misses with zero (hits and misses from a single tagged sort)."""
+    from dedup_restore_ray.stages.cluster import scatter_lookup_split
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["hour_epoch"] = (b["ts"].dt.floor("h")
+                           .astype("datetime64[s]").astype("int64"))
+        return (b.groupby(["event_type", "hour_epoch"], as_index=False)
+                .agg(pn=("hour_epoch", "size")))
+
+    agg = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour_epoch"],
+        {"n": ("pn", "sum")}).materialize()
+    lo = int(agg.min("hour_epoch"))
+    hi = int(agg.max("hour_epoch"))
+    types = sorted(distinct_rows(agg.select_columns(["event_type"]),
+                                 ["event_type"]).to_pandas()
+                   ["event_type"].tolist())
+    n_hours = (hi - lo) // 3600 + 1
+    tarr = pa.array(types)
+
+    def dense_rows(b: pa.Table) -> pa.Table:
+        i = np.asarray(b.column("id"), dtype=np.int64)
+        hour = lo + (i // len(types)) * 3600
+        code = i % len(types)
+        return pa.table({"event_type": tarr.take(pa.array(code)),
+                         "hour_epoch": pa.array(hour),
+                         "key": pa.array(hour * 8 + code)})
+
+    dense = rd.range(n_hours * len(types)).map_batches(
+        dense_rows, batch_format="pyarrow")
+
+    def store_rows(b: pa.Table) -> pa.Table:
+        code = np.asarray(pc.index_in(b.column("event_type"),
+                                      value_set=tarr), dtype=np.int64)
+        hour = np.asarray(b.column("hour_epoch"), dtype=np.int64)
+        return pa.table({"key": pa.array(hour * 8 + code),
+                         "n": b.column("n")})
+
+    store = agg.map_batches(store_rows, batch_format="pyarrow")
+    hits, misses = scatter_lookup_split(
+        dense, store, "key", "n", ["event_type", "hour_epoch"])
+    zeros = misses.map_batches(
+        lambda b: b.append_column("n", pa.array(
+            np.zeros(b.num_rows, np.int64))), batch_format="pyarrow")
+    out = hits.union(zeros).to_pandas()
+    out["n_events"] = out["n"].astype("int64")
+    return (out[["event_type", "hour_epoch", "n_events"]]
+            .sort_values(["event_type", "hour_epoch"])
+            .reset_index(drop=True))
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -7153,6 +7260,8 @@ QUERIES = {
     "kmv_rollup_users": q_kmv_rollup_users,
     "bfs_copurchase_parts": q_bfs_copurchase_parts,
     "incremental_agg_events": q_incremental_agg_events,
+    "source_venn_docs": q_source_venn_docs,
+    "densify_hourly_events": q_densify_hourly_events,
 }
 
 
@@ -9934,6 +10043,40 @@ ORACLE_SQL["funnel_events"] = """
     LEFT JOIN s1 ON u.user_id = s1.user_id
     LEFT JOIN s2 ON u.user_id = s2.user_id
     LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+ORACLE_SQL["source_venn_docs"] = """
+    WITH sc AS (SELECT source,
+                       (row_number() OVER (ORDER BY source) - 1)
+                           AS code
+                FROM (SELECT DISTINCT source FROM documents
+                      WHERE source IS NOT NULL)),
+    h AS (SELECT DISTINCT d.text, sc.code
+          FROM documents d JOIN sc USING (source)),
+    m AS (SELECT text, sum(1::BIGINT << code)::BIGINT
+              AS presence_mask
+          FROM h GROUP BY 1)
+    SELECT presence_mask, bit_count(presence_mask)::BIGINT AS n_sources,
+           count(*)::BIGINT AS n_texts
+    FROM m GROUP BY 1
+"""
+
+ORACLE_SQL["densify_hourly_events"] = """
+    WITH b AS (SELECT epoch(date_trunc('hour', min(ts)))::BIGINT AS lo,
+                      epoch(date_trunc('hour', max(ts)))::BIGINT AS hi
+               FROM events),
+    hrs AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_epoch
+            FROM b),
+    t AS (SELECT DISTINCT event_type FROM events),
+    a AS (SELECT event_type,
+                 epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+                 count(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2)
+    SELECT t.event_type, hrs.hour_epoch,
+           coalesce(a.n, 0)::BIGINT AS n_events
+    FROM t CROSS JOIN hrs
+    LEFT JOIN a ON a.event_type = t.event_type
+               AND a.hour_epoch = hrs.hour_epoch
 """
 
 ORACLE_SQL["incremental_agg_events"] = """
