@@ -125,6 +125,8 @@ def run_benchmarks() -> dict:
                  "kmv_rollup_users", "bfs_copurchase_parts",
                  "incremental_agg_events", "source_venn_docs",
                  "densify_hourly_events",
+                 "gap_percentiles_events", "user_event_signature",
+                 "fk_audit",
                  "leakage_free_split_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()

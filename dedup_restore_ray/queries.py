@@ -7069,6 +7069,124 @@ def q_densify_hourly_events(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_gap_percentiles_events(sf_dir: str):
+    """Inter-event-gap percentiles (stream latency / dwell-time
+    distribution): per event type, the p50 and p90 of the gap in
+    whole seconds between consecutive events of the same
+    (user, type) stream — the lag-then-quantile composition.  One
+    (key, ts, id) sort feeds the lag pass (stages/windows.lag_lead),
+    one range sort the exact grouped quantiles
+    (stages/groups.grouped_quantile, DuckDB-interpolation bit-exact);
+    gaps floor-divide to integer seconds (non-negative by the sort),
+    so the only floats are the interpolated outputs, identical
+    doubles on both sides."""
+    from dedup_restore_ray.stages.groups import grouped_quantile
+    from dedup_restore_ray.stages.windows import lag_lead
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b.column("user_id"), pa.string()),
+            b.column("event_type"), "|")
+        return pa.table({"k": k, "event_type": b.column("event_type"),
+                         "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                         "event_id": b.column("event_id")})
+
+    lagged = lag_lead(ev.map_batches(pack, batch_format="pyarrow"),
+                      key_col="k", order_cols=["ts_us", "event_id"],
+                      value_col="ts_us", lag_col="prev_ts",
+                      lead_col="next_ts",
+                      carry_cols=["event_type", "ts_us"])
+
+    def gaps(b: pa.Table) -> pa.Table:
+        prev = b.column("prev_ts").combine_chunks()
+        keep = pc.is_valid(prev)
+        t = b.filter(keep)
+        g = (np.asarray(t.column("ts_us"), dtype=np.int64)
+             - np.asarray(t.column("prev_ts"), dtype=np.int64))
+        return pa.table({"event_type": t.column("event_type"),
+                         "gap_s": pa.array(g // 1_000_000)})
+
+    gd = lagged.map_batches(gaps, batch_format="pyarrow")
+    out = grouped_quantile(gd, ["event_type"], "gap_s", [0.5, 0.9],
+                           ["p50_s", "p90_s"],
+                           count_alias="n_gaps").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_user_event_signature(sf_dir: str):
+    """Ordered string aggregation (``string_agg(... ORDER BY ts)``):
+    each user's event history compressed to the ordered string of
+    event-type initials — the sequence-signature form sessionization
+    and behavioral clustering consume.  One (user, ts, id) sort + ONE
+    Arrow ``binary_join`` kernel per block over ListArray offsets
+    derived from the group bounds (stages/windows.
+    grouped_ordered_concat — no per-group Python)."""
+    from dedup_restore_ray.stages.windows import grouped_ordered_concat
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "ini": pc.utf8_slice_codeunits(
+                             b.column("event_type"), 0, 1)})
+
+    out = grouped_ordered_concat(
+        ev.map_batches(pack, batch_format="pyarrow"), "user_id",
+        ["ts_us", "event_id"], "ini", sep="",
+        out_col="signature").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_fk_audit(sf_dir: str):
+    """Referential-integrity audit (data-quality constraint checks):
+    orphan counts for the star schema's four foreign keys — rows
+    whose FK value has no parent row.  Each constraint is ONE
+    distributed anti-join (sort-scatter, no driver key sets); only
+    four integers reach the driver.  Zero counts are the expected
+    healthy report, and the operator is the audit a pipeline runs
+    before trusting a join."""
+    from dedup_restore_ray.stages.joins import anti_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    od = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey"])
+    cu = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+    pt = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey"])
+    na = read_parquet_clean(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey"])
+    checks = [
+        ("lineitem.l_orderkey->orders",
+         li.select_columns(["l_orderkey"])
+           .rename_columns({"l_orderkey": "k"}),
+         od.select_columns(["o_orderkey"])
+           .rename_columns({"o_orderkey": "k"})),
+        ("lineitem.l_partkey->part",
+         li.select_columns(["l_partkey"])
+           .rename_columns({"l_partkey": "k"}),
+         pt.rename_columns({"p_partkey": "k"})),
+        ("orders.o_custkey->customer",
+         od.select_columns(["o_custkey"])
+           .rename_columns({"o_custkey": "k"}),
+         cu.select_columns(["c_custkey"])
+           .rename_columns({"c_custkey": "k"})),
+        ("customer.c_nationkey->nation",
+         cu.select_columns(["c_nationkey"])
+           .rename_columns({"c_nationkey": "k"}),
+         na.rename_columns({"n_nationkey": "k"})),
+    ]
+    rows = [(name, int(anti_join(child, parent, "k").count()))
+            for name, child, parent in checks]
+    return pd.DataFrame(rows, columns=["constraint", "n_orphans"])
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -7262,6 +7380,9 @@ QUERIES = {
     "incremental_agg_events": q_incremental_agg_events,
     "source_venn_docs": q_source_venn_docs,
     "densify_hourly_events": q_densify_hourly_events,
+    "gap_percentiles_events": q_gap_percentiles_events,
+    "user_event_signature": q_user_event_signature,
+    "fk_audit": q_fk_audit,
 }
 
 
@@ -10043,6 +10164,48 @@ ORACLE_SQL["funnel_events"] = """
     LEFT JOIN s1 ON u.user_id = s1.user_id
     LEFT JOIN s2 ON u.user_id = s2.user_id
     LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+ORACLE_SQL["gap_percentiles_events"] = """
+    WITH l AS (SELECT event_type,
+                      epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS gap_us
+               FROM events)
+    SELECT event_type,
+           quantile_cont(gap_us // 1000000, 0.5) AS p50_s,
+           quantile_cont(gap_us // 1000000, 0.9) AS p90_s,
+           count(*)::BIGINT AS n_gaps
+    FROM l WHERE gap_us IS NOT NULL
+    GROUP BY 1
+"""
+
+ORACLE_SQL["user_event_signature"] = """
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), ''
+                      ORDER BY ts, event_id) AS signature
+    FROM events GROUP BY 1
+"""
+
+ORACLE_SQL["fk_audit"] = """
+    SELECT 'lineitem.l_orderkey->orders' AS constraint,
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           )::BIGINT AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part))::BIGINT
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+           )::BIGINT
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+           )::BIGINT
 """
 
 ORACLE_SQL["source_venn_docs"] = """

@@ -726,3 +726,43 @@ def funnel_depths(ds: "ray.data.Dataset", key_col: str, ts_col: str,
                                  batch_size=None)
             .union(edge.groupby(key_col).map_groups(
                 kernel, batch_format="pyarrow")))
+
+
+def grouped_ordered_concat(ds: "ray.data.Dataset", key_col: str,
+                           order_cols: list[str], value_col: str,
+                           sep: str = "",
+                           out_col: str = "agg") -> "ray.data.Dataset":
+    """Ordered string aggregation per key (``string_agg(value, sep
+    ORDER BY ...) GROUP BY key``) — the order-sensitive aggregate Ray
+    Data has no form for.  One sort on (key, order_cols...); each
+    interior block turns its group bounds into ListArray offsets and
+    runs ONE ``pc.binary_join`` kernel over the whole block (no
+    per-group Python); block-edge groups take the residual pass with
+    the identical kernel.  ``order_cols`` must end in a unique
+    tiebreak (SQL's determinism requirement).  Null values are not
+    supported (pre-filter; SQL string_agg skips nulls)."""
+    sort_keys = [key_col, *order_cols]
+
+    def kernel(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(key_col, b.schema.field(key_col).type),
+                                (out_col, pa.string())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, [key_col])
+        offsets = np.concatenate([starts, ends[-1:]]).astype(np.int32)
+        vals = b.column(value_col).combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets), vals)
+        joined = pc.binary_join(lists, sep)
+        return pa.table({key_col: b.column(key_col).take(
+                             pa.array(starts, pa.int64())),
+                         out_col: joined})
+
+    def residual(g: pa.Table) -> pa.Table:
+        return kernel(g.sort_by([(c, "ascending") for c in sort_keys]))
+
+    interior, edge = sorted_split(ds, sort_keys, [key_col])
+    return (interior.map_batches(kernel, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(key_col).map_groups(
+                residual, batch_format="pyarrow")))

@@ -597,3 +597,35 @@ class TestFunnelDepths:
         a = self._run(rows, override_num_blocks=1)
         b = self._run(rows, override_num_blocks=13)
         assert a == b
+
+
+class TestGroupedOrderedConcat:
+    @pytest.mark.parametrize("num_blocks", [1, 9])
+    def test_parity_vs_duckdb_string_agg(self, ray_session, num_blocks):
+        import duckdb
+        from dedup_restore_ray.stages.windows import grouped_ordered_concat
+        rng = np.random.default_rng(23)
+        n = 700
+        df = pd.DataFrame({
+            "k": rng.integers(0, 29, n).astype(np.int64),
+            "ts": rng.integers(0, 500, n).astype(np.int64),
+            "rid": np.arange(n, dtype=np.int64),
+            "v": np.array(list("abcdefgh"))[rng.integers(0, 8, n)],
+        })
+        got = grouped_ordered_concat(
+            rd.from_pandas(df).repartition(num_blocks), "k",
+            ["ts", "rid"], "v", sep="-", out_col="agg",
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        exp = duckdb.sql(
+            "SELECT k, string_agg(v, '-' ORDER BY ts, rid) AS agg "
+            "FROM df GROUP BY 1 ORDER BY 1").df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_singleton_and_empty_sep(self, ray_session):
+        from dedup_restore_ray.stages.windows import grouped_ordered_concat
+        df = pd.DataFrame({"k": [1, 2, 2], "ts": [0, 1, 0],
+                           "v": ["x", "b", "a"]})
+        got = grouped_ordered_concat(
+            rd.from_pandas(df), "k", ["ts"], "v",
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(got["agg"]) == ["x", "ab"]
