@@ -126,7 +126,8 @@ def run_benchmarks() -> dict:
                  "incremental_agg_events", "source_venn_docs",
                  "densify_hourly_events",
                  "gap_percentiles_events", "user_event_signature",
-                 "fk_audit",
+                 "fk_audit", "peak_open_orders",
+                 "weighted_median_nchars",
                  "leakage_free_split_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()

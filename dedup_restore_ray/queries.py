@@ -7187,6 +7187,94 @@ def q_fk_audit(sf_dir: str):
     return pd.DataFrame(rows, columns=["constraint", "n_orphans"])
 
 
+def q_peak_open_orders(sf_dir: str):
+    """Sweep-line peak concurrency (max simultaneously-open intervals
+    — the gauge behind 'peak concurrent sessions' dashboards): an
+    order is open from its order date until its LAST lineitem ships;
+    report each priority class's all-time peak count of open orders.
+
+    The interval-stabbing shape that naive SQL solves with a
+    quadratic self-join collapses to +1/-1 boundary deltas: one
+    grouped max (last ship day per order), one sort-scatter to attach
+    order date + priority, then delta rows -> grouped sum per (prio,
+    day) -> ONE running-sum sort -> grouped max.  Every step is
+    int64-exact (days since epoch), so the oracle is a window-SQL
+    running sum over the same deltas."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.windows import running_totals
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    od = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderdate",
+                                     "o_orderpriority"])
+    US_DAY = 86_400_000_000
+
+    def ship_days(b: pa.Table) -> pa.Table:
+        d = np.asarray(pc.cast(b.column("l_shipdate").combine_chunks(),
+                               pa.int64())) // US_DAY
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "ship_d": pa.array(d)})
+
+    last = grouped_aggregate(
+        li.map_batches(ship_days, batch_format="pyarrow"),
+        ["l_orderkey"], {"last_d": ("ship_d", "max")})
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        d = np.asarray(pc.cast(b.column("o_orderdate").combine_chunks(),
+                               pa.int64())) // US_DAY
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "p": b.column("o_orderpriority"),
+                         "start_d": pa.array(d)})
+
+    joined = _scatter_lookup(
+        od.map_batches(order_rows, batch_format="pyarrow"),
+        last.rename_columns({"l_orderkey": "o_orderkey"}),
+        key_col="o_orderkey", payload_col="last_d",
+        out_cols=["p", "start_d"])
+
+    def deltas(b: pa.Table) -> pa.Table:
+        start = np.asarray(b.column("start_d"), dtype=np.int64)
+        end = np.asarray(b.column("last_d"), dtype=np.int64)
+        p = b.column("p").combine_chunks()
+        return pa.table({
+            "p": pa.chunked_array([p, p]),
+            "day": pa.array(np.concatenate([start, end + 1])),
+            "dl": pa.array(np.concatenate(
+                [np.ones(len(start), np.int64),
+                 np.full(len(end), -1, np.int64)]))})
+
+    day_deltas = grouped_aggregate(
+        joined.map_batches(deltas, batch_format="pyarrow"),
+        ["p", "day"], {"dsum": ("dl", "sum")})
+    cur = running_totals(day_deltas, "p", ["day"], "dsum",
+                         sum_col="cur")
+    out = grouped_aggregate(cur, ["p"], {"peak_open": ("cur", "max")}
+                            ).to_pandas()
+    out = out.rename(columns={"p": "o_orderpriority"})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_weighted_median_nchars(sf_dir: str):
+    """Storage-weighted median document length per source: the
+    n_chars value at which half of the source's total CHARACTERS sit
+    in shorter-or-equal documents (lower weighted median) — the
+    corpus-curation statistic that answers 'what document size holds
+    the bulk of the bytes', which the unweighted median badly
+    misstates on heavy-tailed web corpora.  One sort feeds
+    stages/groups.grouped_weighted_median: cumulative and total
+    weights from a single cumsum, first qualifying row per group via
+    one add.reduceat — all int64-exact compares."""
+    from dedup_restore_ray.stages.groups import grouped_weighted_median
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "source", "n_chars"])
+    out = grouped_weighted_median(
+        docs, ["source"], "n_chars", "n_chars", "doc_id",
+        out_col="wmedian_nchars", total_alias="total_chars").to_pandas()
+    out["wmedian_nchars"] = out["wmedian_nchars"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -7383,6 +7471,8 @@ QUERIES = {
     "gap_percentiles_events": q_gap_percentiles_events,
     "user_event_signature": q_user_event_signature,
     "fk_audit": q_fk_audit,
+    "peak_open_orders": q_peak_open_orders,
+    "weighted_median_nchars": q_weighted_median_nchars,
 }
 
 
@@ -10206,6 +10296,35 @@ ORACLE_SQL["fk_audit"] = """
            (SELECT count(*) FROM customer
             WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
            )::BIGINT
+"""
+
+ORACLE_SQL["peak_open_orders"] = """
+    WITH last AS (SELECT l_orderkey k,
+                         max(epoch_us(l_shipdate) // 86400000000) last_d
+                  FROM lineitem GROUP BY 1),
+    o AS (SELECT o_orderpriority p,
+                 epoch_us(o_orderdate) // 86400000000 AS sd, last_d
+          FROM orders JOIN last ON o_orderkey = k),
+    d AS (SELECT p, sd AS day, 1 AS dl FROM o
+          UNION ALL SELECT p, last_d + 1, -1 FROM o),
+    g AS (SELECT p, day, sum(dl) AS dsum FROM d GROUP BY 1, 2),
+    c AS (SELECT p, sum(dsum) OVER (PARTITION BY p ORDER BY day) cur
+          FROM g)
+    SELECT p AS o_orderpriority, max(cur)::BIGINT AS peak_open
+    FROM c GROUP BY 1
+"""
+
+ORACLE_SQL["weighted_median_nchars"] = """
+    WITH c AS (SELECT source, n_chars AS v,
+                      sum(n_chars) OVER (PARTITION BY source
+                          ORDER BY n_chars, doc_id) AS cw,
+                      sum(n_chars) OVER (PARTITION BY source) AS tw
+               FROM documents)
+    SELECT source,
+           CAST(min(v) FILTER (WHERE 2 * cw >= tw) AS BIGINT)
+               AS wmedian_nchars,
+           max(tw)::BIGINT AS total_chars
+    FROM c GROUP BY 1
 """
 
 ORACLE_SQL["source_venn_docs"] = """

@@ -538,6 +538,64 @@ def grouped_quantile(ds: "ray.data.Dataset", keys: list[str],
                 residual_quantiles, batch_format="pyarrow")))
 
 
+def grouped_weighted_median(ds: "ray.data.Dataset", keys: list[str],
+                            value_col: str, weight_col: str,
+                            tiebreak_col: str,
+                            out_col: str = "wmedian",
+                            total_alias: str | None = None
+                            ) -> "ray.data.Dataset":
+    """Lower weighted median per key group: the smallest ``value``
+    whose cumulative weight (rows ordered by value, tiebreak) reaches
+    half the group's total weight — ``min(v) FILTER (WHERE 2*cumw >=
+    totw)`` in window-SQL form.  Weights must be non-negative
+    integers; the comparison ``2*cumw >= totw`` is then int64-exact on
+    both sides (no float midpoint).
+
+    One sort on (keys..., value, tiebreak) + a per-block kernel that
+    computes cumulative AND total weight in a single cumsum, then
+    selects each group's first qualifying row with one ``add.reduceat``
+    (cumulative weight is monotone within a group, so the first
+    qualifying index is ``end - count_qualifying``) — no per-group
+    Python.  Null values/weights are not supported (pre-filter)."""
+    sort_cols = keys + [value_col, tiebreak_col]
+    interior, edge = sorted_split(ds, sort_cols, keys)
+
+    def block_wmedian(b: pa.Table) -> pa.Table:
+        fields = [(k, b.schema.field(k).type) for k in keys]
+        if b.num_rows == 0:
+            cols = {k: pa.array([], t) for k, t in fields}
+            cols[out_col] = pa.array([], b.schema.field(value_col).type)
+            if total_alias:
+                cols[total_alias] = pa.array([], pa.int64())
+            return pa.table(cols)
+        starts, ends = group_bounds(b, keys)
+        w = np.asarray(b.column(weight_col), dtype=np.int64)
+        cs = np.zeros(len(w) + 1, np.int64)
+        np.cumsum(w, out=cs[1:])
+        tot = cs[ends] - cs[starts]
+        # within-group cumulative weight, rebased per group
+        cum = cs[1:] - np.repeat(cs[starts], ends - starts)
+        qual = (2 * cum) >= np.repeat(tot, ends - starts)
+        n_qual = np.add.reduceat(qual, starts)
+        # all-zero-weight group: every row qualifies -> first row (the
+        # min value), matching the SQL FILTER form
+        pick = ends - n_qual
+        cols = {k: b.column(k).take(pa.array(starts)) for k in keys}
+        cols[out_col] = b.column(value_col).take(pa.array(pick))
+        if total_alias:
+            cols[total_alias] = pa.array(tot)
+        return pa.table(cols)
+
+    def residual_wmedian(g: pa.Table) -> pa.Table:
+        return block_wmedian(g.sort_by(
+            [(c, "ascending") for c in sort_cols]))
+
+    return (interior.map_batches(block_wmedian, batch_format="pyarrow",
+                                 batch_size=None)
+            .union(edge.groupby(keys).map_groups(
+                residual_wmedian, batch_format="pyarrow")))
+
+
 def grouped_topk(ds: "ray.data.Dataset", keys: list[str],
                  order_by: list[tuple[str, bool]], k: int
                  ) -> "ray.data.Dataset":

@@ -629,3 +629,51 @@ class TestGroupedOrderedConcat:
             rd.from_pandas(df), "k", ["ts"], "v",
         ).to_pandas().sort_values("k").reset_index(drop=True)
         assert list(got["agg"]) == ["x", "ab"]
+
+
+class TestGroupedWeightedMedian:
+    @pytest.mark.parametrize("num_blocks", [1, 8])
+    def test_parity_vs_duckdb_window_form(self, ray_session, num_blocks):
+        import duckdb
+        from dedup_restore_ray.stages.groups import grouped_weighted_median
+        rng = np.random.default_rng(31)
+        n = 800
+        df = pd.DataFrame({
+            "k": rng.integers(0, 23, n).astype(np.int64),
+            "v": rng.integers(0, 200, n).astype(np.int64),
+            "w": rng.integers(0, 9, n).astype(np.int64),  # zeros included
+            "rid": np.arange(n, dtype=np.int64),
+        })
+        got = grouped_weighted_median(
+            rd.from_pandas(df).repartition(num_blocks), ["k"], "v", "w",
+            "rid", out_col="wm", total_alias="tot",
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        exp = duckdb.sql("""
+            WITH c AS (SELECT k, v,
+                              sum(w) OVER (PARTITION BY k
+                                           ORDER BY v, rid) cw,
+                              sum(w) OVER (PARTITION BY k) tw
+                       FROM df)
+            SELECT k, min(v) FILTER (WHERE 2*cw >= tw) AS wm,
+                   max(tw) AS tot
+            FROM c GROUP BY 1 ORDER BY 1""").df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_all_zero_weight_group_picks_min_value(self, ray_session):
+        from dedup_restore_ray.stages.groups import grouped_weighted_median
+        df = pd.DataFrame({"k": [1, 1, 1], "v": [30, 10, 20],
+                           "w": [0, 0, 0], "rid": [0, 1, 2]})
+        got = grouped_weighted_median(
+            rd.from_pandas(df), ["k"], "v", "w", "rid",
+        ).to_pandas()
+        assert list(got["wmedian"]) == [10]
+
+    def test_heavy_tail_dominant_row(self, ray_session):
+        from dedup_restore_ray.stages.groups import grouped_weighted_median
+        # one row holds >half the weight -> IT is the weighted median
+        df = pd.DataFrame({"k": [1]*5, "v": [1, 2, 3, 4, 1000],
+                           "w": [1, 1, 1, 1, 100],
+                           "rid": list(range(5))})
+        got = grouped_weighted_median(
+            rd.from_pandas(df), ["k"], "v", "w", "rid").to_pandas()
+        assert list(got["wmedian"]) == [1000]
