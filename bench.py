@@ -127,7 +127,9 @@ def run_benchmarks() -> dict:
                  "densify_hourly_events",
                  "gap_percentiles_events", "user_event_signature",
                  "fk_audit", "peak_open_orders",
-                 "weighted_median_nchars",
+                 "weighted_median_nchars", "new_vs_returning_users",
+                 "abc_classification_parts", "burst_hours_events",
+                 "time_to_convert_events",
                  "leakage_free_split_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()

@@ -7275,6 +7275,216 @@ def q_weighted_median_nchars(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_new_vs_returning_users(sf_dir: str):
+    """Daily new-vs-returning split + cumulative adoption curve: per
+    day, how many active users are seen for the FIRST time vs
+    returning, and the running total of users ever seen — the growth
+    dashboard every event pipeline feeds.  Distinct (day, user) pairs
+    are materialized ONCE and feed both consumers (per-user first day
+    and the per-day rollup); first days come back onto the pairs via
+    one sort-scatter, the day rollup is a grouped sum, and the
+    cumulative curve is a ~hundreds-row global running sum — no
+    driver-side user state anywhere."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
+    from dedup_restore_ray.stages.windows import global_running_sum
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+
+    def proj(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day_epoch": (batch["ts"].dt.floor("D")
+                          .astype("datetime64[s]").astype("int64")),
+            "user_id": batch["user_id"],
+        }).drop_duplicates()            # combiner: shrink before sort
+
+    pairs = distinct_rows(ev.map_batches(proj, batch_format="pandas"),
+                          ["day_epoch", "user_id"]).materialize()
+    first = grouped_aggregate(pairs, ["user_id"],
+                              {"first_day": ("day_epoch", "min")})
+    tagged = _scatter_lookup(pairs, first, key_col="user_id",
+                             payload_col="first_day",
+                             out_cols=["day_epoch"])
+
+    def is_new(b: pa.Table) -> pa.Table:
+        new = pc.equal(b.column("day_epoch"), b.column("first_day"))
+        return pa.table({"day_epoch": b.column("day_epoch"),
+                         "is_new": pc.cast(new, pa.int64())})
+
+    per_day = grouped_aggregate(
+        tagged.map_batches(is_new, batch_format="pyarrow"),
+        ["day_epoch"], {"n_new": ("is_new", "sum")},
+        count_alias="n_active")
+    out = global_running_sum(per_day, ["day_epoch"], "n_new",
+                             out_col="cum_users", exclusive=False,
+                             carry_cols=["day_epoch", "n_new",
+                                         "n_active"]).to_pandas()
+    out["n_returning"] = out["n_active"] - out["n_new"]
+    return (out[["day_epoch", "n_active", "n_new", "n_returning",
+                 "cum_users"]]
+            .sort_values("day_epoch").reset_index(drop=True))
+
+
+def q_abc_classification_parts(sf_dir: str):
+    """Pareto / ABC classification (cumulative-share bucketing): parts
+    ranked by total discounted revenue; class A while the running
+    share is <= 80% of global revenue, B to 95%, C beyond — the
+    inventory-analytics shape behind 'which 20% of SKUs carry 80% of
+    revenue'.  Per-batch (part, cents) combiners -> one grouped sum ->
+    ONE global running sum over the ranked order (block-offset map,
+    never a driver table); class cutoffs are pure int64 cross-multiply
+    compares (cum*5 <= tot*4), so no float share ever exists."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.windows import global_running_sum
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice",
+                                     "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+            * (1.0 - np.asarray(b.column("l_discount"),
+                                dtype=np.float64)) * 100.0, 0
+        ).astype(np.int64)
+        g = pa.table({"l_partkey": b.column("l_partkey"),
+                      "pc_": pa.array(cents)}).group_by(
+            ["l_partkey"]).aggregate([("pc_", "sum")])
+        return pa.table({"l_partkey": g.column("l_partkey"),
+                         "pn": g.column("pc__sum")})
+
+    rev = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey"], {"revenue_cents": ("pn", "sum")}).materialize()
+    tot = int(rev.sum("revenue_cents") or 0)
+
+    def neg(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("revenue_cents"), dtype=np.int64)
+        return b.append_column("neg_cents", pa.array(-c))
+
+    cum = global_running_sum(
+        rev.map_batches(neg, batch_format="pyarrow"),
+        ["neg_cents", "l_partkey"], "revenue_cents", out_col="cum",
+        exclusive=False, carry_cols=["l_partkey", "revenue_cents"])
+
+    def classify(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("cum"), dtype=np.int64)
+        cls = np.where(c * 5 <= tot * 4, "A",
+                       np.where(c * 20 <= tot * 19, "B", "C"))
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "revenue_cents": b.column("revenue_cents"),
+                         "abc_class": pa.array(cls)})
+
+    out = cum.map_batches(classify, batch_format="pyarrow").to_pandas()
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+def q_burst_hours_events(sf_dir: str):
+    """Burst detection (rate-anomaly flagging): hours where an event
+    type's count exceeds 1.5x its own trailing-23-hour average, after
+    a 12-active-hour warm-up — the monitoring primitive behind alert
+    rules.  Hourly counts reduce first (per-batch combiner + grouped
+    sum), so the trailing RANGE-frame sums/counts run over the TINY
+    (type, hour) table: one sliding_window_sum + one
+    sliding_window_count sort, then a pure-integer flag compare
+    (2*c*n_prev > 3*(s - c); counts in float64 are exact < 2^53)."""
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    from dedup_restore_ray.stages.windows import (sliding_window_count,
+                                                  sliding_window_sum)
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def hourly(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "event_type": batch["event_type"],
+            "hour_e": (batch["ts"].dt.floor("h")
+                       .astype("datetime64[s]").astype("int64")),
+        })
+        g = d.groupby(["event_type", "hour_e"], as_index=False).size()
+        return g.rename(columns={"size": "pc_"})
+
+    hr = grouped_aggregate(
+        ev.map_batches(hourly, batch_format="pandas"),
+        ["event_type", "hour_e"], {"c": ("pc_", "sum")})
+    s = sliding_window_sum(hr, "event_type", "hour_e", "c",
+                           window_seconds=82_800, out_col="s",
+                           carry_cols=["event_type", "hour_e", "c"])
+    sn = sliding_window_count(s, "event_type", "hour_e",
+                              window_seconds=82_800, out_col="nw",
+                              carry_cols=["event_type", "hour_e",
+                                          "c", "s"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("c"), dtype=np.int64)
+        tot = np.asarray(b.column("s"), dtype=np.float64).astype(np.int64)
+        nprev = np.asarray(b.column("nw"), dtype=np.int64) - 1
+        keep = (nprev >= 12) & (2 * c * nprev > 3 * (tot - c))
+        t = b.filter(pa.array(keep))
+        return pa.table({"event_type": t.column("event_type"),
+                         "hour_e": t.column("hour_e"),
+                         "n_events": t.column("c")})
+
+    out = sn.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["event_type", "hour_e"])
+            .reset_index(drop=True))
+
+
+def q_time_to_convert_events(sf_dir: str):
+    """Time-to-convert cohort distribution: per signup-day cohort, the
+    p50/p90 of seconds from a user's FIRST signup to their first
+    subsequent purchase — the activation-latency curve.  Per-user
+    first signup is one grouped min; signup timestamps rendezvous with
+    purchase rows via one sort-scatter (users who never purchase drop,
+    exactly like the SQL inner join); the strictly-after filter and
+    per-user min diff stay integer microseconds, and the cohort
+    quantiles ride grouped_quantile (DuckDB-interpolation-exact)."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import (grouped_aggregate,
+                                                 grouped_quantile)
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id", "event_type"])
+
+    def proj(b: pa.Table, kind: str) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), kind))
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts_us": pc.cast(t.column("ts"), pa.int64())})
+
+    signups = grouped_aggregate(
+        ev.map_batches(lambda b: proj(b, "signup"),
+                       batch_format="pyarrow"),
+        ["user_id"], {"st_us": ("ts_us", "min")})
+    purchases = ev.map_batches(lambda b: proj(b, "purchase"),
+                               batch_format="pyarrow")
+    joined = _scatter_lookup(purchases, signups, key_col="user_id",
+                             payload_col="st_us",
+                             out_cols=["user_id", "ts_us"])
+
+    def diffs(b: pa.Table) -> pa.Table:
+        p = np.asarray(b.column("ts_us"), dtype=np.int64)
+        s = np.asarray(b.column("st_us"), dtype=np.int64)
+        keep = p > s
+        US_DAY = 86_400_000_000
+        return pa.table({
+            "user_id": b.column("user_id").filter(pa.array(keep)),
+            "cohort_day": pa.array((s[keep] // US_DAY) * 86_400),
+            "d_us": pa.array(p[keep] - s[keep])})
+
+    per_user = grouped_aggregate(
+        joined.map_batches(diffs, batch_format="pyarrow"),
+        ["user_id", "cohort_day"], {"min_us": ("d_us", "min")})
+
+    def to_sec(b: pa.Table) -> pa.Table:
+        d = np.asarray(b.column("min_us"), dtype=np.int64) // 1_000_000
+        return pa.table({"cohort_day": b.column("cohort_day"),
+                         "conv_s": pa.array(d)})
+
+    out = grouped_quantile(
+        per_user.map_batches(to_sec, batch_format="pyarrow"),
+        ["cohort_day"], "conv_s", [0.5, 0.9], ["p50_s", "p90_s"],
+        count_alias="n_converted").to_pandas()
+    return out.sort_values("cohort_day").reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -7473,6 +7683,10 @@ QUERIES = {
     "fk_audit": q_fk_audit,
     "peak_open_orders": q_peak_open_orders,
     "weighted_median_nchars": q_weighted_median_nchars,
+    "new_vs_returning_users": q_new_vs_returning_users,
+    "abc_classification_parts": q_abc_classification_parts,
+    "burst_hours_events": q_burst_hours_events,
+    "time_to_convert_events": q_time_to_convert_events,
 }
 
 
@@ -10296,6 +10510,76 @@ ORACLE_SQL["fk_audit"] = """
            (SELECT count(*) FROM customer
             WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
            )::BIGINT
+"""
+
+ORACLE_SQL["abc_classification_parts"] = """
+    WITH r AS (SELECT l_partkey,
+                      CAST(SUM(CAST(round(l_extendedprice
+                                          * (1 - l_discount) * 100)
+                                    AS BIGINT)) AS BIGINT)
+                          AS revenue_cents
+               FROM lineitem GROUP BY 1),
+    c AS (SELECT l_partkey, revenue_cents,
+                 sum(revenue_cents) OVER (ORDER BY revenue_cents DESC,
+                                          l_partkey) AS cum,
+                 sum(revenue_cents) OVER () AS tot
+          FROM r)
+    SELECT l_partkey, revenue_cents,
+           CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                WHEN cum * 20 <= tot * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+"""
+
+ORACLE_SQL["burst_hours_events"] = """
+    WITH m AS (SELECT event_type,
+                      epoch(date_trunc('hour', ts))::BIGINT AS hour_e,
+                      count(*)::BIGINT AS c
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, hour_e, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY hour_e
+                              RANGE BETWEEN 82800 PRECEDING
+                              AND CURRENT ROW) AS s,
+                 count(*) OVER (PARTITION BY event_type ORDER BY hour_e
+                                RANGE BETWEEN 82800 PRECEDING
+                                AND CURRENT ROW) AS nw
+          FROM m)
+    SELECT event_type, hour_e, c AS n_events
+    FROM w WHERE (nw - 1) >= 12 AND 2 * c * (nw - 1) > 3 * (s - c)
+"""
+
+ORACLE_SQL["time_to_convert_events"] = """
+    WITH su AS (SELECT user_id, min(ts) AS st
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+    c AS (SELECT e.user_id,
+                 (epoch_us(any_value(su.st)) // 86400000000) * 86400
+                     AS cohort_day,
+                 min(epoch_us(e.ts) - epoch_us(su.st)) AS d_us
+          FROM events e JOIN su USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > su.st
+          GROUP BY 1)
+    SELECT cohort_day,
+           quantile_cont(d_us // 1000000, 0.5) AS p50_s,
+           quantile_cont(d_us // 1000000, 0.9) AS p90_s,
+           count(*)::BIGINT AS n_converted
+    FROM c GROUP BY 1
+"""
+
+ORACLE_SQL["new_vs_returning_users"] = """
+    WITH du AS (SELECT DISTINCT epoch(date_trunc('day', ts))::BIGINT
+                       AS day_epoch, user_id
+                FROM events),
+    f AS (SELECT user_id, min(day_epoch) AS fd FROM du GROUP BY 1),
+    d AS (SELECT du.day_epoch,
+                 count(*) AS n_active,
+                 sum(CASE WHEN du.day_epoch = f.fd THEN 1 ELSE 0 END)
+                     AS n_new
+          FROM du JOIN f USING (user_id) GROUP BY 1)
+    SELECT day_epoch, n_active::BIGINT AS n_active,
+           n_new::BIGINT AS n_new,
+           (n_active - n_new)::BIGINT AS n_returning,
+           (sum(n_new) OVER (ORDER BY day_epoch))::BIGINT AS cum_users
+    FROM d
 """
 
 ORACLE_SQL["peak_open_orders"] = """
