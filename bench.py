@@ -129,7 +129,8 @@ def run_benchmarks() -> dict:
                  "fk_audit", "peak_open_orders",
                  "weighted_median_nchars", "new_vs_returning_users",
                  "abc_classification_parts", "burst_hours_events",
-                 "time_to_convert_events",
+                 "time_to_convert_events", "kmeans_embeddings",
+                 "kcore_copurchase_parts",
                  "leakage_free_split_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()

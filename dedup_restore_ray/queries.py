@@ -7485,6 +7485,65 @@ def q_time_to_convert_events(sf_dir: str):
     return out.sort_values("cohort_day").reset_index(drop=True)
 
 
+def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 10):
+    """Full-corpus distributed Lloyd k-means (the iterative
+    assign/re-estimate model-fitting loop): each round is one
+    map_batches pass emitting <= k (cluster, int64-sum-vector, count)
+    partial rows per block; only k x n_blocks tiny rows reach the
+    driver.  All arithmetic is int64 on a 2^20 quantization grid —
+    assignments, centroids, inertia and the fixpoint test are
+    bit-exact and block-layout independent (tests/test_kmeans.py
+    proves parity with a sequential reference).  Rows-only: the loop
+    is not SQL-expressible; its single-assignment step is the same
+    shape as the oracle-checked label_centroids."""
+    from dedup_restore_ray.stages.kmeans import kmeans_lloyd
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    res = kmeans_lloyd(emb, k=k, iters=iters)
+    out = res["assignments"].to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_kcore_copurchase_parts(sf_dir: str, k: int = 3,
+                             min_orders: int = 2):
+    """k-core of the co-purchase graph (community-density pruning —
+    'parts that co-sell with >= k other well-connected parts'):
+    iterative degree peeling to the fixpoint, the REMOVAL-loop shape
+    recursive SQL cannot express.  Each round is one grouped degree
+    count + two anti-joins over the shrinking symmetric edge table;
+    no driver-side degree map (stages/graph.kcore_subgraph, peeling
+    parity-tested against a sequential reference).  Rows-only: output
+    is every surviving part with its in-core degree."""
+    from dedup_restore_ray.stages.graph import kcore_subgraph
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
+    from dedup_restore_ray.stages.graph import group_value_pairs
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    e = distinct_rows(li, ["l_orderkey", "l_partkey"])
+    pairs = group_value_pairs(e, "l_orderkey", "l_partkey")
+    w = grouped_aggregate(pairs, ["a", "b"], {}, count_alias="n")
+
+    def sym(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("n"),
+                                      pa.scalar(min_orders)))
+        return pa.table({
+            "src": pa.concat_arrays([t.column("a").combine_chunks(),
+                                     t.column("b").combine_chunks()]),
+            "dst": pa.concat_arrays([t.column("b").combine_chunks(),
+                                     t.column("a").combine_chunks()])})
+
+    edges = w.map_batches(sym, batch_format="pyarrow")
+    _, degrees, _rounds = kcore_subgraph(edges, k)
+    out = degrees.to_pandas()
+    if "node" not in out.columns:   # empty-Dataset trap (CLAUDE.md)
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "core_degree": pd.Series([], dtype="int64")})
+    out = out.rename(columns={"node": "p_partkey",
+                              "deg": "core_degree"})
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -7687,6 +7746,8 @@ QUERIES = {
     "abc_classification_parts": q_abc_classification_parts,
     "burst_hours_events": q_burst_hours_events,
     "time_to_convert_events": q_time_to_convert_events,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "kcore_copurchase_parts": q_kcore_copurchase_parts,
 }
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -412,3 +413,88 @@ def _pagerank_broadcast(directed: "ray.data.Dataset",
     return ray.data.from_arrow(pa.table(
         {"node": pa.array(nodes[alive]),
          "r": pa.array(r[alive])}))
+
+
+def kcore_subgraph(edges: "ray.data.Dataset", k: int,
+                   src_col: str = "src", dst_col: str = "dst",
+                   max_rounds: int = 64,
+                   broadcast_limit: int = 2_000_000) -> tuple:
+    """k-core of an undirected graph (iterative peeling — the
+    fixpoint shape recursive SQL cannot express because each round
+    REMOVES rows): repeatedly delete nodes whose degree has fallen
+    below ``k`` until none remain.  ``edges`` must carry BOTH
+    directions of every undirected edge (the symmetric layout the
+    co-purchase builders emit), so out-degree on ``src_col`` IS the
+    node degree.
+
+    Fully distributed: each round is one grouped degree count plus two
+    anti-joins (endpoint filtering) over the shrinking edge table — no
+    driver-side adjacency, degree map, or deletion queue; only the
+    per-round survivor count reaches the driver.  Rounds are bounded
+    by the peeling depth (<= max_rounds as a runaway guard).
+
+    Returns ``(core_edges, core_degrees, n_rounds)``: the surviving
+    symmetric edge Dataset, a (node, deg) Dataset over the survivors
+    (every deg >= k by construction), and the rounds used."""
+    from dedup_restore_ray.stages.joins import anti_join
+
+    alive = edges.materialize()
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        deg = grouped_aggregate(alive.select_columns([src_col]),
+                                [src_col], {}, count_alias="deg"
+                                ).materialize()
+
+        def low_rows(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.less(b.column("deg"), pa.scalar(k)))
+            return pa.table({src_col: t.column(src_col)})
+
+        low = deg.map_batches(low_rows,
+                              batch_format="pyarrow").materialize()
+        n_low = low.count()
+        if n_low == 0:
+            return (alive, deg.rename_columns({src_col: "node"}),
+                    rounds)
+        if n_low <= broadcast_limit:
+            # the usual case after round 1: the peel set is tiny —
+            # broadcast it sorted and drop both endpoints in ONE
+            # vectorized pass (vs two anti-join sorts per round, the
+            # fixed cost that dominates deep peels on chain graphs)
+            low_ids = np.sort(np.asarray(
+                low.to_pandas()[src_col], dtype=np.int64))
+            low_ref = ray.put(low_ids)
+
+            def drop_endpoints(b: pa.Table) -> pa.Table:
+                ids = ray.get(low_ref)
+                s = np.asarray(b.column(src_col), dtype=np.int64)
+                d = np.asarray(b.column(dst_col), dtype=np.int64)
+                keep = ~(_member(s, ids) | _member(d, ids))
+                return b.filter(pa.array(keep))
+
+            alive = alive.map_batches(
+                drop_endpoints, batch_format="pyarrow").materialize()
+        else:
+            pruned = anti_join(alive, low, src_col)
+            pruned = anti_join(
+                pruned.rename_columns({src_col: "__s",
+                                       dst_col: src_col}),
+                low, src_col).rename_columns({src_col: dst_col,
+                                              "__s": src_col})
+            alive = flatten_blocks(pruned).materialize()
+        if alive.count() == 0:
+            return (alive,
+                    ray.data.from_arrow(pa.table(
+                        {"node": pa.array([], pa.int64()),
+                         "deg": pa.array([], pa.int64())})),
+                    rounds)
+    raise RuntimeError(f"k-core did not reach a fixpoint in "
+                       f"{max_rounds} rounds")
+
+
+def _member(vals: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
+    """Vectorized membership of int64 vals in a sorted id array."""
+    if len(sorted_ids) == 0:
+        return np.zeros(len(vals), bool)
+    pos = np.searchsorted(sorted_ids, vals)
+    pos[pos == len(sorted_ids)] = len(sorted_ids) - 1
+    return sorted_ids[pos] == vals

@@ -239,3 +239,81 @@ class TestSSJoin:
         got = (set(zip(out["u"].astype(int), out["v"].astype(int)))
                if len(out) else set())
         assert got == {(2, 3)}     # empty docs never pair
+
+
+class TestKCore:
+    @staticmethod
+    def _reference_kcore(u, v, k):
+        """Sequential peeling: returns {node: degree} of the k-core."""
+        from collections import defaultdict
+        adj = defaultdict(set)
+        for a, b in zip(u, v):
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return {n: len(nbrs) for n, nbrs in adj.items()}
+
+    def _run(self, u, v, k, num_blocks):
+        import ray.data as rd
+        from dedup_restore_ray.stages.graph import kcore_subgraph
+        sym = pa.table({
+            "src": pa.array(np.concatenate([u, v])),
+            "dst": pa.array(np.concatenate([v, u]))})
+        edges = rd.from_arrow(sym).repartition(num_blocks)
+        _, degrees, _ = kcore_subgraph(edges, k)
+        df = degrees.to_pandas()
+        if "node" not in df.columns:     # empty-Dataset trap (CLAUDE.md)
+            return {}
+        return dict(zip(df["node"].astype(int), df["deg"].astype(int)))
+
+    @pytest.mark.parametrize("num_blocks", [1, 7])
+    @pytest.mark.parametrize("k", [2, 3, 5])
+    def test_parity_vs_sequential_peeling(self, ray_session, k,
+                                          num_blocks):
+        rng = np.random.default_rng(17)
+        u, v = _random_edges(rng, n_nodes=60, n_edges=150)
+        assert self._run(u, v, k, num_blocks) == \
+            self._reference_kcore(u, v, k)
+
+    def test_whole_graph_peels_away(self, ray_session):
+        # a path graph has max degree 2 -> 3-core is empty
+        u = np.arange(0, 9, dtype=np.int64)
+        v = u + 1
+        assert self._run(u, v, 3, 2) == {}
+
+    def test_clique_survives_whole(self, ray_session):
+        # K5 plus a dangling pendant: 4-core == the clique
+        nodes = np.arange(5)
+        uu, vv = [], []
+        for i in range(5):
+            for j in range(i + 1, 5):
+                uu.append(i); vv.append(j)
+        uu.append(4); vv.append(99)   # pendant
+        got = self._run(np.array(uu, np.int64), np.array(vv, np.int64),
+                        4, 3)
+        assert got == {i: 4 for i in range(5)}
+
+    @pytest.mark.parametrize("broadcast_limit", [0, 2_000_000])
+    def test_antijoin_fallback_matches_broadcast_peel(
+            self, ray_session, broadcast_limit):
+        import ray.data as rd
+        from dedup_restore_ray.stages.graph import kcore_subgraph
+        rng = np.random.default_rng(29)
+        u, v = _random_edges(rng, n_nodes=40, n_edges=90)
+        sym = pa.table({
+            "src": pa.array(np.concatenate([u, v])),
+            "dst": pa.array(np.concatenate([v, u]))})
+        _, degrees, _ = kcore_subgraph(
+            rd.from_arrow(sym).repartition(4), 3,
+            broadcast_limit=broadcast_limit)
+        df = degrees.to_pandas()
+        got = (dict(zip(df["node"].astype(int), df["deg"].astype(int)))
+               if "node" in df.columns else {})
+        assert got == self._reference_kcore(u, v, 3)
