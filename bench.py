@@ -130,7 +130,7 @@ def run_benchmarks() -> dict:
                  "weighted_median_nchars", "new_vs_returning_users",
                  "abc_classification_parts", "burst_hours_events",
                  "time_to_convert_events", "kmeans_embeddings",
-                 "kcore_copurchase_parts",
+                 "kcore_copurchase_parts", "assoc_rules_parts",
                  "leakage_free_split_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()

@@ -7544,6 +7544,72 @@ def q_kcore_copurchase_parts(sf_dir: str, k: int = 3,
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
+def q_assoc_rules_parts(sf_dir: str, support_min: int = 3,
+                        conf_min_pct: int = 8):
+    """Association-rule mining (market-basket support / confidence /
+    lift — the Apriori output at pair length): directed rules
+    part_a -> part_b whose basket co-occurrence count meets
+    ``support_min`` and whose confidence n_ab/n_a clears
+    ``conf_min_pct`` percent.  The confidence filter is the integer
+    cross-multiply ``100*n_ab >= pct*n_a`` and lift ships as
+    ``lift_e4 = 10^4 * n_ab * n_baskets // (n_a * n_b)`` — floor
+    division on provably positive operands, so no float ratio exists
+    on either side.  One pair expansion + grouped count (shared with
+    the co-purchase family), one grouped item-support count, two
+    sort-scatter attaches; the only driver scalar is n_baskets."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.graph import group_value_pairs
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    e = distinct_rows(li, ["l_orderkey", "l_partkey"]).materialize()
+    n_baskets = distinct_rows(e, ["l_orderkey"]).count()
+    sup = grouped_aggregate(e.select_columns(["l_partkey"]),
+                            ["l_partkey"], {}, count_alias="n")
+    pairs = group_value_pairs(e, "l_orderkey", "l_partkey")
+    w = grouped_aggregate(pairs, ["a", "b"], {}, count_alias="n_ab")
+
+    def directed(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("n_ab"),
+                                      pa.scalar(support_min)))
+        nab = t.column("n_ab").combine_chunks()
+        return pa.table({
+            "x": pa.concat_arrays([t.column("a").combine_chunks(),
+                                   t.column("b").combine_chunks()]),
+            "y": pa.concat_arrays([t.column("b").combine_chunks(),
+                                   t.column("a").combine_chunks()]),
+            "n_ab": pa.concat_arrays([nab, nab])})
+
+    d = w.map_batches(directed, batch_format="pyarrow")
+    d = _scatter_lookup(d, sup.rename_columns({"l_partkey": "x",
+                                               "n": "n_a"}),
+                        key_col="x", payload_col="n_a",
+                        out_cols=["x", "y", "n_ab"])
+    d = _scatter_lookup(d, sup.rename_columns({"l_partkey": "y",
+                                               "n": "n_b"}),
+                        key_col="y", payload_col="n_b",
+                        out_cols=["x", "y", "n_ab", "n_a"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        nab = np.asarray(b.column("n_ab"), dtype=np.int64)
+        na = np.asarray(b.column("n_a"), dtype=np.int64)
+        nb = np.asarray(b.column("n_b"), dtype=np.int64)
+        keep = 100 * nab >= conf_min_pct * na
+        t = b.filter(pa.array(keep))
+        lift = (10_000 * nab[keep] * n_baskets) // (na[keep] * nb[keep])
+        return pa.table({"part_a": t.column("x"),
+                         "part_b": t.column("y"),
+                         "n_ab": t.column("n_ab"),
+                         "n_a": t.column("n_a"),
+                         "n_b": t.column("n_b"),
+                         "lift_e4": pa.array(lift)})
+
+    out = d.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["part_a", "part_b"])
+            .reset_index(drop=True))
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -7748,6 +7814,7 @@ QUERIES = {
     "time_to_convert_events": q_time_to_convert_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "kcore_copurchase_parts": q_kcore_copurchase_parts,
+    "assoc_rules_parts": q_assoc_rules_parts,
 }
 
 
@@ -10624,6 +10691,26 @@ ORACLE_SQL["time_to_convert_events"] = """
            quantile_cont(d_us // 1000000, 0.9) AS p90_s,
            count(*)::BIGINT AS n_converted
     FROM c GROUP BY 1
+"""
+
+ORACLE_SQL["assoc_rules_parts"] = """
+    WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sup AS (SELECT l_partkey, count(*)::BIGINT AS n FROM e GROUP BY 1),
+    nb AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_baskets
+           FROM e),
+    p AS (SELECT a.l_partkey pa, b.l_partkey pb, count(*)::BIGINT nab
+          FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+    d AS (SELECT pa AS x, pb AS y, nab FROM p
+          UNION ALL SELECT pb, pa, nab FROM p)
+    SELECT d.x AS part_a, d.y AS part_b, d.nab AS n_ab,
+           sa.n AS n_a, sb.n AS n_b,
+           (10000 * d.nab * nb.n_baskets) // (sa.n * sb.n) AS lift_e4
+    FROM d JOIN sup sa ON sa.l_partkey = d.x
+           JOIN sup sb ON sb.l_partkey = d.y
+           CROSS JOIN nb
+    WHERE 100 * d.nab >= 8 * sa.n
 """
 
 ORACLE_SQL["new_vs_returning_users"] = """

@@ -91,3 +91,47 @@ def read_parquet_clean(path, **kwargs) -> "rd.Dataset":
             return rd.read_parquet(path, schema=schema, **kwargs)
     return rd.read_parquet(path, **kwargs).map_batches(
         _strip_meta, batch_format="pyarrow")
+
+
+def read_csv_clean(path, columns=None, **kwargs) -> "rd.Dataset":
+    """CSV ingestion with the same contract as read_parquet_clean:
+    metadata-free Arrow blocks, tiny-input block coalescing, optional
+    column projection.  CSV has no footer to prune from, so the
+    projection is a zero-copy post-read select — prefer Parquet for
+    anything large; this reader exists for the ubiquitous
+    CSV-at-the-boundary ingest step."""
+    if "override_num_blocks" not in kwargs:
+        hint = _size_hint_blocks(path)
+        if hint is not None:
+            kwargs["override_num_blocks"] = hint
+    ds = rd.read_csv(path, **kwargs)
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = b.select(columns) if columns is not None else b
+        return t.replace_schema_metadata(None)
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def read_jsonl_clean(path, columns=None, **kwargs) -> "rd.Dataset":
+    """JSON-Lines ingestion (the web-corpus interchange format —
+    one document object per line, Common-Crawl/WET style): same
+    clean-blocks contract.  Nested fields arrive as Arrow structs;
+    project with ``columns`` to keep only the document payload."""
+    if "override_num_blocks" not in kwargs:
+        hint = _size_hint_blocks(path)
+        if hint is not None:
+            kwargs["override_num_blocks"] = hint
+    ds = rd.read_json(path, **kwargs)
+
+    def clean(b: pa.Table) -> pa.Table:
+        t = b.select(columns) if columns is not None else b
+        return t.replace_schema_metadata(None)
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def write_jsonl(ds: "rd.Dataset", out_dir: str) -> None:
+    """Corpus export as JSON-Lines shards (one file per block) — the
+    symmetric sink for read_jsonl_clean."""
+    ds.write_json(out_dir)
