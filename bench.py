@@ -131,6 +131,7 @@ def run_benchmarks() -> dict:
                  "abc_classification_parts", "burst_hours_events",
                  "time_to_convert_events", "kmeans_embeddings",
                  "kcore_copurchase_parts", "assoc_rules_parts",
+                 "cohort_retention_events", "precedence_matrix_events",
                  "leakage_free_split_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()

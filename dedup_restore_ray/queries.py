@@ -7610,6 +7610,130 @@ def q_assoc_rules_parts(sf_dir: str, support_min: int = 3,
             .reset_index(drop=True))
 
 
+def q_cohort_retention_events(sf_dir: str):
+    """Cohort retention triangle (the growth-analytics staple): users
+    grouped by first-activity WEEK; for each (cohort_week,
+    weeks_since) cell, how many of the cohort were active that week
+    and the retention share in exact basis points (``share_e4 =
+    10^4 * n_active // cohort_size`` — floor division on positive
+    operands, no float).  Distinct (week, user) pairs materialize
+    once and feed both consumers (per-user first week; the cell
+    rollup); first weeks come back via one sort-scatter; cohort
+    sizes attach with a second scatter over the tiny cell table."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+    WEEK = 7 * 86_400
+
+    def proj(batch: pd.DataFrame) -> pd.DataFrame:
+        sec = (batch["ts"].astype("datetime64[s]").astype("int64"))
+        return pd.DataFrame({
+            "week_e": (sec // WEEK) * WEEK,
+            "user_id": batch["user_id"],
+        }).drop_duplicates()
+
+    pairs = distinct_rows(ev.map_batches(proj, batch_format="pandas"),
+                          ["week_e", "user_id"]).materialize()
+    first = grouped_aggregate(pairs, ["user_id"],
+                              {"cohort_week": ("week_e", "min")})
+    tagged = _scatter_lookup(pairs, first, key_col="user_id",
+                             payload_col="cohort_week",
+                             out_cols=["user_id", "week_e"])
+
+    def cell_rows(b: pa.Table) -> pa.Table:
+        w = np.asarray(b.column("week_e"), dtype=np.int64)
+        cw = np.asarray(b.column("cohort_week"), dtype=np.int64)
+        return pa.table({"cohort_week": b.column("cohort_week"),
+                         "weeks_since": pa.array((w - cw) // WEEK)})
+
+    cells = grouped_aggregate(
+        tagged.map_batches(cell_rows, batch_format="pyarrow"),
+        ["cohort_week", "weeks_since"], {}, count_alias="n_active")
+    sizes = grouped_aggregate(first.select_columns(["cohort_week"]),
+                              ["cohort_week"], {},
+                              count_alias="cohort_size")
+    cells = _scatter_lookup(cells, sizes, key_col="cohort_week",
+                            payload_col="cohort_size",
+                            out_cols=["cohort_week", "weeks_since",
+                                      "n_active"])
+
+    def share(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n_active"), dtype=np.int64)
+        s = np.asarray(b.column("cohort_size"), dtype=np.int64)
+        return b.append_column("share_e4",
+                               pa.array((10_000 * n) // s))
+
+    out = cells.map_batches(share, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["cohort_week", "weeks_since"])
+            .reset_index(drop=True))
+
+
+def q_precedence_matrix_events(sf_dir: str):
+    """Temporal-precedence matrix: for every ORDERED pair of event
+    types (a, b), how many users did their first ``a`` strictly
+    before their first ``b`` — the pairwise generalization of the
+    funnel that surfaces the dominant flow direction between steps.
+    One grouped min per (user, type) (25 rows per user max), then a
+    per-user block kernel emits the qualifying ordered pairs
+    directly from group bounds — no joins, no driver state; the
+    grouped count at the end has |types|^2 groups."""
+    from dedup_restore_ray.stages.groups import (grouped_aggregate,
+                                                 group_bounds,
+                                                 sorted_split)
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id", "event_type"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_type": b.column("event_type"),
+                         "ts_us": pc.cast(b.column("ts"), pa.int64())})
+
+    firsts = grouped_aggregate(
+        ev.map_batches(proj, batch_format="pyarrow"),
+        ["user_id", "event_type"], {"ft": ("ts_us", "min")})
+
+    def pair_kernel(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("type_a", pa.string()),
+                                ("type_b", pa.string())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        starts, ends = group_bounds(b, ["user_id"])
+        types = b.column("event_type").combine_chunks()
+        ft = np.asarray(b.column("ft"), dtype=np.int64)
+        sizes = (ends - starts).astype(np.int64)
+        # all ordered index pairs (i, j), i != j, within each group
+        reps = np.repeat(np.arange(len(starts)), sizes * sizes)
+        base = np.repeat(starts, sizes * sizes)
+        local = (np.arange(len(reps))
+                 - np.repeat(np.cumsum(np.concatenate(
+                     (np.zeros(1, np.int64), (sizes * sizes)[:-1]))),
+                     sizes * sizes))
+        gsz = np.repeat(sizes, sizes * sizes)
+        ii = base + local // gsz
+        jj = base + local % gsz
+        keep = (ii != jj) & (ft[ii] < ft[jj])
+        ia = pa.array(ii[keep], pa.int64())
+        ib = pa.array(jj[keep], pa.int64())
+        return pa.table({"type_a": types.take(ia),
+                         "type_b": types.take(ib)})
+
+    interior, edge = sorted_split(firsts, ["user_id", "event_type"],
+                                  ["user_id"])
+    pairs = (interior.map_batches(pair_kernel, batch_format="pyarrow",
+                                  batch_size=None)
+             .union(edge.groupby("user_id").map_groups(
+                 lambda g: pair_kernel(g.sort_by(
+                     [("user_id", "ascending"),
+                      ("event_type", "ascending")])),
+                 batch_format="pyarrow")))
+    out = grouped_aggregate(pairs, ["type_a", "type_b"], {},
+                            count_alias="n_users").to_pandas()
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -7815,6 +7939,8 @@ QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "kcore_copurchase_parts": q_kcore_copurchase_parts,
     "assoc_rules_parts": q_assoc_rules_parts,
+    "cohort_retention_events": q_cohort_retention_events,
+    "precedence_matrix_events": q_precedence_matrix_events,
 }
 
 
@@ -10691,6 +10817,36 @@ ORACLE_SQL["time_to_convert_events"] = """
            quantile_cont(d_us // 1000000, 0.9) AS p90_s,
            count(*)::BIGINT AS n_converted
     FROM c GROUP BY 1
+"""
+
+ORACLE_SQL["cohort_retention_events"] = """
+    WITH du AS (SELECT DISTINCT
+                       (epoch_us(ts) // 1000000 // 604800) * 604800
+                           AS week_e, user_id
+                FROM events),
+    f AS (SELECT user_id, min(week_e) AS cohort_week
+          FROM du GROUP BY 1),
+    sz AS (SELECT cohort_week, count(*)::BIGINT AS cohort_size
+           FROM f GROUP BY 1),
+    cells AS (SELECT f.cohort_week,
+                     (du.week_e - f.cohort_week) // 604800
+                         AS weeks_since,
+                     count(*)::BIGINT AS n_active
+              FROM du JOIN f USING (user_id) GROUP BY 1, 2)
+    SELECT c.cohort_week, c.weeks_since, c.n_active, sz.cohort_size,
+           (10000 * c.n_active) // sz.cohort_size AS share_e4
+    FROM cells c JOIN sz USING (cohort_week)
+"""
+
+ORACLE_SQL["precedence_matrix_events"] = """
+    WITH f AS (SELECT user_id, event_type, min(epoch_us(ts)) AS ft
+               FROM events GROUP BY 1, 2)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*)::BIGINT AS n_users
+    FROM f a JOIN f b ON a.user_id = b.user_id
+                      AND a.event_type <> b.event_type
+                      AND a.ft < b.ft
+    GROUP BY 1, 2
 """
 
 ORACLE_SQL["assoc_rules_parts"] = """
