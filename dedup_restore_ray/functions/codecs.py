@@ -227,3 +227,21 @@ def audio_features(samples: np.ndarray, rate: int, dim: int = 64
                       float(mono.min(initial=0)),
                       rate / 96000.0, samples.shape[1] / 8.0, 1.0])
     return np.concatenate([hist, stats]).astype(np.float32)
+
+
+def average_hash(img: np.ndarray, side: int = 8) -> int:
+    """64-bit perceptual average-hash (aHash): grayscale ->
+    nearest-neighbor resize to side x side -> bit i set iff pixel i
+    >= the tile mean.  Invariant under uniform brightness shifts
+    (the threshold moves with the pixels) and under any resize that
+    preserves the side x side nearest-sample grid — the cheap
+    near-dup signature for decoded images; pair it with the SimHash
+    band machinery for candidate generation."""
+    a = np.asarray(img)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    a = a.astype(np.float64)
+    g = resize_nearest(a[..., None], side, side)[..., 0]
+    bits = (g >= g.mean()).reshape(-1).astype(np.uint64)
+    return int(np.bitwise_or.reduce(
+        bits << np.arange(side * side, dtype=np.uint64)))

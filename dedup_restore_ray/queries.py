@@ -7734,6 +7734,39 @@ def q_precedence_matrix_events(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_media_phash_pairs(sf_dir: str, hamming_max: int = 2):
+    """Image near-dup pairs via perceptual average-hash (the
+    multimodal rail joined to the dedup machinery): decode the PPM
+    payloads in an actor pool, aHash each image into a ``simhash``
+    column, and reuse the TEXT rail wholesale — SimHash band
+    candidates, one bucket sort, sort-scatter signature attaches,
+    exact-Hamming verify.  Rows-only (image decode is not
+    SQL-expressible); duplicate source texts yield identical payloads
+    in the deterministic media synth, so the pair set is non-trivial
+    and stable."""
+    from dedup_restore_ray.stages.multimodal import (phash_pairs,
+                                                     synth_media_table)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def prefix(b: pa.Table) -> pa.Table:
+        # media content keyed by the 64-char text prefix: near-dup
+        # documents (shared openings) then carry IDENTICAL payloads,
+        # planting real duplicate images in the synthetic corpus
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pc.utf8_slice_codeunits(
+                             b.column("text"), 0, 64)})
+
+    media = docs.map_batches(prefix, batch_format="pyarrow") \
+        .map_batches(lambda b: synth_media_table(b),
+                     batch_format="pyarrow")
+    out = phash_pairs(media, hamming_max=hamming_max).to_pandas()
+    if "u" not in out.columns:   # empty-Dataset trap (CLAUDE.md)
+        return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                             "v": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -7941,6 +7974,7 @@ QUERIES = {
     "assoc_rules_parts": q_assoc_rules_parts,
     "cohort_retention_events": q_cohort_retention_events,
     "precedence_matrix_events": q_precedence_matrix_events,
+    "media_phash_pairs": q_media_phash_pairs,
 }
 
 

@@ -227,3 +227,91 @@ def synth_media_table(docs: pa.Table, text_col: str = "text") -> pa.Table:
         "payload": pa.array(payloads, pa.binary()),
         "duration_s": pa.array(durs, pa.float64()),
     })
+
+
+class PHashImage:
+    """Actor-pool stage: image payload -> 64-bit perceptual
+    average-hash in a ``simhash`` column, so the output feeds the
+    SimHash band machinery (stages/pairs.candidate_pairs with
+    use_simhash=True) unchanged — the image near-dup rail reuses the
+    text rail's candidate sort, pairing kernels and exact-Hamming
+    verify wholesale.  Non-image rows are dropped (the rail is
+    image-only); decode errors raise (same honest-scope contract as
+    DecodeMedia)."""
+
+    def __init__(self, payload_col: str = "payload",
+                 type_col: str = "media_type", id_col: str = "doc_id"):
+        from dedup_restore_ray.functions import codecs
+        self.payload_col = payload_col
+        self.type_col = type_col
+        self.id_col = id_col
+        self.codecs = codecs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch.column(self.type_col).to_pylist()
+        keep = [i for i, t in enumerate(types)
+                if t in ("image/ppm", "image/pgm")]
+        ids = batch.column(self.id_col).take(pa.array(keep, pa.int64()))
+        payloads = batch.column(self.payload_col) \
+            .take(pa.array(keep, pa.int64())).to_pylist()
+        hashes = np.array(
+            [self.codecs.average_hash(self.codecs.decode_ppm(p))
+             for p in payloads], dtype=np.uint64)
+        return pa.table({self.id_col: ids,
+                         "simhash": pa.array(hashes, pa.uint64())})
+
+
+def phash_pairs(media: "ray.data.Dataset", hamming_max: int = 2,
+                id_col: str = "doc_id", cfg=None) -> "ray.data.Dataset":
+    """Image near-dup pairs over a media table (payload +
+    media_type): PHashImage actor pool -> SimHash band candidates
+    (the TEXT rail's sort/pair/distinct chain, reused wholesale) ->
+    sort-scatter signature attaches -> exact-Hamming verify.
+    Returns (u, v, hamming) with u < v; empty candidate sets
+    short-circuit to an empty typed Dataset."""
+    import ray.data as rd
+
+    from dedup_restore_ray.config import PipelineConfig
+    from dedup_restore_ray.functions.simhash import popcount64
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.pairs import candidate_pairs
+
+    cfg = cfg or PipelineConfig()
+    empty_tbl = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+    sigs = media.map_batches(PHashImage(id_col=id_col),
+                             batch_format="pyarrow",
+                             batch_size=64).materialize()
+    if sigs.count() == 0:
+        return rd.from_arrow(empty_tbl)
+    cands = candidate_pairs(sigs, cfg, use_minhash=False,
+                            use_simhash=True, use_fingerprints=False,
+                            use_norm=False).materialize()
+    if cands.count() == 0:
+        return rd.from_arrow(empty_tbl)
+
+    def store(side: str):
+        return sigs.map_batches(
+            lambda b, s=side: pa.table({s: b.column(id_col),
+                                        f"sh_{s}": b.column("simhash")}),
+            batch_format="pyarrow")
+
+    with_u = _scatter_lookup(cands, store("u"), key_col="u",
+                             payload_col="sh_u", out_cols=["u", "v"])
+    both = _scatter_lookup(with_u, store("v"), key_col="v",
+                           payload_col="sh_v",
+                           out_cols=["u", "v", "sh_u"])
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_tbl
+        d = popcount64(np.bitwise_xor(
+            np.asarray(b.column("sh_u"), dtype=np.uint64),
+            np.asarray(b.column("sh_v"), dtype=np.uint64)))
+        keep = d <= hamming_max
+        return pa.table({"u": b.column("u").filter(pa.array(keep)),
+                         "v": b.column("v").filter(pa.array(keep)),
+                         "hamming": pa.array(d[keep].astype(np.int64))})
+
+    return both.map_batches(verify, batch_format="pyarrow")

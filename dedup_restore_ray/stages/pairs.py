@@ -113,8 +113,12 @@ class BandExpand:
                                                   dtype=U64), pa.uint64()),
                 "doc_id": replicate(idx),
             })
-        mh = np.asarray(batch.column("minhash").combine_chunks().flatten(),
-                        dtype=U64).reshape(n, cfg.num_perm)
+        # minhash is optional when the caller only uses the simhash
+        # rail (e.g. perceptual-hash image signatures): the sentinel
+        # empty-doc mask then has no rows to flag
+        mh = (np.asarray(batch.column("minhash").combine_chunks()
+                         .flatten(), dtype=U64).reshape(n, cfg.num_perm)
+              if "minhash" in batch.schema.names else None)
         keys, ids = [], []
         if self.use_minhash:
             mh_band = mh
@@ -134,7 +138,8 @@ class BandExpand:
             sb = simhash_block_keys(sh, self.cfg.simhash_hamming_threshold)
             # tag simhash keyspace so it never collides with minhash keys
             sb = combine64(sb.reshape(-1), np.uint64(0x51))
-            empty = (mh[:, 0] == EMPTY_SIG)
+            empty = ((mh[:, 0] == EMPTY_SIG) if mh is not None
+                     else np.zeros(n, bool))
             sbm = sb.reshape(n, self.n_simhash_bands)
             if empty.any():
                 # empty docs: make simhash keys unique too
