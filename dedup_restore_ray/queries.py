@@ -7767,6 +7767,42 @@ def q_media_phash_pairs(sf_dir: str, hamming_max: int = 2):
     return out.sort_values(["u", "v"]).reset_index(drop=True)
 
 
+def q_term_lookup_append_docs(sf_dir: str, split_id: int = 400):
+    """Incremental inverted-index maintenance: build the index over
+    the base corpus (doc_id < split), APPEND the remaining documents
+    (only they are tokenized; their sorted postings land as new files
+    in the existing bucket partitions), then answer the standard term
+    lookup from the merged index.  The oracle is the full-corpus SQL
+    — proving append ≡ rebuild for probe results.  The index dir is
+    cleared first so reruns stay idempotent (append is additive by
+    design)."""
+    import os
+    import shutil
+    from dedup_restore_ray.stages.invindex import InvertedIndex
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/inv_index_append_{tag}_v1"
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def below(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column("doc_id"),
+                                pa.scalar(split_id)))
+
+    def at_or_above(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("doc_id"),
+                                         pa.scalar(split_id)))
+
+    base = docs.map_batches(below, batch_format="pyarrow")
+    extra = docs.map_batches(at_or_above, batch_format="pyarrow")
+    idx = InvertedIndex.build(base, index_dir)
+    idx.append(extra)
+    terms = ["join", "hash", "window", "spark", "vector"]
+    df, metrics = idx.term_doc_counts(terms)
+    assert metrics["partitions_read"] <= metrics["partitions_total"]
+    return df.sort_values("term").reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -7975,6 +8011,7 @@ QUERIES = {
     "cohort_retention_events": q_cohort_retention_events,
     "precedence_matrix_events": q_precedence_matrix_events,
     "media_phash_pairs": q_media_phash_pairs,
+    "term_lookup_append_docs": q_term_lookup_append_docs,
 }
 
 
@@ -10851,6 +10888,19 @@ ORACLE_SQL["time_to_convert_events"] = """
            quantile_cont(d_us // 1000000, 0.9) AS p90_s,
            count(*)::BIGINT AS n_converted
     FROM c GROUP BY 1
+"""
+
+ORACLE_SQL["term_lookup_append_docs"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               regexp_extract_all(lower(text), '\w+'))) AS term
+      FROM documents)
+    SELECT term, count(*)::BIGINT AS n_docs,
+           sum(doc_id)::BIGINT AS sum_doc_id
+    FROM toks
+    WHERE term IN ('join', 'hash', 'window', 'spark', 'vector')
+    GROUP BY term
 """
 
 ORACLE_SQL["cohort_retention_events"] = """

@@ -52,6 +52,45 @@ def _index_files(index_dir: str) -> list[str]:
             if f.endswith(".parquet")]
 
 
+def _postings_fn(id_col: str, text_col: str, num_buckets: int):
+    """Batch -> posting rows (bucket, term, id, tf, doc_len,
+    positions); shared by build and append so both write the
+    identical layout."""
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_t: list[str] = []
+        out_d: list[int] = []
+        out_tf: list[int] = []
+        out_dl: list[int] = []
+        out_pos: list[list[int]] = []
+        for d, t in zip(ids, texts):
+            toks = tokenize(t)
+            # positions per distinct term (scoring postings need
+            # tf + doc length for BM25; phrase queries need the
+            # positions themselves)
+            where: dict[str, list[int]] = {}
+            for i, w in enumerate(toks):
+                where.setdefault(w, []).append(i)
+            terms = sorted(where)
+            out_t.extend(terms)
+            out_tf.extend(len(where[w]) for w in terms)
+            out_pos.extend(where[w] for w in terms)
+            out_d.extend([d] * len(terms))
+            out_dl.extend([len(toks)] * len(terms))
+        return pa.table({
+            "bucket": pa.array(_term_buckets(out_t, num_buckets),
+                               pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+            id_col: pa.array(out_d, pa.int64()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "doc_len": pa.array(out_dl, pa.int64()),
+            "positions": pa.array(out_pos, pa.list_(pa.int32()))})
+
+    return postings
+
+
 class InvertedIndex:
     """Partitioned term->doc_id index over a document Dataset."""
 
@@ -77,37 +116,7 @@ class InvertedIndex:
             import shutil
             shutil.rmtree(index_dir)
 
-        def postings(batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_pylist()
-            texts = batch.column(text_col).to_pylist()
-            out_t: list[str] = []
-            out_d: list[int] = []
-            out_tf: list[int] = []
-            out_dl: list[int] = []
-            out_pos: list[list[int]] = []
-            for d, t in zip(ids, texts):
-                toks = tokenize(t)
-                # positions per distinct term (scoring postings need
-                # tf + doc length for BM25; phrase queries need the
-                # positions themselves)
-                where: dict[str, list[int]] = {}
-                for i, w in enumerate(toks):
-                    where.setdefault(w, []).append(i)
-                terms = sorted(where)
-                out_t.extend(terms)
-                out_tf.extend(len(where[w]) for w in terms)
-                out_pos.extend(where[w] for w in terms)
-                out_d.extend([d] * len(terms))
-                out_dl.extend([len(toks)] * len(terms))
-            return pa.table({
-                "bucket": pa.array(_term_buckets(out_t, num_buckets),
-                                   pa.int64()),
-                "term": pa.array(out_t, pa.string()),
-                id_col: pa.array(out_d, pa.int64()),
-                "tf": pa.array(out_tf, pa.int64()),
-                "doc_len": pa.array(out_dl, pa.int64()),
-                "positions": pa.array(out_pos,
-                                      pa.list_(pa.int32()))})
+        postings = _postings_fn(id_col, text_col, num_buckets)
 
         # ONE sort: clusters each bucket contiguously (few files per
         # partition dir — the IVF lesson) AND orders terms inside each
@@ -122,6 +131,33 @@ class InvertedIndex:
                    "schema": 3},
                   open(meta_path, "w"))
         return cls(index_dir, num_buckets, n)
+
+    # ----------------------------------------------------------------
+    def append(self, docs: "rd.Dataset", id_col: str = "doc_id",
+               text_col: str = "text") -> int:
+        """Incremental index maintenance: tokenize ONLY the new
+        documents, sort their postings by (bucket, term, id) and add
+        the files into the existing bucket partition dirs — the
+        partitioned write is additive (unique file names per write),
+        so probes transparently merge old and new postings and the
+        original corpus is never re-tokenized (the same
+        append-don't-rebuild discipline as ann_ivf_append).  The
+        caller owns dedup: appending docs already indexed duplicates
+        their postings.  Returns the number of posting rows added."""
+        post = (docs.map_batches(
+            _postings_fn(id_col, text_col, self.num_buckets),
+            batch_format="pyarrow")
+            .sort(["bucket", "term", id_col]).materialize())
+        n_new = post.count()
+        if n_new:
+            post.write_parquet(self.index_dir,
+                               partition_cols=["bucket"])
+        self.num_rows += n_new
+        meta_path = os.path.join(self.index_dir, "meta.json")
+        json.dump({"num_buckets": self.num_buckets,
+                   "num_rows": self.num_rows, "schema": 3},
+                  open(meta_path, "w"))
+        return n_new
 
     # ----------------------------------------------------------------
     def _bucket_dir(self, b: int) -> str:
@@ -319,4 +355,10 @@ class InvertedIndex:
                                 {"sum_doc_id": (id_col, "sum")},
                                 count_alias="n_docs")
         df = agg.to_pandas()
+        if "term" not in df.columns:   # all-absent terms: the empty
+            # Dataset's to_pandas has no columns at all (CLAUDE.md)
+            df = pd.DataFrame({"term": pd.Series([], dtype="object"),
+                               "n_docs": pd.Series([], dtype="int64"),
+                               "sum_doc_id": pd.Series([],
+                                                       dtype="int64")})
         return df[["term", "n_docs", "sum_doc_id"]], metrics

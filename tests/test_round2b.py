@@ -50,6 +50,33 @@ class TestInvertedIndex:
         assert metrics["partitions_read"] <= len(terms)
         assert metrics["partitions_read"] < metrics["partitions_total"]
 
+    def test_append_equals_rebuild(self, ray_session, tmp_path):
+        from dedup_restore_ray.stages.invindex import InvertedIndex
+        df = _docs_frame()
+        half = len(df) // 2
+        inc_dir = str(tmp_path / "inc")
+        idx = InvertedIndex.build(
+            rd.from_pandas(df.iloc[:half]).repartition(3), inc_dir,
+            num_buckets=16)
+        n_added = idx.append(
+            rd.from_pandas(df.iloc[half:]).repartition(4))
+        assert n_added > 0
+        full_dir = str(tmp_path / "full")
+        full = InvertedIndex.build(rd.from_pandas(df), full_dir,
+                                   num_buckets=16)
+        assert idx.num_rows == full.num_rows
+        for terms in (["join"], ["vector", "hash"], ["absent_term"]):
+            a, _ = idx.term_doc_counts(terms)
+            b, _ = full.term_doc_counts(terms)
+            pd.testing.assert_frame_equal(
+                a.sort_values("term").reset_index(drop=True),
+                b.sort_values("term").reset_index(drop=True))
+        # meta manifest reflects the merged size -> a rebuild call
+        # with matching config resumes without re-tokenizing
+        again = InvertedIndex.build(rd.from_pandas(df.iloc[:half]),
+                                    inc_dir, num_buckets=16)
+        assert again.num_rows == idx.num_rows
+
     def test_build_is_resumable(self, ray_session, tmp_path):
         from dedup_restore_ray.stages.invindex import InvertedIndex
         df = _docs_frame(n=30)
