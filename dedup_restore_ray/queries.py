@@ -3852,6 +3852,44 @@ def q_substring_search_docs(sf_dir: str, pattern: str = "merge batch"):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_substring_search_append_docs(sf_dir: str,
+                                   pattern: str = "merge batch",
+                                   split_id: int = 400):
+    """Incremental trigram-index maintenance: build over the base
+    corpus, APPEND the rest (only the new docs gram-tokenize; sorted
+    postings land as new files in the existing bucket partitions),
+    then run the standard substring search against the merged index.
+    Oracle = the full-corpus LIKE — append ≡ rebuild for search
+    results.  Index dir cleared first (append is additive)."""
+    import os
+    import shutil
+    from dedup_restore_ray.stages.trigram import TrigramIndex
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/trigram_index_append_{tag}_v1"
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def below(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column("doc_id"),
+                                pa.scalar(split_id)))
+
+    def at_or_above(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("doc_id"),
+                                         pa.scalar(split_id)))
+
+    idx = TrigramIndex.build(ds.map_batches(below,
+                                            batch_format="pyarrow"),
+                             index_dir)
+    idx.append(ds.map_batches(at_or_above, batch_format="pyarrow"))
+    hits, metrics = idx.search(pattern, ds)
+    assert metrics["partitions_read"] <= metrics["partitions_total"]
+    out = hits.to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_source_jaccard_matrix(sf_dir: str):
     """Corpus-comparison matrix: token-SET Jaccard between every
     source pair, as exact integers (n_inter, n_union).  Distinct
@@ -8012,6 +8050,7 @@ QUERIES = {
     "precedence_matrix_events": q_precedence_matrix_events,
     "media_phash_pairs": q_media_phash_pairs,
     "term_lookup_append_docs": q_term_lookup_append_docs,
+    "substring_search_append_docs": q_substring_search_append_docs,
 }
 
 
@@ -10282,6 +10321,10 @@ ORACLE_SQL = {
         FROM r GROUP BY 1
     """,
     "substring_search_docs": """
+        SELECT doc_id FROM documents
+        WHERE text LIKE '%merge batch%'
+    """,
+    "substring_search_append_docs": """
         SELECT doc_id FROM documents
         WHERE text LIKE '%merge batch%'
     """,

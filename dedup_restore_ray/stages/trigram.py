@@ -46,6 +46,28 @@ def _gram_buckets(grams: list[str], num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def _trigram_postings_fn(id_col: str, text_col: str,
+                         num_buckets: int):
+    """Batch -> (bucket, gram, id) posting rows; shared by build and
+    append so both write the identical layout."""
+
+    def postings(batch: pa.Table) -> pa.Table:
+        out_g: list[str] = []
+        out_d: list[int] = []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            gs = text_trigrams(t)
+            out_g.extend(gs)
+            out_d.extend([d] * len(gs))
+        return pa.table({
+            "bucket": pa.array(_gram_buckets(out_g, num_buckets),
+                               pa.int64()),
+            "gram": pa.array(out_g, pa.string()),
+            id_col: pa.array(out_d, pa.int64())})
+
+    return postings
+
+
 class TrigramIndex:
     def __init__(self, index_dir: str, num_buckets: int, num_rows: int):
         self.index_dir = index_dir
@@ -68,19 +90,7 @@ class TrigramIndex:
             shutil.rmtree(index_dir)    # partitioned writes never
             #                             remove stale files
 
-        def postings(batch: pa.Table) -> pa.Table:
-            out_g: list[str] = []
-            out_d: list[int] = []
-            for d, t in zip(batch.column(id_col).to_pylist(),
-                            batch.column(text_col).to_pylist()):
-                gs = text_trigrams(t)
-                out_g.extend(gs)
-                out_d.extend([d] * len(gs))
-            return pa.table({
-                "bucket": pa.array(_gram_buckets(out_g, num_buckets),
-                                   pa.int64()),
-                "gram": pa.array(out_g, pa.string()),
-                id_col: pa.array(out_d, pa.int64())})
+        postings = _trigram_postings_fn(id_col, text_col, num_buckets)
 
         post = docs.map_batches(postings, batch_format="pyarrow")
         (post.sort(["bucket", "gram", id_col])
@@ -94,6 +104,28 @@ class TrigramIndex:
         json.dump({"num_buckets": num_buckets, "num_rows": n,
                    "schema": 1}, open(meta_path, "w"))
         return cls(index_dir, num_buckets, n)
+
+    # ----------------------------------------------------------------
+    def append(self, docs: "rd.Dataset", id_col: str = "doc_id",
+               text_col: str = "text") -> int:
+        """Incremental maintenance: gram postings for ONLY the new
+        docs land as additional sorted files in the existing bucket
+        partitions (additive partitioned write; probes merge
+        transparently) — same discipline as InvertedIndex.append and
+        ann_ivf_append.  Caller owns dedup.  Returns rows added."""
+        post = (docs.map_batches(
+            _trigram_postings_fn(id_col, text_col, self.num_buckets),
+            batch_format="pyarrow")
+            .sort(["bucket", "gram", id_col]).materialize())
+        n_new = post.count()
+        if n_new:
+            post.write_parquet(self.index_dir,
+                               partition_cols=["bucket"])
+        self.num_rows += n_new
+        json.dump({"num_buckets": self.num_buckets,
+                   "num_rows": self.num_rows, "schema": 1},
+                  open(os.path.join(self.index_dir, "meta.json"), "w"))
+        return n_new
 
     # ----------------------------------------------------------------
     def _bucket_dir(self, b: int) -> str:

@@ -1282,6 +1282,34 @@ class TestTrigramIndex:
         root = str(tmp_path_factory.mktemp("tg") / "idx")
         return TrigramIndex.build(ds, root, num_buckets=8), ds, texts
 
+    def test_append_equals_rebuild(self, ray_session, tmp_path):
+        import ray.data as rd
+        from dedup_restore_ray.stages.trigram import TrigramIndex
+        texts = ["the quick brown fox", "quick silver lining",
+                 "a brown cow", "fox hunting season", "nothing here",
+                 "the quick brown dog", "brown fox redux"]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        ds = rd.from_arrow(t)
+        base = rd.from_arrow(t.slice(0, 4)).repartition(2)
+        extra = rd.from_arrow(t.slice(4)).repartition(2)
+        inc = TrigramIndex.build(base, str(tmp_path / "inc"),
+                                 num_buckets=8)
+        assert inc.append(extra) > 0
+        full = TrigramIndex.build(ds, str(tmp_path / "full"),
+                                  num_buckets=8)
+        assert inc.num_rows == full.num_rows
+        for pat in ["quick brown", "brown fox", "zzzq"]:
+            a, _ = inc.search(pat, ds)
+            b, _ = full.search(pat, ds)
+            pa_df, pb_df = a.to_pandas(), b.to_pandas()
+            ga = sorted(pa_df["doc_id"]) if "doc_id" in pa_df.columns \
+                else []
+            gb = sorted(pb_df["doc_id"]) if "doc_id" in pb_df.columns \
+                else []
+            want = [i for i, txt in enumerate(texts) if pat in txt]
+            assert ga == gb == want, (pat, ga, gb, want)
+
     def test_search_matches_brute_force(self, idx):
         index, ds, texts = idx
         for pat in ["quick brown", "brown", "fox", "season",
