@@ -133,7 +133,7 @@ def run_benchmarks() -> dict:
                  "kcore_copurchase_parts", "assoc_rules_parts",
                  "cohort_retention_events", "precedence_matrix_events",
                  "media_phash_pairs", "term_lookup_append_docs",
-                 "substring_search_append_docs",
+                 "substring_search_append_docs", "bpe_encode_docs",
                  "leakage_free_split_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()

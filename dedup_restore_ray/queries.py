@@ -7841,6 +7841,23 @@ def q_term_lookup_append_docs(sf_dir: str, split_id: int = 400):
     return df.sort_values("term").reset_index(drop=True)
 
 
+def q_bpe_encode_docs(sf_dir: str, n_merges: int = 16):
+    """Tokenizer APPLICATION at corpus scale: train a BPE merge table
+    (stages/bpe.bpe_train — the iterative distributed loop), then
+    ENCODE every document with it in ONE shuffle-free map_batches
+    pass — per batch, words dictionary-encode so each distinct word
+    runs the CSR merge kernel once and per-doc token counts fold back
+    through the codes with a bincount.  Rows-only (the merge loop is
+    not SQL-expressible); tests/test_bpe_encode.py pins exact parity
+    with a sequential per-word encoder."""
+    from dedup_restore_ray.stages.bpe import (bpe_encode_counts,
+                                              bpe_train)
+    ds = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    merges = bpe_train(ds, n_merges=n_merges)
+    out = bpe_encode_counts(ds, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -8051,6 +8068,7 @@ QUERIES = {
     "media_phash_pairs": q_media_phash_pairs,
     "term_lookup_append_docs": q_term_lookup_append_docs,
     "substring_search_append_docs": q_substring_search_append_docs,
+    "bpe_encode_docs": q_bpe_encode_docs,
 }
 
 

@@ -248,3 +248,100 @@ def bpe_train_reference(texts: list[str], n_merges: int = 24
                     i += 1
             words[w] = out
     return merges
+
+
+def bpe_encode_counts(ds, merges: pd.DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Apply a TRAINED merge table to the corpus (the tokenizer
+    APPLICATION step that follows bpe_train): per batch, words
+    dictionary-encode so each distinct word is merged once (the CSR
+    kernel replays the rules in rank order — each rule's operands
+    only exist after earlier ranks, so sequential application equals
+    the classic lowest-rank-first loop), then per-doc token counts
+    fold back through the dictionary codes with one bincount.
+
+    The merge table is tiny (one row per rule) and ships inside the
+    task closure; no shuffle at all — the whole encode is one
+    map_batches pass.  Returns (id, n_words, n_tokens)."""
+    vocab = {chr(i): i for i in range(128)}
+    rules: list[tuple[int, int, int]] = []
+    nid = 128
+    for r in merges.sort_values("rank").itertuples():
+        a, b = vocab[r.left], vocab[r.right]
+        vocab[r.merged] = nid
+        rules.append((a, b, nid))
+        nid += 1
+
+    def encode(b: pa.Table) -> pa.Table:
+        t = b.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if pa.types.is_null(t.type):
+            t = pa.array([""] * len(t), pa.string())
+        elif t.null_count:
+            t = t.fill_null("")
+        sp = pc.split_pattern_regex(pc.utf8_lower(t), r"\W+")
+        if isinstance(sp, pa.ChunkedArray):
+            sp = sp.combine_chunks()
+        flat = pc.list_flatten(sp)
+        lens = np.diff(np.asarray(sp.offsets, dtype=np.int64))
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        nonempty = np.asarray(pc.greater(pc.binary_length(flat), 0))
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+        n_words = np.bincount(doc_idx, minlength=len(t)) \
+            if len(doc_idx) else np.zeros(len(t), np.int64)
+        if len(flat) == 0:
+            tok = np.zeros(len(t), np.int64)
+        else:
+            d = flat.dictionary_encode()
+            codes = np.asarray(d.indices, dtype=np.int64)
+            words = d.dictionary
+            joined = "".join(words.to_pylist())
+            wf = np.frombuffer(joined.encode("ascii"),
+                               np.uint8).astype(np.int32)
+            wl = np.asarray(pc.binary_length(words), dtype=np.int64)
+            wo = np.zeros(len(wl) + 1, np.int64)
+            np.cumsum(wl, out=wo[1:])
+            for a, bb, n_id in rules:
+                wf, wo = merge_pair_csr(wf, wo, a, bb, n_id)
+            enc_len = np.diff(wo)
+            tok = np.bincount(doc_idx, weights=enc_len[codes],
+                              minlength=len(t)).astype(np.int64)
+        return pa.table({id_col: b.column(id_col),
+                         "n_words": pa.array(
+                             n_words.astype(np.int64)),
+                         "n_tokens": pa.array(tok)})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def bpe_encode_reference(texts: list[str],
+                         merges: pd.DataFrame) -> list[int]:
+    """Sequential per-word encoder (tests): split like the trainer,
+    apply each merge rule left-to-right per word, return token count
+    per text."""
+    import re
+    rules = [(r.left, r.right, r.merged)
+             for r in merges.sort_values("rank").itertuples()]
+    out = []
+    for t in texts:
+        words = [w for w in re.split(r"\W+", (t or "").lower()) if w]
+        total = 0
+        for w in words:
+            syms = list(w)
+            for left, right, merged in rules:
+                i = 0
+                res = []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            total += len(syms)
+        out.append(total)
+    return out
