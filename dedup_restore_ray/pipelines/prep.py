@@ -1,0 +1,180 @@
+"""End-to-end LLM training-data preparation: the curation chain a
+webtext corpus runs before tokenization, composed from the engine's
+stages in ONE call —
+
+    quality filter (Gopher integer rules)
+    -> language filter (n-gram heuristic)
+    -> exact + near-dup dedup (the flagship MinHash/LSH pipeline;
+       only canonical documents survive)
+    -> optional n-gram decontamination against a held-out test set
+    -> token counting + contiguous shard packing
+
+Each stage is a streaming Dataset transform; the returned manifest
+records survivors per stage, so a corpus run reports exactly WHERE
+documents were lost — the observability layer data-curation
+pipelines live and die by.  (Passage-level boilerplate/span cleaning
+lives in stages/passages.py and stages/exactsubstr.py as
+digest-level operators; they slot between dedup and token counting
+when byte-level rewriting is wanted.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from dedup_restore_ray.config import PipelineConfig
+
+
+@dataclass
+class PrepResult:
+    docs: "ray.data.Dataset"      # (id, text, n_tokens, shard_id)
+    manifest: dict = field(default_factory=dict)
+
+
+def _gram_rows(text_col: str, id_col: str, k: int, distinct_grams: bool):
+    """Batch -> (gram, [id]) rows of token k-gram hashes."""
+    from dedup_restore_ray.functions.hashing import WordHasher
+    from dedup_restore_ray.functions.shingle import (
+        shingle_hashes_for_tokens, tokenize)
+    hasher = WordHasher()
+
+    def rows(b: pa.Table) -> pa.Table:
+        gs_all: list[np.ndarray] = []
+        ds_all: list[np.ndarray] = []
+        ids = (np.asarray(b.column(id_col)) if id_col else None)
+        for i, t in enumerate(b.column(text_col).to_pylist()):
+            toks = tokenize(t)
+            if len(toks) < k:
+                continue
+            g = shingle_hashes_for_tokens(hasher.hash_words(toks), k)
+            if distinct_grams:
+                g = np.unique(g)
+            gs_all.append(g.astype(np.uint64))
+            if ids is not None:
+                ds_all.append(np.full(len(g), ids[i],
+                                      dtype=ids.dtype))
+        if not gs_all:
+            cols = {"gram": pa.array([], pa.uint64())}
+            if ids is not None:
+                cols[id_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        cols = {"gram": pa.array(np.concatenate(gs_all), pa.uint64())}
+        if ids is not None:
+            cols[id_col] = pa.array(np.concatenate(ds_all))
+        return pa.table(cols)
+
+    return rows
+
+
+def prep_corpus(docs: "ray.data.Dataset",
+                cfg: PipelineConfig | None = None,
+                id_col: str = "doc_id", text_col: str = "text",
+                target_lang: str | None = "en",
+                test_docs: "ray.data.Dataset | None" = None,
+                decontam_k: int = 5,
+                shard_capacity: int = 4096) -> PrepResult:
+    """Run the whole curation chain; see module docstring.
+
+    ``test_docs`` (same text column) enables decontamination: any
+    surviving doc sharing a token ``decontam_k``-gram with any test
+    doc is dropped.  ``target_lang=None`` keeps all languages."""
+    from dedup_restore_ray.functions.hashing import WordHasher
+    from dedup_restore_ray.functions.shingle import arrow_token_hashes
+    from dedup_restore_ray.functions.textstats import (
+        detect_language, gopher_keep_mask, quality_filter_counts)
+    from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+    from dedup_restore_ray.stages.groups import distinct_rows
+    from dedup_restore_ray.stages.joins import anti_join, semi_join
+    from dedup_restore_ray.stages.windows import global_running_sum
+
+    cfg = cfg or PipelineConfig()
+    docs = docs.select_columns([id_col, text_col])
+    manifest: dict = {"input": int(docs.count())}
+
+    # 1. quality -------------------------------------------------------
+    def q_filter(b: pa.Table) -> pa.Table:
+        c = quality_filter_counts(b.column(text_col).to_pylist())
+        return b.filter(pa.array(gopher_keep_mask(c)))
+
+    docs = docs.map_batches(q_filter,
+                            batch_format="pyarrow").materialize()
+    manifest["after_quality"] = int(docs.count())
+
+    # 2. language ------------------------------------------------------
+    if target_lang is not None:
+        def l_filter(b: pa.Table) -> pa.Table:
+            pred = [detect_language(t)
+                    for t in b.column(text_col).to_pylist()]
+            return b.filter(pa.array([p == target_lang
+                                      for p in pred]))
+
+        docs = docs.map_batches(l_filter,
+                                batch_format="pyarrow").materialize()
+    manifest["after_langid"] = int(docs.count())
+
+    # 3. dedup (exact + near): keep canonical docs only ----------------
+    res = dedup_pipeline(docs, cfg, id_col=id_col, text_col=text_col)
+    # one survivor per duplicate CLUSTER: labels are min-member ids,
+    # so the member whose cluster_id equals its own id is the unique
+    # canonical (is_dup alone only covers exact dups — near-dup
+    # membership lives in cluster_id)
+    canon_ids = res.assignments.map_batches(
+        lambda b: b.filter(pc.equal(b.column("cluster_id"),
+                                    b.column(id_col)))
+        .select([id_col]),
+        batch_format="pyarrow")
+    docs = semi_join(docs, canon_ids, id_col).materialize()
+    manifest["after_dedup"] = int(docs.count())
+    manifest["dedup_metrics"] = {
+        k: v for k, v in res.metrics.items()
+        if k in ("candidate_pairs", "verified_pairs", "cluster_edges")}
+
+    # 4. decontamination ------------------------------------------------
+    if test_docs is not None:
+        test_grams = distinct_rows(
+            test_docs.map_batches(
+                _gram_rows(text_col, None, decontam_k, True),
+                batch_format="pyarrow"),
+            ["gram"])
+        doc_grams = docs.map_batches(
+            _gram_rows(text_col, id_col, decontam_k, True),
+            batch_format="pyarrow")
+        bad_ids = distinct_rows(
+            semi_join(doc_grams, test_grams, "gram")
+            .select_columns([id_col]), [id_col])
+        docs = anti_join(docs, bad_ids, id_col).materialize()
+    manifest["after_decontaminate"] = int(docs.count())
+
+    # 5. token counts + contiguous shard packing ------------------------
+    hasher = WordHasher()
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        _, counts = arrow_token_hashes(b.column(text_col), hasher)
+        return pa.table({id_col: b.column(id_col),
+                         text_col: b.column(text_col),
+                         "n_tokens": pa.array(counts, pa.int64())})
+
+    counted = docs.map_batches(tok_counts, batch_format="pyarrow")
+    offs = global_running_sum(counted, [id_col], "n_tokens",
+                              out_col="token_offset",
+                              carry_cols=[id_col, text_col,
+                                          "n_tokens"])
+
+    def shard(b: pa.Table) -> pa.Table:
+        off = np.asarray(b.column("token_offset"), dtype=np.int64)
+        return b.append_column(
+            "shard_id", pa.array(off // shard_capacity))
+
+    out = offs.map_batches(shard,
+                           batch_format="pyarrow").materialize()
+    manifest["output"] = int(out.count())
+    manifest["total_tokens"] = int(out.sum("n_tokens") or 0)
+    manifest["n_shards"] = (int(out.max("shard_id")) + 1
+                            if manifest["output"] else 0)
+    return PrepResult(docs=out, manifest=manifest)

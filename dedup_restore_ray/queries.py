@@ -7858,6 +7858,91 @@ def q_bpe_encode_docs(sf_dir: str, n_merges: int = 16):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_winsorized_sum_events(sf_dir: str):
+    """Winsorized aggregation (outlier-robust revenue: clip each event
+    type's values at its own p99 before summing — the capping step
+    that keeps one fat-finger row from dominating a metric).  Two
+    passes: grouped_quantile on integer cents gives the p99 (cap =
+    floor(p99) — integral, so clipping and the capped SUM stay pure
+    int64 on both sides); the tiny cap table rides back via one
+    sort-scatter and a vectorized min/compare finishes it."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import (grouped_aggregate,
+                                                 grouped_quantile)
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type",
+                                     "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("value"), dtype=np.float64) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "cents": pa.array(cents)})
+
+    rows = ev.map_batches(to_cents,
+                          batch_format="pyarrow").materialize()
+    q99 = grouped_quantile(rows, ["event_type"], "cents", [0.99],
+                           ["p99"])
+
+    def cap_rows(b: pa.Table) -> pa.Table:
+        cap = np.floor(np.asarray(b.column("p99"),
+                                  dtype=np.float64)).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "cap": pa.array(cap)})
+
+    caps = q99.map_batches(cap_rows, batch_format="pyarrow")
+    tagged = _scatter_lookup(rows, caps, key_col="event_type",
+                             payload_col="cap",
+                             out_cols=["event_type", "cents"])
+
+    def clip(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("cents"), dtype=np.int64)
+        cap = np.asarray(b.column("cap"), dtype=np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "w": pa.array(np.minimum(c, cap)),
+                         "over": pa.array((c > cap).astype(np.int64)),
+                         "cap": b.column("cap")})
+
+    out = grouped_aggregate(
+        tagged.map_batches(clip, batch_format="pyarrow"),
+        ["event_type"],
+        {"winsorized_cents": ("w", "sum"),
+         "n_capped": ("over", "sum"),
+         "cap_cents": ("cap", "max")},
+        count_alias="n_events").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_llm_prep_docs(sf_dir: str):
+    """The COMPLETE LLM data-prep chain as one call
+    (pipelines/prep.prep_corpus): Gopher quality filter -> language
+    filter -> exact+near dedup (one survivor per duplicate cluster)
+    -> n-gram decontamination against a held-out benchmark split
+    (docs with doc_id % 97 == 0 stand in for the benchmark; they
+    remove themselves plus any gram-sharing neighbors) -> token
+    counting -> contiguous shard packing.  Returns the stage-by-stage
+    survivor manifest — the observability record a curation run is
+    judged by.  Rows-only (the chain embeds the iterative dedup
+    pipeline); every stage is individually oracle-checked elsewhere."""
+    from dedup_restore_ray.pipelines.prep import prep_corpus
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_split(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    res = prep_corpus(docs,
+                      test_docs=docs.map_batches(
+                          bench_split, batch_format="pyarrow"),
+                      shard_capacity=4096)
+    m = {k: v for k, v in res.manifest.items()
+         if k != "dedup_metrics"}
+    m.update({f"dedup_{k}": v
+              for k, v in res.manifest["dedup_metrics"].items()})
+    return pd.DataFrame([m])
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -8069,6 +8154,8 @@ QUERIES = {
     "term_lookup_append_docs": q_term_lookup_append_docs,
     "substring_search_append_docs": q_substring_search_append_docs,
     "bpe_encode_docs": q_bpe_encode_docs,
+    "winsorized_sum_events": q_winsorized_sum_events,
+    "llm_prep_docs": q_llm_prep_docs,
 }
 
 
@@ -10949,6 +11036,24 @@ ORACLE_SQL["time_to_convert_events"] = """
            quantile_cont(d_us // 1000000, 0.9) AS p90_s,
            count(*)::BIGINT AS n_converted
     FROM c GROUP BY 1
+"""
+
+ORACLE_SQL["winsorized_sum_events"] = """
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    q AS (SELECT event_type,
+                 CAST(floor(quantile_cont(cents, 0.99)) AS BIGINT)
+                     AS cap
+          FROM c GROUP BY 1)
+    SELECT c.event_type,
+           sum(least(c.cents, q.cap))::BIGINT AS winsorized_cents,
+           sum(CASE WHEN c.cents > q.cap THEN 1 ELSE 0 END)::BIGINT
+               AS n_capped,
+           max(q.cap)::BIGINT AS cap_cents,
+           count(*)::BIGINT AS n_events
+    FROM c JOIN q USING (event_type)
+    GROUP BY 1
 """
 
 ORACLE_SQL["term_lookup_append_docs"] = r"""
