@@ -7635,6 +7635,11 @@ def q_assoc_rules_parts(sf_dir: str, support_min: int = 3,
         nb = np.asarray(b.column("n_b"), dtype=np.int64)
         keep = 100 * nab >= conf_min_pct * na
         t = b.filter(pa.array(keep))
+        # 10^4 * n_ab * n_baskets must fit int64 — loud failure
+        # beats silent wraparound at extreme corpus sizes
+        if len(nab) and int(nab.max()) * n_baskets > (1 << 62) // 10_000:
+            raise OverflowError("assoc_rules lift_e4 would overflow "
+                                "int64; rescale the lift fixed point")
         lift = (10_000 * nab[keep] * n_baskets) // (na[keep] * nb[keep])
         return pa.table({"part_a": t.column("x"),
                          "part_b": t.column("y"),
@@ -7943,6 +7948,75 @@ def q_llm_prep_docs(sf_dir: str):
     return pd.DataFrame([m])
 
 
+def q_order_reconciliation(sf_dir: str):
+    """Financial reconciliation audit (header-vs-detail consistency:
+    does each order's stored total match the recomputed sum of its
+    line items?): per-batch (order, cents) combiners -> one grouped
+    sum -> one sort-scatter against the order headers -> integer
+    diffs.  Every money value is per-row-rounded cents BEFORE any
+    summation, so mismatch counts and max/total absolute drift are
+    bit-exact against the SQL.  Orders without line items are out of
+    scope (inner-join semantics, like the SQL).  Returns ONE summary
+    row — the shape a nightly data-quality job alerts on."""
+    from dedup_restore_ray.stages.cluster import _scatter_lookup
+    from dedup_restore_ray.stages.groups import grouped_aggregate
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice",
+                                     "l_discount", "l_tax"])
+    od = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+            * (1.0 - np.asarray(b.column("l_discount"),
+                                dtype=np.float64))
+            * (1.0 + np.asarray(b.column("l_tax"), dtype=np.float64))
+            * 100.0, 0).astype(np.int64)
+        g = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "pc_": pa.array(cents)}).group_by(
+            ["l_orderkey"]).aggregate([("pc_", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "pn": g.column("pc__sum")})
+
+    detail = grouped_aggregate(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        ["l_orderkey"], {"detail_cents": ("pn", "sum")})
+
+    def hdr(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("o_totalprice"), dtype=np.float64)
+            * 100.0, 0).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "hdr_cents": pa.array(cents)})
+
+    joined = _scatter_lookup(
+        od.map_batches(hdr, batch_format="pyarrow"),
+        detail.rename_columns({"l_orderkey": "o_orderkey"}),
+        key_col="o_orderkey", payload_col="detail_cents",
+        out_cols=["o_orderkey", "hdr_cents"])
+
+    def diffs(b: pa.Table) -> pa.Table:
+        h = np.asarray(b.column("hdr_cents"), dtype=np.int64)
+        d = np.asarray(b.column("detail_cents"), dtype=np.int64)
+        ad = np.abs(h - d)
+        return pa.table({
+            "n_orders": pa.array([len(h)], pa.int64()),
+            "n_mismatched": pa.array([int((ad > 0).sum())], pa.int64()),
+            "max_abs_diff_cents": pa.array(
+                [int(ad.max()) if len(ad) else 0], pa.int64()),
+            "total_abs_diff_cents": pa.array([int(ad.sum())],
+                                             pa.int64())})
+
+    parts = joined.map_batches(diffs, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([{
+        "n_orders": int(parts["n_orders"].sum()),
+        "n_mismatched": int(parts["n_mismatched"].sum()),
+        "max_abs_diff_cents": int(parts["max_abs_diff_cents"].max()),
+        "total_abs_diff_cents": int(parts["total_abs_diff_cents"].sum()),
+    }])
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -8156,6 +8230,7 @@ QUERIES = {
     "bpe_encode_docs": q_bpe_encode_docs,
     "winsorized_sum_events": q_winsorized_sum_events,
     "llm_prep_docs": q_llm_prep_docs,
+    "order_reconciliation": q_order_reconciliation,
 }
 
 
@@ -11036,6 +11111,27 @@ ORACLE_SQL["time_to_convert_events"] = """
            quantile_cont(d_us // 1000000, 0.9) AS p90_s,
            count(*)::BIGINT AS n_converted
     FROM c GROUP BY 1
+"""
+
+ORACLE_SQL["order_reconciliation"] = """
+    WITH d AS (SELECT l_orderkey,
+                      SUM(CAST(round(l_extendedprice
+                                     * (1 - l_discount)
+                                     * (1 + l_tax) * 100)
+                               AS BIGINT))::BIGINT AS detail_cents
+               FROM lineitem GROUP BY 1),
+    j AS (SELECT CAST(round(o.o_totalprice * 100) AS BIGINT)
+                     AS hdr_cents,
+                 d.detail_cents
+          FROM orders o JOIN d ON o.o_orderkey = d.l_orderkey)
+    SELECT count(*)::BIGINT AS n_orders,
+           sum(CASE WHEN hdr_cents <> detail_cents
+                    THEN 1 ELSE 0 END)::BIGINT AS n_mismatched,
+           max(abs(hdr_cents - detail_cents))::BIGINT
+               AS max_abs_diff_cents,
+           sum(abs(hdr_cents - detail_cents))::BIGINT
+               AS total_abs_diff_cents
+    FROM j
 """
 
 ORACLE_SQL["winsorized_sum_events"] = """
