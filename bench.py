@@ -135,7 +135,7 @@ def run_benchmarks() -> dict:
                  "media_phash_pairs", "term_lookup_append_docs",
                  "substring_search_append_docs", "bpe_encode_docs",
                  "winsorized_sum_events", "llm_prep_docs",
-                 "order_reconciliation",
+                 "order_reconciliation", "timed_conversion_events",
                  "leakage_free_split_docs"]:
         fn = Q.QUERIES[name]
         t0 = time.time()

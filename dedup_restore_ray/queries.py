@@ -8017,6 +8017,64 @@ def q_order_reconciliation(sf_dir: str):
     }])
 
 
+def q_timed_conversion_events(sf_dir: str, window_s: int = 900):
+    """Time-bounded conversion funnel: clicks that follow a VIEW by
+    the same user within ``window_s`` seconds, rolled up per day as
+    converting-click and converting-user counts — the attribution
+    shape behind 'X% of clicks convert within 15 minutes'.  Both
+    streams co-locate through ONE (user, ts) sort
+    (stages/windows.interval_count_join: probe = clicks, build =
+    views, trailing inclusive window); the day rollup is a distinct +
+    two grouped counts.  Window edges are integer microseconds, so
+    tie semantics match the SQL BETWEEN exactly."""
+    from dedup_restore_ray.stages.groups import (distinct_rows,
+                                                 grouped_aggregate)
+    from dedup_restore_ray.stages.windows import interval_count_join
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id", "event_type"])
+
+    def mark(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        t = b.filter(pc.or_(pc.equal(et, "click"),
+                            pc.equal(et, "view")))
+        et = t.column("event_type")
+        # ts stays timestamp-typed: interval_count_join scales the
+        # window by the column's unit (an int64 column would be
+        # treated as unit-1 and shrink the window to microseconds)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "is_click": pc.cast(pc.equal(et, "click"), pa.int8()),
+            "is_view": pc.cast(pc.equal(et, "view"), pa.int8())})
+
+    rows = ev.map_batches(mark, batch_format="pyarrow")
+    counted = interval_count_join(
+        rows, "user_id", "ts", "is_click", "is_view",
+        window_seconds=window_s, out_col="nv",
+        carry_cols=["user_id", "ts"])
+
+    def conv(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b.column("nv"), pa.scalar(0))
+        t = b.filter(keep)
+        day = (np.asarray(pc.cast(t.column("ts").combine_chunks(),
+                                  pa.int64()), dtype=np.int64)
+               // 86_400_000_000) * 86_400
+        return pa.table({"day_epoch": pa.array(day),
+                         "user_id": t.column("user_id")})
+
+    converted = counted.map_batches(conv,
+                                    batch_format="pyarrow").materialize()
+    per_day_clicks = grouped_aggregate(converted, ["day_epoch"], {},
+                                       count_alias="n_conv_clicks")
+    per_day_users = grouped_aggregate(
+        distinct_rows(converted, ["day_epoch", "user_id"]),
+        ["day_epoch"], {}, count_alias="n_conv_users")
+    a = per_day_clicks.to_pandas()
+    b = per_day_users.to_pandas()
+    out = a.merge(b, on="day_epoch")
+    return out.sort_values("day_epoch").reset_index(drop=True)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_substring_spans_docs": q_exact_substring_spans_docs,
@@ -8231,6 +8289,7 @@ QUERIES = {
     "winsorized_sum_events": q_winsorized_sum_events,
     "llm_prep_docs": q_llm_prep_docs,
     "order_reconciliation": q_order_reconciliation,
+    "timed_conversion_events": q_timed_conversion_events,
 }
 
 
@@ -11111,6 +11170,23 @@ ORACLE_SQL["time_to_convert_events"] = """
            quantile_cont(d_us // 1000000, 0.9) AS p90_s,
            count(*)::BIGINT AS n_converted
     FROM c GROUP BY 1
+"""
+
+ORACLE_SQL["timed_conversion_events"] = """
+    WITH e AS (SELECT user_id, ts, event_type FROM events
+               WHERE event_type IN ('view', 'click')),
+    c AS (SELECT cl.user_id, cl.ts,
+                 (SELECT count(*) FROM e v
+                  WHERE v.user_id = cl.user_id
+                    AND v.event_type = 'view'
+                    AND epoch_us(v.ts)
+                        BETWEEN epoch_us(cl.ts) - 900000000
+                            AND epoch_us(cl.ts)) AS nv
+          FROM e cl WHERE cl.event_type = 'click')
+    SELECT (epoch_us(ts) // 86400000000) * 86400 AS day_epoch,
+           count(*)::BIGINT AS n_conv_clicks,
+           count(DISTINCT user_id)::BIGINT AS n_conv_users
+    FROM c WHERE nv > 0 GROUP BY 1
 """
 
 ORACLE_SQL["order_reconciliation"] = """
