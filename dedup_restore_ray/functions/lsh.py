@@ -95,3 +95,46 @@ def band_keys(sig: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray
         for bidx in range(num_bands):
             out[idx, bidx] = combine64(uniq, np.uint64(bidx))
     return out
+
+
+def lsh_collision_prob(s: np.ndarray, num_bands: int,
+                       rows_per_band: int) -> np.ndarray:
+    """P(candidate | Jaccard s) for banded MinHash LSH:
+    ``1 - (1 - s^r)^b`` — the S-curve every banding choice trades
+    false positives against false negatives along."""
+    s = np.asarray(s, dtype=np.float64)
+    return 1.0 - (1.0 - s ** rows_per_band) ** num_bands
+
+
+def optimal_bands(threshold: float, num_perm: int = 128,
+                  fp_weight: float = 0.5, fn_weight: float = 0.5,
+                  grid: int = 1000) -> tuple[int, int, float]:
+    """Choose (num_bands, rows_per_band) for a target Jaccard
+    threshold: among all factorizations b*r = num_perm, minimize the
+    weighted error integral
+
+        fp_weight * ∫₀ᵗ P(candidate|s) ds          (false positives)
+      + fn_weight * ∫ₜ¹ (1 - P(candidate|s)) ds    (false negatives)
+
+    — the standard MinHashLSH tuning rule (Leskovec-Rajaraman-Ullman
+    ch.3; same objective as the datasketch library), evaluated by
+    brute force over the divisor pairs with a fixed midpoint grid.
+    Returns (num_bands, rows_per_band, error).  Deterministic: ties
+    break toward more bands (higher recall)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    xs = (np.arange(grid, dtype=np.float64) + 0.5) / grid
+    below = xs < threshold
+    best = None
+    for r in range(1, num_perm + 1):
+        if num_perm % r:
+            continue
+        b = num_perm // r
+        p = lsh_collision_prob(xs, b, r)
+        fp = float(p[below].sum()) / grid
+        fn = float((1.0 - p[~below]).sum()) / grid
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[2] - 1e-15 or (
+                abs(err - best[2]) <= 1e-15 and b > best[0]):
+            best = (b, r, err)
+    return best

@@ -297,3 +297,35 @@ class TestSuffixArray:
     def test_repeat_within_one_doc_not_a_pair(self):
         s = "x" * 200
         assert substring_pairs([s + " middle " + s], 100) == set()
+
+
+class TestLshTuning:
+    def test_s_curve_properties(self):
+        import numpy as np
+        from dedup_restore_ray.functions.lsh import lsh_collision_prob
+        s = np.linspace(0, 1, 101)
+        p = lsh_collision_prob(s, 16, 8)
+        assert p[0] == 0.0 and abs(p[-1] - 1.0) < 1e-12
+        assert (np.diff(p) >= -1e-12).all()          # monotone
+
+    def test_rows_per_band_monotone_in_threshold(self):
+        from dedup_restore_ray.functions.lsh import optimal_bands
+        rs = [optimal_bands(t)[1] for t in (0.3, 0.5, 0.7, 0.9)]
+        assert rs == sorted(rs)
+        assert all(b * r == 128
+                   for b, r, _ in (optimal_bands(t)
+                                   for t in (0.3, 0.5, 0.7, 0.9)))
+
+    def test_recall_weighted_recovers_engine_default(self):
+        # the flagship verifies candidates exactly, so false positives
+        # are cheap: with fn-dominated weights at the 0.8 threshold
+        # the optimizer lands on the engine's own 16x8 banding
+        from dedup_restore_ray.functions.lsh import optimal_bands
+        b, r, _ = optimal_bands(0.8, fp_weight=0.1, fn_weight=0.9)
+        assert (b, r) == (16, 8)
+
+    def test_bad_threshold_raises(self):
+        import pytest as _pytest
+        from dedup_restore_ray.functions.lsh import optimal_bands
+        with _pytest.raises(ValueError):
+            optimal_bands(1.0)
