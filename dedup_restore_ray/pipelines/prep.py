@@ -7,15 +7,15 @@ stages in ONE call —
     -> exact + near-dup dedup (the flagship MinHash/LSH pipeline;
        only canonical documents survive)
     -> optional n-gram decontamination against a held-out test set
+    -> optional passage-level cleaning (byte rewriting: duplicated
+       exact-substring spans or duplicated passages removed,
+       first-wins — ``clean="substring" | "passage"``)
     -> token counting + contiguous shard packing
 
 Each stage is a streaming Dataset transform; the returned manifest
 records survivors per stage, so a corpus run reports exactly WHERE
 documents were lost — the observability layer data-curation
-pipelines live and die by.  (Passage-level boilerplate/span cleaning
-lives in stages/passages.py and stages/exactsubstr.py as
-digest-level operators; they slot between dedup and token counting
-when byte-level rewriting is wanted.)
+pipelines live and die by.
 """
 
 from __future__ import annotations
@@ -78,12 +78,24 @@ def prep_corpus(docs: "ray.data.Dataset",
                 target_lang: str | None = "en",
                 test_docs: "ray.data.Dataset | None" = None,
                 decontam_k: int = 5,
+                clean: str | None = None,
+                clean_k: int = 8,
+                clean_window: int = 20,
                 shard_capacity: int = 4096) -> PrepResult:
     """Run the whole curation chain; see module docstring.
 
     ``test_docs`` (same text column) enables decontamination: any
     surviving doc sharing a token ``decontam_k``-gram with any test
-    doc is dropped.  ``target_lang=None`` keeps all languages."""
+    doc is dropped.  ``target_lang=None`` keeps all languages.
+
+    ``clean`` enables passage-level byte rewriting between
+    decontamination and token counting: ``"substring"`` removes every
+    token covered by a duplicated ``clean_k``-token window
+    (stages/exactsubstr, first-wins — Lee et al.'s all-but-one
+    removal), ``"passage"`` removes duplicated ``clean_window``-token
+    passages (stages/passages, first-wins).  Docs whose text is fully
+    rewritten away are dropped (``after_clean`` manifest row); removed
+    volume is reported as ``clean_dup_tokens`` / ``clean_dup_passages``."""
     from dedup_restore_ray.functions.hashing import WordHasher
     from dedup_restore_ray.functions.shingle import arrow_token_hashes
     from dedup_restore_ray.functions.textstats import (
@@ -94,7 +106,10 @@ def prep_corpus(docs: "ray.data.Dataset",
     from dedup_restore_ray.stages.windows import global_running_sum
 
     cfg = cfg or PipelineConfig()
-    docs = docs.select_columns([id_col, text_col])
+    # materialize the projected input ONCE: counting a lazy
+    # read+select would force a full scan whose work the quality pass
+    # immediately redoes (the two-consumers-re-execute trap)
+    docs = docs.select_columns([id_col, text_col]).materialize()
     manifest: dict = {"input": int(docs.count())}
 
     # 1. quality -------------------------------------------------------
@@ -150,6 +165,47 @@ def prep_corpus(docs: "ray.data.Dataset",
             .select_columns([id_col]), [id_col])
         docs = anti_join(docs, bad_ids, id_col).materialize()
     manifest["after_decontaminate"] = int(docs.count())
+
+    # 4.5 optional passage-level cleaning (byte rewriting) --------------
+    if clean is not None:
+        if clean == "substring":
+            from dedup_restore_ray.stages.exactsubstr import \
+                exact_substring_clean
+            cleaned = exact_substring_clean(
+                docs, k=clean_k, mode="first_wins", id_col=id_col,
+                text_col=text_col, emit_text=True)
+            dup_count_col, manifest_key = ("n_dup_tokens",
+                                           "clean_dup_tokens")
+        elif clean == "passage":
+            from dedup_restore_ray.stages.passages import passage_dedup
+            cleaned = passage_dedup(
+                docs, window=clean_window, mode="first_wins",
+                id_col=id_col, text_col=text_col, emit_text=True)
+            dup_count_col, manifest_key = ("n_dup_passages",
+                                           "clean_dup_passages")
+        else:
+            raise ValueError(f"clean must be None, 'substring' or "
+                             f"'passage', got {clean!r}")
+
+        def swap_text(b: pa.Table) -> pa.Table:
+            return pa.table({id_col: b.column("doc_id"),
+                             text_col: b.column("clean_text"),
+                             "__dup": b.column(dup_count_col)})
+
+        cleaned = cleaned.map_batches(swap_text,
+                                      batch_format="pyarrow").materialize()
+        # removed volume counts EVERY doc, including ones rewritten
+        # away entirely (which the non-empty filter below drops)
+        manifest[manifest_key] = int(cleaned.sum("__dup") or 0)
+
+        def non_empty(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.greater(pc.utf8_length(b.column(text_col)),
+                                    pa.scalar(0)))
+            return t.drop_columns(["__dup"])
+
+        docs = cleaned.map_batches(non_empty,
+                                   batch_format="pyarrow").materialize()
+        manifest["after_clean"] = int(docs.count())
 
     # 5. token counts + contiguous shard packing ------------------------
     hasher = WordHasher()

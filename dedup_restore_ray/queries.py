@@ -7948,6 +7948,37 @@ def q_llm_prep_docs(sf_dir: str):
     return pd.DataFrame([m])
 
 
+def q_llm_prep_clean_docs(sf_dir: str):
+    """The prep chain WITH the passage-level cleaning stage wired in
+    (``clean="substring"``: Lee et al. first-wins duplicated-span
+    removal between decontamination and token counting).  Returns the
+    survivor manifest as ONE row, oracle-checked END TO END: the SQL
+    recomputes every stage — Gopher quality filter, langid == 'en',
+    connected-component dedup (exact-text ∪ 5-gram-Jaccard >= 0.8
+    edges, recursive CTE), 5-gram decontamination against the
+    doc_id % 97 == 0 split, duplicated-8-gram span removal, token
+    re-counting and contiguous shard packing — so survivor counts,
+    removed-token volume, total tokens and shard count all
+    hash-match.  (The LSH-internal dedup_metrics are excluded: band
+    candidate counts are implementation detail, not SQL semantics.)"""
+    from dedup_restore_ray.pipelines.prep import prep_corpus
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_split(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    res = prep_corpus(docs,
+                      test_docs=docs.map_batches(
+                          bench_split, batch_format="pyarrow"),
+                      clean="substring",
+                      shard_capacity=4096)
+    keys = ["input", "after_quality", "after_langid", "after_dedup",
+            "after_decontaminate", "clean_dup_tokens", "after_clean",
+            "output", "total_tokens", "n_shards"]
+    return pd.DataFrame([{k: res.manifest[k] for k in keys}])
+
+
 def q_order_reconciliation(sf_dir: str):
     """Financial reconciliation audit (header-vs-detail consistency:
     does each order's stored total match the recomputed sum of its
@@ -8288,6 +8319,7 @@ QUERIES = {
     "bpe_encode_docs": q_bpe_encode_docs,
     "winsorized_sum_events": q_winsorized_sum_events,
     "llm_prep_docs": q_llm_prep_docs,
+    "llm_prep_clean_docs": q_llm_prep_clean_docs,
     "order_reconciliation": q_order_reconciliation,
     "timed_conversion_events": q_timed_conversion_events,
 }
@@ -11511,4 +11543,174 @@ ORACLE_SQL["mad_outlier_events"] = """
            count(*)::BIGINT AS n_events
     FROM d JOIN mm USING (event_type)
     GROUP BY 1
+"""
+
+ORACLE_SQL["llm_prep_clean_docs"] = rf"""
+    WITH RECURSIVE
+    qraw AS (
+      SELECT doc_id, text,
+             coalesce(regexp_extract_all(lower(coalesce(text, '')),
+                                         '\w+'), []) AS t,
+             coalesce(length(text), 0) AS n_chars,
+             length(regexp_extract_all(coalesce(text, ''),
+                                       '[^\w\s]')) AS n_punct,
+             length(regexp_extract_all(coalesce(text, ''),
+                                       '[A-Z]')) AS n_upper
+      FROM documents),
+    qf AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, length(t) AS n_tokens,
+               coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                 AS sum_len,
+               len(list_filter(t, x -> list_contains([{_STOP_SQL}], x)))
+                 AS stop_hits,
+               n_chars, n_punct, n_upper
+        FROM qraw) g
+      WHERE n_tokens >= 5 AND n_tokens <= 50000
+        AND sum_len >= 2 * n_tokens AND sum_len <= 12 * n_tokens
+        AND 20 * stop_hits >= n_tokens
+        AND 5 * n_punct <= n_chars
+        AND 10 * n_upper <= 3 * n_chars),
+    lhits AS (
+      SELECT doc_id, text,
+        coalesce(regexp_extract_all(lower(coalesce(text, '')),
+                                    '\w+'), []) AS t,
+        len(list_filter(coalesce(regexp_extract_all(
+              lower(coalesce(text, '')), '\w+'), []),
+            x -> list_contains(
+          ['a','and','are','as','at','be','for','he','his','i','in',
+           'is','it','of','on','that','the','they','to','was','with',
+           'you'], x))) AS h_en,
+        len(list_filter(coalesce(regexp_extract_all(
+              lower(coalesce(text, '')), '\w+'), []),
+            x -> list_contains(
+          ['als','auf','das','dem','den','der','des','die','ein',
+           'eine','für','im','in','ist','mit','nicht','sich','und',
+           'von','zu'], x))) AS h_de,
+        len(list_filter(coalesce(regexp_extract_all(
+              lower(coalesce(text, '')), '\w+'), []),
+            x -> list_contains(
+          ['au','dans','de','des','du','en','est','et','la','le',
+           'les','par','pas','plus','pour','que','qui','sur','un',
+           'une'], x))) AS h_fr,
+        len(list_filter(coalesce(regexp_extract_all(
+              lower(coalesce(text, '')), '\w+'), []),
+            x -> list_contains(
+          ['a','al','con','de','del','el','en','es','la','las','lo',
+           'los','no','para','por','que','se','su','un','una','y'],
+          x))) AS h_es,
+        len(regexp_extract_all(coalesce(text, ''), '[一-鿿]')) AS n_cjk
+      FROM qf),
+    lf AS (
+      SELECT doc_id, text FROM lhits
+      WHERE NOT (text IS NULL OR text = '')
+        AND NOT (n_cjk >= 3 AND n_cjk * 10 >= length(text))
+        AND len(t) > 0
+        AND greatest(h_en, h_de, h_fr, h_es) > 0
+        AND h_en = greatest(h_en, h_de, h_fr, h_es)),
+    toks5 AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+      FROM lf),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN length(t) = 0 THEN []
+                  ELSE list_distinct(list_transform(
+                       range(1, greatest(length(t) - 4, 1) + 1),
+                       i -> array_to_string(t[i:i+4], ' '))) END AS s
+      FROM toks5),
+    jp AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND length(a.s) > 0 AND length(b.s) > 0
+        AND 5 * length(list_intersect(a.s, b.s))
+            >= 4 * (length(a.s) + length(b.s)
+                    - length(list_intersect(a.s, b.s)))),
+    ep AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM lf a JOIN lf b ON a.text = b.text
+      WHERE a.doc_id < b.doc_id),
+    edges AS (
+      SELECT u, v FROM jp UNION SELECT v, u FROM jp
+      UNION SELECT u, v FROM ep UNION SELECT v, u FROM ep),
+    walk(node, reach) AS (
+      SELECT doc_id, doc_id FROM lf
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+    comp AS (
+      SELECT node AS doc_id, min(reach) AS cluster_id
+      FROM walk GROUP BY node),
+    ded AS (
+      SELECT l.doc_id, l.text
+      FROM lf l JOIN comp c ON l.doc_id = c.doc_id
+      WHERE c.cluster_id = c.doc_id),
+    test_g AS (
+      SELECT DISTINCT unnest(list_transform(
+               range(1, greatest(length(t) - 4, 0) + 1),
+               i -> array_to_string(t[i:i+4], ' '))) AS g
+      FROM (SELECT regexp_extract_all(lower(text), '\w+') AS t
+            FROM documents WHERE doc_id % 97 = 0)
+      WHERE length(t) >= 5),
+    doc_g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(length(t) - 4, 0) + 1),
+               i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+            FROM ded)
+      WHERE length(t) >= 5),
+    bad AS (SELECT DISTINCT doc_id FROM doc_g JOIN test_g USING (g)),
+    dec AS (SELECT doc_id, text FROM ded
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+    ctoks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+      FROM dec),
+    g8 AS (
+      SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g
+      FROM ctoks, LATERAL (SELECT unnest(range(1,
+             greatest(length(t) - 7, 0) + 1)) AS i)),
+    occ AS (
+      SELECT doc_id, i - 1 AS s, i + 7 AS e
+      FROM (SELECT doc_id, i, row_number() OVER
+              (PARTITION BY g ORDER BY doc_id, i) AS rn FROM g8)
+      WHERE rn > 1),
+    w AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM occ),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM w),
+    spans AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e
+      FROM isl GROUP BY doc_id, gid),
+    dup AS (
+      SELECT doc_id, sum(e - s) AS nd FROM spans GROUP BY doc_id),
+    ck AS (
+      SELECT tk.doc_id, length(tk.t) AS n_tokens,
+             coalesce(d.nd, 0) AS nd
+      FROM ctoks tk LEFT JOIN dup d USING (doc_id)),
+    surv AS (
+      SELECT doc_id, n_tokens - nd AS n FROM ck
+      WHERE n_tokens - nd > 0),
+    offs AS (
+      SELECT doc_id, n,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS o
+      FROM surv)
+    SELECT
+      (SELECT count(*) FROM documents)::BIGINT AS input,
+      (SELECT count(*) FROM qf)::BIGINT AS after_quality,
+      (SELECT count(*) FROM lf)::BIGINT AS after_langid,
+      (SELECT count(*) FROM ded)::BIGINT AS after_dedup,
+      (SELECT count(*) FROM dec)::BIGINT AS after_decontaminate,
+      (SELECT coalesce(sum(nd), 0) FROM ck)::BIGINT AS clean_dup_tokens,
+      (SELECT count(*) FROM surv)::BIGINT AS after_clean,
+      (SELECT count(*) FROM surv)::BIGINT AS output,
+      (SELECT coalesce(sum(n), 0) FROM surv)::BIGINT AS total_tokens,
+      (SELECT coalesce(max(o // 4096) + 1, 0) FROM offs)::BIGINT
+        AS n_shards
 """

@@ -247,7 +247,8 @@ def _collect_span_lists(spans: "ray.data.Dataset") -> "ray.data.Dataset":
                 residual_collect, batch_format="pyarrow")))
 
 
-def _clean_kernel(id_col: str, text_col: str, with_spans: bool):
+def _clean_kernel(id_col: str, text_col: str, with_spans: bool,
+                  emit_text: bool = False):
     import hashlib
 
     empty_md5 = hashlib.md5(b"").hexdigest()
@@ -259,6 +260,7 @@ def _clean_kernel(id_col: str, text_col: str, with_spans: bool):
                       else [None] * len(ids))
         md5 = hashlib.md5
         n_tok, n_dup, clean_md5 = [], [], []
+        clean_text: list[str] = []
         for t, flat in zip(texts, span_lists):
             toks = tokenize(t)
             n_tok.append(len(toks))
@@ -273,16 +275,22 @@ def _clean_kernel(id_col: str, text_col: str, with_spans: bool):
                 kept = " ".join(toks)
             clean_md5.append(md5(kept.encode("utf-8")).hexdigest()
                              if kept else empty_md5)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "n_tokens": pa.array(n_tok, pa.int64()),
-                         "n_dup_tokens": pa.array(n_dup, pa.int64()),
-                         "clean_md5": pa.array(clean_md5, pa.string())})
+            if emit_text:
+                clean_text.append(kept)
+        cols = {"doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_dup_tokens": pa.array(n_dup, pa.int64()),
+                "clean_md5": pa.array(clean_md5, pa.string())}
+        if emit_text:
+            cols["clean_text"] = pa.array(clean_text, pa.string())
+        return pa.table(cols)
     return clean
 
 
 def exact_substring_clean(ds: "ray.data.Dataset", k: int = 8,
                           mode: str = "first_wins", id_col: str = "doc_id",
-                          text_col: str = "text") -> "ray.data.Dataset":
+                          text_col: str = "text",
+                          emit_text: bool = False) -> "ray.data.Dataset":
     """The paper's deliverable: remove every token covered by a merged
     duplicated span and re-join the survivors with single spaces.  One
     row per input doc: (doc_id, n_tokens, n_dup_tokens, clean_md5);
@@ -295,18 +303,26 @@ def exact_substring_clean(ds: "ray.data.Dataset", k: int = 8,
     from dedup_restore_ray.stages.cluster import scatter_lookup_split
 
     spans = exact_substring_spans(ds, k, mode, id_col, text_col)
-    collected = _collect_span_lists(spans)
+    collected = _collect_span_lists(spans).materialize()
     # identity pyarrow pass: pandas-origin inputs otherwise reach the
     # scatter with pandas dtypes in Dataset.schema() (zero-copy for
     # Arrow blocks)
     docs = ds.select_columns([id_col, text_col]).map_batches(
         lambda b: b, batch_format="pyarrow")
+    if collected.count() == 0:
+        # no duplicated spans anywhere: every doc is a miss (an empty
+        # store has no schema and would trip the scatter rendezvous)
+        return docs.map_batches(
+            _clean_kernel(id_col, text_col, False, emit_text),
+            batch_format="pyarrow")
     hits, misses = scatter_lookup_split(docs, collected, id_col,
                                         "span_flat", [id_col, text_col])
-    return (hits.map_batches(_clean_kernel(id_col, text_col, True),
-                             batch_format="pyarrow")
-            .union(misses.map_batches(_clean_kernel(id_col, text_col, False),
-                                      batch_format="pyarrow")))
+    return (hits.map_batches(
+                _clean_kernel(id_col, text_col, True, emit_text),
+                batch_format="pyarrow")
+            .union(misses.map_batches(
+                _clean_kernel(id_col, text_col, False, emit_text),
+                batch_format="pyarrow")))
 
 
 def exact_substring_stats(ds: "ray.data.Dataset", k: int = 8,

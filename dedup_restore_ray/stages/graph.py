@@ -37,6 +37,7 @@ import ray.data
 from dedup_restore_ray.functions.hashing import arrow_row_hashes, mix64
 from dedup_restore_ray.stages.cluster import _scatter_lookup
 from dedup_restore_ray.stages.groups import (flatten_blocks, group_bounds,
+                                             group_pair_indices,
                                              grouped_aggregate, sorted_split)
 
 
@@ -82,16 +83,75 @@ def _oriented_edges(edges: "ray.data.Dataset",
     return withb.map_batches(orient, batch_format="pyarrow")
 
 
+_GVP_COUNTER_NAME = "dedup_restore_gvp_overflow"
+
+
+@ray.remote(num_cpus=0)
+class _PairOverflowCounter:
+    """Cluster-wide tally of hot groups capped by group_value_pairs.
+    Fire-and-forget increments from the pair kernels (no barrier on
+    the data path); read it AFTER consuming the pair Dataset."""
+
+    def __init__(self):
+        self.capped_groups = 0
+        self.skipped_pairs = 0
+
+    def add(self, groups: int, skipped: int) -> None:
+        self.capped_groups += groups
+        self.skipped_pairs += skipped
+
+    def get(self) -> dict:
+        return {"capped_groups": self.capped_groups,
+                "skipped_pairs": self.skipped_pairs}
+
+    def reset(self) -> None:
+        self.capped_groups = 0
+        self.skipped_pairs = 0
+
+
+def _gvp_counter():
+    """Get-or-create the shared overflow counter actor (race-safe).
+    Detached: a refcounted named actor would be GC'd the moment the
+    emitting worker task drops its handle, zeroing the tally before
+    the driver can read it."""
+    return _PairOverflowCounter.options(
+        name=_GVP_COUNTER_NAME, get_if_exists=True,
+        lifetime="detached").remote()
+
+
+def pair_overflow_stats(reset: bool = False) -> dict:
+    """Read (and optionally reset) the group_value_pairs overflow
+    counters.  Only meaningful after the pair Dataset was consumed."""
+    c = _gvp_counter()
+    import ray as _ray
+    stats = _ray.get(c.get.remote())
+    if reset:
+        _ray.get(c.reset.remote())
+    return stats
+
+
+def reset_pair_overflow_stats() -> None:
+    pair_overflow_stats(reset=True)
+
+
 def group_value_pairs(ds: "ray.data.Dataset", key_col: str,
-                      val_col: str) -> "ray.data.Dataset":
+                      val_col: str, max_group: int = 1024,
+                      num_salts: int = 16,
+                      on_overflow: str = "cap") -> "ray.data.Dataset":
     """All within-group value pairs (a < b) per key group, WITHOUT a
     global distinct — a pair emitted by k distinct groups appears k
     times, which is exactly what co-occurrence counting and wedge
     joins need.  Same sort + per-block-triu + residual pattern as
-    groups._batch_bucket_pairs, minus the dedup/cap.  Callers must
-    guarantee bounded group sizes (orientation for wedge joins,
-    naturally-small containers for co-occurrence) — emission is
-    O(C(group, 2))."""
+    groups._batch_bucket_pairs, INCLUDING its hot-group skew guard:
+    a group larger than ``max_group`` emits the salted star+chain
+    edge set (O(n), connectivity-preserving — groups.group_pair_indices)
+    instead of the full O(C(n, 2)) triu, and increments the shared
+    ``_PairOverflowCounter`` (read via ``pair_overflow_stats()``).
+    ``on_overflow="raise"`` turns the cap into a hard error for
+    callers whose downstream counts must be exact."""
+    if on_overflow not in ("cap", "raise"):
+        raise ValueError(f"on_overflow must be 'cap' or 'raise', "
+                         f"got {on_overflow!r}")
     interior, edge = sorted_split(ds, [key_col, val_col], [key_col])
 
     def emit(b: pa.Table) -> pa.Table:
@@ -102,14 +162,37 @@ def group_value_pairs(ds: "ray.data.Dataset", key_col: str,
         starts, ends = group_bounds(b, [key_col])
         sizes = ends - starts
         us, vs = [], []
+        capped = skipped = 0
         for s in np.unique(sizes):
             s = int(s)
             if s < 2:
                 continue
             class_starts = starts[sizes == s]
-            iu, iv = np.triu_indices(s, k=1)
-            us.append((class_starts[:, None] + iu[None, :]).reshape(-1))
-            vs.append((class_starts[:, None] + iv[None, :]).reshape(-1))
+            if s <= max_group:
+                iu, iv = np.triu_indices(s, k=1)
+                us.append((class_starts[:, None] + iu[None, :]).reshape(-1))
+                vs.append((class_starts[:, None] + iv[None, :]).reshape(-1))
+            else:
+                if on_overflow == "raise":
+                    raise ValueError(
+                        f"group_value_pairs: group of size {s} exceeds "
+                        f"max_group={max_group} on key column "
+                        f"{key_col!r} (on_overflow='raise')")
+                # hot groups are rare — per-group salted star+chain
+                for st in class_starts:
+                    iu, iv = group_pair_indices(int(st), int(st) + s,
+                                                max_group, num_salts)
+                    us.append(iu)
+                    vs.append(iv)
+                    capped += 1
+                    skipped += s * (s - 1) // 2 - len(iu)
+        if capped:
+            # synchronous on purpose: guarantees the tally landed
+            # before the emitting batch completes (so a consumer can
+            # read pair_overflow_stats right after materialize);
+            # capped groups are rare, the actor call is tiny
+            import ray as _ray
+            _ray.get(_gvp_counter().add.remote(capped, skipped))
         if not us:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
@@ -417,7 +500,7 @@ def _pagerank_broadcast(directed: "ray.data.Dataset",
 
 def kcore_subgraph(edges: "ray.data.Dataset", k: int,
                    src_col: str = "src", dst_col: str = "dst",
-                   max_rounds: int = 64,
+                   max_rounds: int | None = None,
                    broadcast_limit: int = 2_000_000) -> tuple:
     """k-core of an undirected graph (iterative peeling — the
     fixpoint shape recursive SQL cannot express because each round
@@ -430,8 +513,11 @@ def kcore_subgraph(edges: "ray.data.Dataset", k: int,
     Fully distributed: each round is one grouped degree count plus two
     anti-joins (endpoint filtering) over the shrinking edge table — no
     driver-side adjacency, degree map, or deletion queue; only the
-    per-round survivor count reaches the driver.  Rounds are bounded
-    by the peeling depth (<= max_rounds as a runaway guard).
+    per-round survivor count reaches the driver.  Every non-final
+    round removes >= 1 node, so the loop terminates in <= n rounds
+    unaided (a path graph legitimately needs ~n/2 peels);
+    ``max_rounds`` is an OPT-IN runaway guard — None (default) peels
+    to the fixpoint, an explicit bound raises when exceeded.
 
     Returns ``(core_edges, core_degrees, n_rounds)``: the surviving
     symmetric edge Dataset, a (node, deg) Dataset over the survivors
@@ -440,7 +526,11 @@ def kcore_subgraph(edges: "ray.data.Dataset", k: int,
 
     alive = edges.materialize()
     rounds = 0
-    for rounds in range(1, max_rounds + 1):
+    while True:
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            raise RuntimeError(f"k-core did not reach a fixpoint in "
+                               f"{max_rounds} rounds")
         deg = grouped_aggregate(alive.select_columns([src_col]),
                                 [src_col], {}, count_alias="deg"
                                 ).materialize()
@@ -487,8 +577,6 @@ def kcore_subgraph(edges: "ray.data.Dataset", k: int,
                         {"node": pa.array([], pa.int64()),
                          "deg": pa.array([], pa.int64())})),
                     rounds)
-    raise RuntimeError(f"k-core did not reach a fixpoint in "
-                       f"{max_rounds} rounds")
 
 
 def _member(vals: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:

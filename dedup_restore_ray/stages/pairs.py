@@ -121,6 +121,11 @@ class BandExpand:
               if "minhash" in batch.schema.names else None)
         keys, ids = [], []
         if self.use_minhash:
+            if mh is None:
+                raise ValueError(
+                    "BandExpand: use_minhash=True but the signature "
+                    "table has no 'minhash' column (simhash-only "
+                    "tables must pass use_minhash=False)")
             mh_band = mh
             if self.minhash_bbits:
                 # mask AFTER remembering empties: EMPTY_SIG rows must

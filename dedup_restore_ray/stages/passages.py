@@ -147,7 +147,8 @@ def _collect_dup_lists(flags: "ray.data.Dataset") -> "ray.data.Dataset":
                 residual_collect, batch_format="pyarrow")))
 
 
-def _clean_kernel(window: int, with_payload: bool):
+def _clean_kernel(window: int, with_payload: bool,
+                  emit_text: bool = False):
     def clean(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
         texts = b.column("text").to_pylist()
@@ -155,6 +156,7 @@ def _clean_kernel(window: int, with_payload: bool):
                      else [None] * len(ids))
         md5 = hashlib.md5
         n_pass, n_dup, clean_md5 = [], [], []
+        clean_text: list[str] = []
         for t, dups in zip(texts, dup_lists):
             passages = passage_split(tokenize(t), window)
             drop = set(dups) if dups else ()
@@ -164,17 +166,22 @@ def _clean_kernel(window: int, with_payload: bool):
             n_dup.append(len(drop))
             clean_md5.append(md5(kept.encode("utf-8")).hexdigest()
                              if kept else _EMPTY_MD5)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "n_passages": pa.array(n_pass, pa.int64()),
-                         "n_dup_passages": pa.array(n_dup, pa.int64()),
-                         "clean_md5": pa.array(clean_md5, pa.string())})
+            if emit_text:
+                clean_text.append(kept)
+        cols = {"doc_id": pa.array(ids, pa.int64()),
+                "n_passages": pa.array(n_pass, pa.int64()),
+                "n_dup_passages": pa.array(n_dup, pa.int64()),
+                "clean_md5": pa.array(clean_md5, pa.string())}
+        if emit_text:
+            cols["clean_text"] = pa.array(clean_text, pa.string())
+        return pa.table(cols)
     return clean
 
 
 def passage_dedup(ds: "ray.data.Dataset", window: int = 20,
                   mode: str = "first_wins", min_docs: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text"
-                  ) -> "ray.data.Dataset":
+                  id_col: str = "doc_id", text_col: str = "text",
+                  emit_text: bool = False) -> "ray.data.Dataset":
     """Corpus-global passage removal; returns one row per input doc:
     (doc_id, n_passages, n_dup_passages, clean_md5) where clean_md5 is
     the md5 of the kept passages re-joined with single spaces (md5 of
@@ -203,13 +210,19 @@ def passage_dedup(ds: "ray.data.Dataset", window: int = 20,
                          "pidx": pa.array(order & _ORDER_MASK)})
 
     flags = marked.map_batches(dup_flags, batch_format="pyarrow")
-    collected = _collect_dup_lists(flags)
+    collected = _collect_dup_lists(flags).materialize()
+    if collected.count() == 0:
+        # no duplicated passages anywhere: every doc is a miss (an
+        # empty store has no schema and would trip the scatter)
+        return docs.map_batches(_clean_kernel(window, False, emit_text),
+                                batch_format="pyarrow")
     hits, misses = scatter_lookup_split(
         docs, collected, "doc_id", "dup_idxs", ["doc_id", "text"])
-    return (hits.map_batches(_clean_kernel(window, True),
+    return (hits.map_batches(_clean_kernel(window, True, emit_text),
                              batch_format="pyarrow")
-            .union(misses.map_batches(_clean_kernel(window, False),
-                                      batch_format="pyarrow")))
+            .union(misses.map_batches(
+                _clean_kernel(window, False, emit_text),
+                batch_format="pyarrow")))
 
 
 def passage_text_rows(ds: "ray.data.Dataset", id_col: str = "doc_id",

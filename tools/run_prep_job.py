@@ -13,9 +13,12 @@ n-gram decontamination -> token counting -> contiguous shard packing.
 
 Output layout: one Parquet directory per shard_id
 (``shard_id=N/...``), so a downstream tokenizer consumes shards
-independently and a re-run with the same --output can skip shards
-already on disk.  The stage-by-stage survivor manifest lands next to
-the data as ``prep_manifest.json`` and is printed as one JSON line.
+independently.  A partitioned write into an EXISTING shards dir is
+additive (stale files are never removed), so a re-run with the same
+--output must pass --overwrite (which clears shards/ first) — a
+non-empty shards dir is refused otherwise.  The stage-by-stage
+survivor manifest lands next to the data as ``prep_manifest.json``
+and is printed as one JSON line.
 
 This script OWNS a Ray session (guarded init); library code never
 calls ray.init().
@@ -46,9 +49,28 @@ def main() -> int:
                    help="Parquet of held-out benchmark docs; enables "
                         "n-gram decontamination")
     p.add_argument("--decontam-k", type=int, default=5)
+    p.add_argument("--clean", default="none",
+                   choices=["none", "substring", "passage"],
+                   help="passage-level byte rewriting between dedup "
+                        "and token counting")
     p.add_argument("--shard-capacity", type=int, default=1 << 20,
                    help="tokens per output shard")
+    p.add_argument("--overwrite", action="store_true",
+                   help="clear an existing shards/ dir before writing "
+                        "(partitioned writes are additive otherwise)")
     args = p.parse_args()
+
+    # fail BEFORE the expensive chain runs: an additive partitioned
+    # write into a non-empty shards dir would silently duplicate rows
+    shards_dir = os.path.join(args.output, "shards")
+    if os.path.isdir(shards_dir) and os.listdir(shards_dir):
+        if not args.overwrite:
+            print(f"error: {shards_dir} exists and is non-empty; "
+                  f"pass --overwrite to replace it (partitioned "
+                  f"writes are additive)", file=sys.stderr)
+            return 2
+        import shutil
+        shutil.rmtree(shards_dir)
 
     import ray
     if not ray.is_initialized():
@@ -71,10 +93,10 @@ def main() -> int:
         target_lang=(None if args.target_lang.lower() == "none"
                      else args.target_lang),
         test_docs=test_docs, decontam_k=args.decontam_k,
+        clean=(None if args.clean == "none" else args.clean),
         shard_capacity=args.shard_capacity)
     # data under shards/ so a plain read_parquet(output/shards) never
     # trips over the manifest file
-    shards_dir = os.path.join(args.output, "shards")
     res.docs.write_parquet(shards_dir, partition_cols=["shard_id"])
     manifest = dict(res.manifest, wall_sec=round(time.time() - t0, 2),
                     output_dir=shards_dir)
