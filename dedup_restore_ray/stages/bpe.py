@@ -18,13 +18,15 @@ two consumers per round, see CLAUDE.md's double-consumer note) and a
 driver-held id->string vocab that grows by ONE entry per round.
 Symbols are int32 ids; pair keys pack (a << 21 | b) into one int64.
 
-Scale contract: the word table is bounded by |distinct words| (weyde
+Scale contract: the word table is bounded by |distinct words| (well
 below corpus size; the round loop is K sequential barriers over it).
-The known further optimization — incremental delta-counting of only
-the words touched by the previous merge — trades simplicity for
-fewer counted rows and is unnecessary while the word table fits the
-cluster; the per-round aggregate the driver sees is one row per
-distinct adjacent pair.
+The default ``mode="delta"`` counts the full pair table once, then
+per round recounts ONLY the words the previous merge touched (those
+containing the new symbol; the pre-merge pairs are recovered by
+expanding it back — the merge is invertible) and folds the tiny
+(pk, ±n) delta into a driver-held dict of per-distinct-pair counts
+(bounded by vocab², independent of corpus size).  ``mode="full"``
+re-aggregates every round (kept for parity tests).
 
 Tokens come from ``lower(text)`` split on ``\\W+`` — RE2's ``\\w`` is
 ASCII-only, so initial symbols are single ASCII bytes and the vocab
@@ -82,6 +84,28 @@ def merge_pair_csr(flat: np.ndarray, offsets: np.ndarray,
     return out[~dead], new_offsets
 
 
+def _pairs_weighted(flat: np.ndarray, offsets: np.ndarray,
+                    cnt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact weighted adjacent-pair counts over CSR words:
+    (unique packed pair keys, totals).  Pure numpy, no word spans."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if len(flat) < 2:
+        return empty
+    valid = np.ones(len(flat) - 1, dtype=bool)
+    starts = offsets[1:-1]
+    valid[starts[(starts > 0) & (starts < len(flat))] - 1] = False
+    if not valid.any():
+        return empty
+    f64 = flat.astype(np.int64, copy=False)
+    pk = (f64[:-1] << _PACK_BITS) | f64[1:]
+    w = np.repeat(cnt, np.diff(offsets))[:-1]
+    pk, w = pk[valid], w[valid]
+    uniq, inv = np.unique(pk, return_inverse=True)
+    tot = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(tot, inv, w)
+    return uniq, tot
+
+
 def _pair_partial(b: pa.Table) -> pa.Table:
     """Per-block exact pair-count partial: (packed pair key, count)."""
     syms = b.column("syms")
@@ -90,32 +114,95 @@ def _pair_partial(b: pa.Table) -> pa.Table:
     offsets = np.asarray(syms.offsets, dtype=np.int64)
     flat = np.asarray(syms.values, dtype=np.int64)
     cnt = np.asarray(b.column("cnt"), dtype=np.int64)
-    e = pa.array([], pa.int64())
-    if len(flat) < 2:
-        return pa.table({"pk": e, "pn": e})
-    valid = np.ones(len(flat) - 1, dtype=bool)
-    starts = offsets[1:-1]
-    valid[starts[(starts > 0) & (starts < len(flat))] - 1] = False
-    if not valid.any():
-        return pa.table({"pk": e, "pn": e})
-    pk = (flat[:-1] << _PACK_BITS) | flat[1:]
-    w = np.repeat(cnt, np.diff(offsets))[:-1]
-    pk, w = pk[valid], w[valid]
-    uniq, inv = np.unique(pk, return_inverse=True)
-    tot = np.zeros(len(uniq), dtype=np.int64)
-    np.add.at(tot, inv, w)
+    uniq, tot = _pairs_weighted(flat, offsets, cnt)
     return pa.table({"pk": pa.array(uniq), "pn": pa.array(tot)})
 
 
+def _delta_partial(b: pa.Table, a: int, bb: int, nid: int) -> pa.Table:
+    """Pair-count DELTA contributed by this block's words that were
+    touched by the merge (a, bb) -> nid, computed AFTER the merge was
+    applied: touched words are exactly those containing ``nid``, and
+    the pre-merge word is recovered by expanding ``nid`` back to
+    (a, bb) — the merge is invertible, so no pre-merge copy is kept.
+    Emits (pk, pn) rows with pn = post-count - pre-count; words not
+    containing nid contribute nothing (their pairs are unchanged)."""
+    e = pa.array([], pa.int64())
+    syms = b.column("syms")
+    if isinstance(syms, pa.ChunkedArray):
+        syms = syms.combine_chunks()
+    offsets = np.asarray(syms.offsets, dtype=np.int64)
+    flat = np.asarray(syms.values, dtype=np.int32)
+    cnt = np.asarray(b.column("cnt"), dtype=np.int64)
+    has = flat == nid
+    if not has.any():
+        return pa.table({"pk": e, "pn": e})
+    word_of = np.searchsorted(offsets, np.flatnonzero(has),
+                              side="right") - 1
+    touched = np.unique(word_of)
+    lens = np.diff(offsets)
+    sl = lens[touched]
+    so = np.zeros(len(touched) + 1, np.int64)
+    np.cumsum(sl, out=so[1:])
+    idx = (np.repeat(offsets[touched], sl)
+           + (np.arange(so[-1], dtype=np.int64) - np.repeat(so[:-1], sl)))
+    sel_flat = flat[idx]
+    sel_cnt = cnt[touched]
+    new_pk, new_n = _pairs_weighted(sel_flat, so, sel_cnt)
+    # expand nid -> (a, bb) to reconstruct the pre-merge words
+    is_new = sel_flat == nid
+    cum = np.zeros(len(sel_flat) + 1, np.int64)
+    np.cumsum(is_new, out=cum[1:])
+    old_flat = np.empty(len(sel_flat) + int(cum[-1]), sel_flat.dtype)
+    pos = np.arange(len(sel_flat), dtype=np.int64) + cum[:-1]
+    old_flat[pos] = np.where(is_new, np.int32(a), sel_flat)
+    old_flat[pos[is_new] + 1] = np.int32(bb)
+    old_off = so + cum[so]
+    old_pk, old_n = _pairs_weighted(old_flat, old_off, sel_cnt)
+    allpk = np.concatenate([new_pk, old_pk])
+    alln = np.concatenate([new_n, -old_n])
+    uniq, inv = np.unique(allpk, return_inverse=True)
+    tot = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(tot, inv, alln)
+    nz = tot != 0
+    return pa.table({"pk": pa.array(uniq[nz]), "pn": pa.array(tot[nz])})
+
+
+def _merge_pair_counts(counts: dict, pk: np.ndarray,
+                       pn: np.ndarray) -> None:
+    """Fold (pk, ±n) partial rows into the driver count dict,
+    dropping keys whose count falls to zero."""
+    uniq, inv = np.unique(pk, return_inverse=True)
+    tot = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(tot, inv, pn)
+    for k, dn in zip(uniq.tolist(), tot.tolist()):
+        c = counts.get(k, 0) + dn
+        if c > 0:
+            counts[k] = c
+        else:
+            counts.pop(k, None)
+
+
 def bpe_train(ds, text_col: str = "text", n_merges: int = 24,
-              ) -> pd.DataFrame:
+              mode: str = "delta") -> pd.DataFrame:
     """Train ``n_merges`` BPE merges over a document Dataset.
 
     Returns one row per learned merge: (rank, left, right, merged,
     cnt) — cnt is the corpus-wide weighted pair count at the time the
     merge was chosen.  Stops early when no adjacent pair remains with
-    count >= 2 (a singleton pair can never compress)."""
+    count >= 2 (a singleton pair can never compress).
+
+    ``mode="delta"`` (default) counts the full pair table ONCE, then
+    per round recounts ONLY the words touched by the chosen merge
+    (those containing the new symbol — the merge is invertible, so
+    the pre-merge pairs are recovered by expanding it back) and folds
+    the small (pk, ±n) delta into a driver-held count dict.  Driver
+    state is one int per DISTINCT adjacent symbol pair — bounded by
+    vocab², independent of corpus size.  ``mode="full"`` recounts the
+    whole word table every round (the reference formulation; kept for
+    parity tests)."""
     from dedup_restore_ray.stages.groups import grouped_aggregate
+    if mode not in ("delta", "full"):
+        raise ValueError(f"mode must be 'delta' or 'full', got {mode!r}")
 
     def words(b: pa.Table) -> pa.Table:
         t = b.column(text_col)
@@ -161,14 +248,37 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 24,
     vocab = {i: chr(i) for i in range(128)}
     next_id = 128
     merges = []
+    counts: dict[int, int] | None = None
+    if mode == "delta":
+        # size-gated block coalesce: the K-round loop re-scans this
+        # table every round, so dozens of tiny blocks are pure
+        # scheduling overhead (a real corpus keeps cpu-count blocks)
+        from dedup_restore_ray.stages.groups import flatten_blocks
+        table = flatten_blocks(table)
+        # per-block partials merged on the DRIVER (np.unique), no
+        # sort shuffle: the pair keyspace is bounded by vocab², so
+        # driver-side merge is O(blocks x distinct pairs), tiny
+        part = table.map_batches(_pair_partial,
+                                 batch_format="pyarrow").to_pandas()
+        counts = {}
+        if "pk" in part.columns and len(part):
+            _merge_pair_counts(counts,
+                               part["pk"].to_numpy(np.int64),
+                               part["pn"].to_numpy(np.int64))
     for rank in range(n_merges):
-        agg = grouped_aggregate(
-            table.map_batches(_pair_partial, batch_format="pyarrow"),
-            ["pk"], {"cnt": ("pn", "sum")}).to_pandas()
-        if len(agg) == 0:
-            break
-        pk = agg["pk"].to_numpy(np.int64)
-        cn = agg["cnt"].to_numpy(np.int64)
+        if mode == "full":
+            agg = grouped_aggregate(
+                table.map_batches(_pair_partial, batch_format="pyarrow"),
+                ["pk"], {"cnt": ("pn", "sum")}).to_pandas()
+            if len(agg) == 0:
+                break
+            pk = agg["pk"].to_numpy(np.int64)
+            cn = agg["cnt"].to_numpy(np.int64)
+        else:
+            if not counts:
+                break
+            pk = np.fromiter(counts.keys(), np.int64, len(counts))
+            cn = np.fromiter(counts.values(), np.int64, len(counts))
         best = cn.max()
         if best < 2:
             break
@@ -199,6 +309,17 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 24,
 
         table = table.map_batches(apply, batch_format="pyarrow"
                                   ).materialize()
+        if mode == "delta":
+            def delta(b: pa.Table, a=a_id, bb=b_id, nid=next_id
+                      ) -> pa.Table:
+                return _delta_partial(b, a, bb, nid)
+
+            dagg = table.map_batches(delta,
+                                     batch_format="pyarrow").to_pandas()
+            if "pk" in dagg.columns and len(dagg):
+                _merge_pair_counts(counts,
+                                   dagg["pk"].to_numpy(np.int64),
+                                   dagg["pn"].to_numpy(np.int64))
         next_id += 1
     if not merges:
         return pd.DataFrame({"rank": pd.Series([], dtype=np.int64),

@@ -82,3 +82,40 @@ class TestBpeTrainParity:
         ds = rd.from_items([{"text": "ab cd ef"}])
         got = bpe_train(ds, n_merges=8)
         assert len(got) == 0  # every pair occurs once -> no merge
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeltaCounting:
+    """mode='delta' (incremental recount of touched words only) must
+    be bit-identical to mode='full' (whole-table recount per round)
+    on adversarial corpora incl. run-overlap merges (VERDICT r3 #5)."""
+
+    def _corpus(self, seed, n_docs=60):
+        rng = np.random.default_rng(seed)
+        vocab = ["aaaa", "aab", "banana", "bandana", "low", "lower",
+                 "lowest", "newer", "wider", "zzz yy zzz", "mississippi"]
+        return [" ".join(rng.choice(vocab,
+                                    size=rng.integers(3, 30)))
+                for _ in range(n_docs)]
+
+    @pytest.mark.parametrize("seed", [3, 17])
+    def test_delta_equals_full(self, seed):
+        import pandas as pd
+        import pyarrow as pa
+        docs = self._corpus(seed)
+        ds = rd.from_arrow(pa.table({"text": pa.array(docs)}))
+        full = bpe_train(ds, n_merges=30, mode="full")
+        delta = bpe_train(rd.from_arrow(
+            pa.table({"text": pa.array(docs)})).repartition(7),
+            n_merges=30, mode="delta")
+        pd.testing.assert_frame_equal(full.reset_index(drop=True),
+                                      delta.reset_index(drop=True))
+
+    def test_delta_matches_sequential_reference(self):
+        import pyarrow as pa
+        docs = self._corpus(29)
+        ds = rd.from_arrow(pa.table({"text": pa.array(docs)}))
+        got = bpe_train(ds, n_merges=24, mode="delta")
+        exp = bpe_train_reference(docs, n_merges=24)
+        assert [(r.left, r.right, r.cnt)
+                for r in got.itertuples()] == exp
