@@ -1662,18 +1662,23 @@ def q_band_join_parts(sf_dir: str, eps: float = 0.10):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal decode (rows-only): deterministic REAL payloads (PPM
-    image / PCM WAV / Y4M video per doc) -> actor-pool decode with the
-    pure-python codecs (functions/codecs.py) -> fixed-dim feature
-    vectors."""
-    from dedup_restore_ray.stages.multimodal import DecodeMedia, synth_media_table
+    """Multimodal ENCODE -> DECODE round trip, oracle-checked: per
+    doc, a REAL payload (P6 PPM image / RIFF PCM WAV / YUV4MPEG2
+    video by doc_id % 3) whose content bytes derive from chained md5
+    digests of the text (synth_media_table(content="md5")), decoded
+    for real by the pure-python codecs (functions/codecs.py) into an
+    exact integer digest (payload_bytes, n_units, content_sum).  The
+    DuckDB oracle recomputes every byte from md5 hex — container
+    headers, little-endian int16 samples, luma planes — so a single
+    flipped byte anywhere in the encode or decode path hash-fails."""
+    from dedup_restore_ray.stages.multimodal import (DecodeChecksum,
+                                                     synth_media_table)
     docs = _docs(sf_dir, ["doc_id", "text"])
     media = docs.map_batches(
-        lambda b: synth_media_table(b), batch_format="pyarrow")
-    feats = media.map_batches(DecodeMedia(fake=False),
-                              batch_format="pyarrow", batch_size=64)
-    out = feats.select_columns(["doc_id", "payload_bytes"])
-    return out
+        lambda b: synth_media_table(b, content="md5"),
+        batch_format="pyarrow")
+    return media.map_batches(DecodeChecksum(),
+                             batch_format="pyarrow", batch_size=64)
 
 
 def q_frame_sample(sf_dir: str):
@@ -1688,8 +1693,11 @@ def q_frame_sample(sf_dir: str):
 
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (reference M1 src/chunk.c) over doc
-    text bytes: per-doc chunk count and byte totals (rows-only: the
-    rolling-hash cut points are not SQL-expressible)."""
+    text bytes: per-doc chunk count and byte totals, oracle-checked —
+    with mask 0x3F the rsync-checksum cut condition reduces to
+    48-byte-window byte-sum % 64 == 63 (signed and unsigned bytes
+    agree mod 64), so the DuckDB oracle recomputes every cut with a
+    windowed sum + a recursive min/max-length boundary walk."""
     from dedup_restore_ray.functions.cdc import chunk_boundaries
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -7531,9 +7539,12 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 10):
     driver.  All arithmetic is int64 on a 2^20 quantization grid —
     assignments, centroids, inertia and the fixpoint test are
     bit-exact and block-layout independent (tests/test_kmeans.py
-    proves parity with a sequential reference).  Rows-only: the loop
-    is not SQL-expressible; its single-assignment step is the same
-    shape as the oracle-checked label_centroids."""
+    proves parity with a sequential reference).  Oracle-checked END
+    TO END: the DuckDB oracle (_kmeans_oracle_sql) reproduces the
+    splitmix64 bottom-k seeding in HUGEINT mod-2^64 arithmetic, the
+    half-to-even quantization, and all 10 unrolled Lloyd iterations
+    with floor-division centroids — assignments AND distances
+    hash-match."""
     from dedup_restore_ray.stages.kmeans import kmeans_lloyd
     emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
@@ -11714,3 +11725,180 @@ ORACLE_SQL["llm_prep_clean_docs"] = rf"""
       (SELECT coalesce(max(o // 4096) + 1, 0) FROM offs)::BIGINT
         AS n_shards
 """
+
+ORACLE_SQL["media_features"] = r"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t, doc_id % 3 AS kind
+      FROM documents),
+    img AS (
+      SELECT doc_id, 'image/ppm' AS media_type,
+             203::BIGINT AS payload_bytes, 192::BIGINT AS n_units,
+             (SELECT sum(('0x' || substr(md5(b.t || '|img|' || j),
+                                         2*i+1, 2))::BIGINT)
+              FROM range(12) AS r(j), range(16) AS s(i))::BIGINT
+               AS content_sum
+      FROM base b WHERE kind = 0),
+    aud0 AS (
+      SELECT doc_id, t,
+             64 + ('0x' || substr(md5(t || '|len|0'), 1, 2))::BIGINT % 64
+               AS n
+      FROM base WHERE kind = 1),
+    aud AS (
+      SELECT doc_id, 'audio/wav' AS media_type,
+             (44 + 2 * n)::BIGINT AS payload_bytes,
+             n::BIGINT AS n_units,
+             (SELECT sum(lo + 256 * hi
+                         - CASE WHEN hi >= 128 THEN 65536 ELSE 0 END)
+              FROM (SELECT
+                      ('0x' || substr(md5(a.t || '|aud|' || (2*k)//16),
+                                      2*((2*k)%16)+1, 2))::BIGINT AS lo,
+                      ('0x' || substr(md5(a.t || '|aud|' || (2*k+1)//16),
+                                      2*((2*k+1)%16)+1, 2))::BIGINT AS hi
+                    FROM range(127) AS r(k)
+                    WHERE k < a.n))::BIGINT AS content_sum
+      FROM aud0 a),
+    vid AS (
+      SELECT doc_id, 'video/y4m' AS media_type,
+             125::BIGINT AS payload_bytes, 48::BIGINT AS n_units,
+             (SELECT sum(('0x' || substr(md5(b.t || '|vid' || f || '|0'),
+                                         2*i+1, 2))::BIGINT)
+              FROM range(3) AS rf(f), range(16) AS s(i))::BIGINT
+               AS content_sum
+      FROM base b WHERE kind = 2)
+    SELECT * FROM img
+    UNION ALL SELECT * FROM aud
+    UNION ALL SELECT * FROM vid
+"""
+
+ORACLE_SQL["cdc_chunks"] = r"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             regexp_extract_all(hex(encode(coalesce(text, ''))),
+                                '..') AS hx,
+             octet_length(encode(coalesce(text, ''))) AS n
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             unnest(range(length(hx))) AS pos,
+             unnest(list_transform(range(length(hx)),
+                    i -> ('0x' || hx[i + 1])::INT)) AS val
+      FROM base),
+    w AS (
+      SELECT doc_id, pos,
+             sum(val) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 47 PRECEDING AND CURRENT ROW) AS s,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 47 PRECEDING AND CURRENT ROW) AS m
+      FROM b),
+    cand AS (
+      -- cut AFTER the 48-byte window whose rsync checksum satisfies
+      -- (h & 0x3F) == 0x3F; the mask only reaches s1's low 6 bits,
+      -- and signed-vs-unsigned bytes agree mod 64 (256 % 64 == 0),
+      -- so the condition reduces to window-byte-sum % 64 == 63
+      SELECT doc_id, pos + 1 AS c FROM w
+      WHERE m = 48 AND s % 64 = 63),
+    walk(doc_id, prev) AS (
+      SELECT doc_id, 0::BIGINT FROM base WHERE n > 0
+      UNION ALL
+      SELECT w.doc_id,
+             coalesce(
+               (SELECT min(c) FROM cand
+                WHERE cand.doc_id = w.doc_id
+                  AND c >= w.prev + 64 AND c <= w.prev + 1024),
+               least(w.prev + 1024, l.n))
+      FROM walk w JOIN base l USING (doc_id)
+      WHERE w.prev < l.n)
+    SELECT l.doc_id,
+           coalesce(wc.cnt, 0)::BIGINT AS n_chunks,
+           l.n::BIGINT AS n_bytes
+    FROM base l
+    LEFT JOIN (SELECT doc_id, count(*) - 1 AS cnt
+               FROM walk GROUP BY doc_id) wc USING (doc_id)
+"""
+
+
+# kmeans_embeddings oracle: the ENTIRE integer-grid Lloyd loop in SQL
+# — splitmix64 seed selection (HUGEINT mod-2^64 arithmetic, verified
+# bit-exact against functions.hashing.mix64), half-to-even float
+# quantization, and 10 unrolled assign/re-estimate iterations with
+# floor-division centroids and empty-cluster carry.  MATERIALIZED
+# CTEs stop DuckDB from inlining the c{i} chain exponentially.
+def _kmeans_oracle_sql(k=8, iters=10, dim=64, shift=20, src="embeddings"):
+    P64 = 1 << 64; P32 = 1 << 32
+    G = 0x9E3779B97F4A7C15
+    M1h, M1l = divmod(0xBF58476D1CE4E5B9, P32)
+    M2h, M2l = divmod(0x94D049BB133111EB, P32)
+    scale = float(1 << shift)
+    y = f"(x * {scale})"
+    rint = (f"CASE WHEN {y} - floor({y}) = 0.5 THEN "
+            f"(floor({y}) + CASE WHEN (floor({y})::BIGINT % 2) = 0 "
+            f"THEN 0 ELSE 1 END)::BIGINT "
+            f"ELSE floor({y} + 0.5)::BIGINT END")
+    parts = [f"""
+    m0 AS (SELECT vec_id, ((vec_id::HUGEINT + {G}) % {P64}) AS z
+           FROM {src}),
+    m1 AS (SELECT vec_id,
+             ((xl * {M1l} + (((xl * {M1h} + xh * {M1l}) % {P32})
+               * {P32})) % {P64}) AS z
+           FROM (SELECT vec_id,
+                   xor((z // {P32})::BIGINT,
+                       (z // {1 << 62})::BIGINT)::HUGEINT AS xh,
+                   xor((z % {P32})::BIGINT,
+                       ((z // {1 << 30}) % {P32})::BIGINT)::HUGEINT AS xl
+                 FROM m0)),
+    m2 AS (SELECT vec_id,
+             ((xl * {M2l} + (((xl * {M2h} + xh * {M2l}) % {P32})
+               * {P32})) % {P64}) AS z
+           FROM (SELECT vec_id,
+                   xor((z // {P32})::BIGINT,
+                       (z // {1 << 59})::BIGINT)::HUGEINT AS xh,
+                   xor((z % {P32})::BIGINT,
+                       ((z // {1 << 27}) % {P32})::BIGINT)::HUGEINT AS xl
+                 FROM m1)),
+    m3 AS (SELECT vec_id, (xh * {P32} + xl) AS hv
+           FROM (SELECT vec_id,
+                   xor((z // {P32})::BIGINT,
+                       (z // {1 << 63})::BIGINT)::HUGEINT AS xh,
+                   xor((z % {P32})::BIGINT,
+                       ((z // {1 << 31}) % {P32})::BIGINT)::HUGEINT AS xl
+                 FROM m2)),
+    q AS MATERIALIZED (SELECT vec_id,
+            unnest(range({dim})) AS dim,
+            unnest(list_transform(embedding::DOUBLE[],
+              x -> {rint})) AS qv
+          FROM {src}),
+    sel AS (SELECT vec_id, row_number() OVER (ORDER BY hv) - 1 AS j
+            FROM m3 QUALIFY j < {k}),
+    c0 AS MATERIALIZED (SELECT s.j AS cl, q.dim, q.qv AS cv
+           FROM sel s JOIN q ON q.vec_id = s.vec_id)"""]
+    for i in range(1, iters + 1):
+        p, c = i - 1, i
+        parts.append(f"""
+    d{c} AS (SELECT q.vec_id, c.cl,
+               sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+             FROM q JOIN c{p} c USING (dim)
+             GROUP BY q.vec_id, c.cl),
+    a{c} AS MATERIALIZED (SELECT vec_id, cl, d2 FROM d{c}
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2, cl) = 1),
+    s{c} AS (SELECT a.cl, q.dim, sum(q.qv) AS sm, count(*) AS cn
+             FROM a{c} a JOIN q ON q.vec_id = a.vec_id
+             GROUP BY a.cl, q.dim),
+    c{c} AS MATERIALIZED (SELECT p.cl, p.dim,
+               coalesce((s.sm - (((s.sm % s.cn) + s.cn) % s.cn))
+                          // s.cn, p.cv) AS cv
+             FROM c{p} p LEFT JOIN s{c} s
+               ON s.cl = p.cl AND s.dim = p.dim)""")
+    n = iters
+    parts.append(f"""
+    df AS (SELECT q.vec_id, c.cl,
+             sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+           FROM q JOIN c{n} c USING (dim)
+           GROUP BY q.vec_id, c.cl)
+    SELECT vec_id, cl::BIGINT AS cluster, d2::BIGINT AS d2 FROM df
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+      ORDER BY d2, cl) = 1""")
+    return "WITH" + ",".join(parts)
+
+
+ORACLE_SQL["kmeans_embeddings"] = _kmeans_oracle_sql()

@@ -93,6 +93,54 @@ class DecodeMedia:
                        [len(p) if p else 0 for p in payloads], pa.int64())))
 
 
+class DecodeChecksum:
+    """Actor-pool stage: REAL payload decode -> integer content
+    digest per row: (id, media_type, payload_bytes, n_units,
+    content_sum).  n_units counts decoded atoms (pixels / samples /
+    luma pixels x frames) and content_sum is their exact int64 sum —
+    the decode path exercised for real, with an output a SQL oracle
+    can recompute byte-for-byte from md5-derived payloads
+    (synth_media_table(content="md5"))."""
+
+    def __init__(self, payload_col: str = "payload",
+                 type_col: str = "media_type", id_col: str = "doc_id"):
+        from dedup_restore_ray.functions import codecs
+        self.payload_col = payload_col
+        self.type_col = type_col
+        self.id_col = id_col
+        self.codecs = codecs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        c = self.codecs
+        payloads = batch.column(self.payload_col).to_pylist()
+        types = batch.column(self.type_col).to_pylist()
+        n_units: list[int] = []
+        csum: list[int] = []
+        for p, mtype in zip(payloads, types):
+            if mtype in ("image/ppm", "image/pgm"):
+                img = c.decode_ppm(p)
+                n_units.append(int(img.size))
+                csum.append(int(img.astype(np.int64).sum()))
+            elif mtype == "audio/wav":
+                samples, _rate = c.decode_wav(p)
+                n_units.append(int(samples.shape[0]))
+                csum.append(int(samples.astype(np.int64).sum()))
+            elif mtype == "video/y4m":
+                frames, w, h = c.decode_y4m(p)
+                n_units.append(len(frames) * w * h)
+                csum.append(int(sum(f.astype(np.int64).sum()
+                                    for f in frames)))
+            else:
+                raise ValueError(f"no decoder for {mtype!r}")
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "media_type": batch.column(self.type_col),
+            "payload_bytes": pa.array(
+                [len(p) if p else 0 for p in payloads], pa.int64()),
+            "n_units": pa.array(n_units, pa.int64()),
+            "content_sum": pa.array(csum, pa.int64())})
+
+
 class ResizeImage:
     """Actor-pool stage: PPM/PGM payload -> PPM/PGM payload resized to
     (width, height) with nearest-neighbor sampling (pure numpy;
@@ -187,37 +235,74 @@ class FrameSample:
                                   pa.array(frame_ppm, pa.binary())))
 
 
-def synth_media_table(docs: pa.Table, text_col: str = "text") -> pa.Table:
+def _md5_stream(text: str, tag: str, n: int) -> bytes:
+    """``n`` deterministic bytes from chained md5 digests of
+    ``f"{text}|{tag}|{j}"`` — the same bytes DuckDB's ``md5()``
+    produces from ``text || '|tag|' || j``, which makes payload
+    CONTENT (not just sizes) SQL-recomputable (media_features
+    oracle)."""
+    import hashlib
+    out = bytearray()
+    j = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{text}|{tag}|{j}".encode()).digest()
+        j += 1
+    return bytes(out[:n])
+
+
+def synth_media_table(docs: pa.Table, text_col: str = "text",
+                      content: str = "rng") -> pa.Table:
     """Deterministic REAL media payloads derived from a docs table
     (the testdata has no binary columns): doc_id mod 3 selects a PPM
     image, a PCM WAV clip, or a 3-frame Y4M video, with pixel/sample
-    content seeded by the text's hash — so decode stages exercise the
-    real codecs end-to-end."""
+    content seeded by the text — so decode stages exercise the real
+    codecs end-to-end.  ``content="rng"`` seeds numpy PCG64 from the
+    text hash; ``content="md5"`` derives the bytes from chained md5
+    digests (bit-recomputable in SQL — the media_features oracle)."""
     from dedup_restore_ray.functions import codecs
+    if content not in ("rng", "md5"):
+        raise ValueError(f"content must be 'rng' or 'md5', "
+                         f"got {content!r}")
     texts = docs.column(text_col).to_pylist()
     ids = docs.column("doc_id").to_pylist()
     payloads: list[bytes] = []
     mtypes: list[str] = []
     durs: list[float] = []
     for i, t in zip(ids, texts):
-        seed = hash_bytes_u64((t or "").encode()) & 0xFFFFFFFF
-        rng = np.random.default_rng(seed)
+        t = t or ""
+        rng = (np.random.default_rng(hash_bytes_u64(t.encode())
+                                     & 0xFFFFFFFF)
+               if content == "rng" else None)
         kind = (int(i) % 3 if isinstance(i, (int, np.integer))
                 else int(hash_bytes_u64(str(i).encode()) % 3))
         if kind == 0:
-            img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            img = (rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                   if rng is not None else
+                   np.frombuffer(_md5_stream(t, "img", 192),
+                                 np.uint8).reshape(8, 8, 3))
             payloads.append(codecs.encode_ppm(img))
             mtypes.append("image/ppm")
             durs.append(0.0)
         elif kind == 1:
-            n = 64 + int(rng.integers(0, 64))
-            samples = (rng.standard_normal(n) * 8000).astype(np.int16)
+            if rng is not None:
+                n = 64 + int(rng.integers(0, 64))
+                samples = (rng.standard_normal(n) * 8000
+                           ).astype(np.int16)
+            else:
+                n = 64 + _md5_stream(t, "len", 1)[0] % 64
+                samples = np.frombuffer(
+                    _md5_stream(t, "aud", 2 * n), "<i2")
             payloads.append(codecs.encode_wav(samples, rate=8000))
             mtypes.append("audio/wav")
             durs.append(n / 8000.0)
         else:
-            frames = [rng.integers(0, 256, (4, 4), dtype=np.uint8)
-                      for _ in range(3)]
+            if rng is not None:
+                frames = [rng.integers(0, 256, (4, 4), dtype=np.uint8)
+                          for _ in range(3)]
+            else:
+                frames = [np.frombuffer(_md5_stream(t, f"vid{k}", 16),
+                                        np.uint8).reshape(4, 4)
+                          for k in range(3)]
             payloads.append(codecs.encode_y4m(frames, fps=30))
             mtypes.append("video/y4m")
             durs.append(3 / 30.0)
