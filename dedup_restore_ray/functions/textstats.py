@@ -26,13 +26,16 @@ _CJK_RE = re.compile(r"[一-鿿]")
 _PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
 _STOPWORDS_EN = _PROFILES["en"]
 
-# GPT-2-style pre-tokenizer regex (public, from the GPT-2 released code),
-# simplified to the stdlib `re` feature set: contractions, word chunks,
-# number chunks, punctuation chunks.
-_BPE_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+",
-    re.UNICODE,
-)
+# GPT-2-style pre-tokenizer regex (public, from the GPT-2 released
+# code), simplified to contractions, word chunks, number chunks,
+# punctuation chunks.  Classes are EXPLICIT ASCII and the trailing
+# `\s+(?!\S)` alternative is dropped — the lookahead only moves the
+# final space of a run between tokens, never changes the COUNT — so
+# the count is reproducible in RE2 (DuckDB) verbatim: the
+# bpe_token_counts oracle runs this exact string.
+_BPE_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[0-9A-Za-z_]+"
+                r"| ?[^ \t\n\r\f\v0-9A-Za-z_]+|[ \t\n\r\f\v]+")
+_BPE_RE = re.compile(_BPE_PATTERN)
 
 
 def detect_language(text: str | None) -> str:

@@ -1858,8 +1858,11 @@ def q_embedding_dup_clusters(sf_dir: str):
 
 
 def q_bpe_token_counts(sf_dir: str):
-    """GPT-2-style pre-tokenizer counts (rows-only: the pattern uses a
-    lookahead RE2 cannot express)."""
+    """GPT-2-style pre-tokenizer counts, oracle-checked: the pattern
+    uses explicit ASCII classes and drops the count-neutral
+    ``\\s+(?!\\S)`` lookahead (it only moves a run's final space
+    between tokens), so DuckDB's RE2 ``regexp_extract_all`` counts
+    the exact same matches (functions/textstats._BPE_PATTERN)."""
     from dedup_restore_ray.functions.textstats import bpe_token_count
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -11902,3 +11905,16 @@ def _kmeans_oracle_sql(k=8, iters=10, dim=64, shift=20, src="embeddings"):
 
 
 ORACLE_SQL["kmeans_embeddings"] = _kmeans_oracle_sql()
+
+# the exact engine pattern (functions/textstats._BPE_PATTERN) run by
+# RE2 — parity pinned by tests/test_similarity_textstats.py
+from dedup_restore_ray.functions.textstats import _BPE_PATTERN as _BPE_P
+
+ORACLE_SQL["bpe_token_counts"] = f"""
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR text = '' THEN 0
+                ELSE length(regexp_extract_all(text,
+                       '{_BPE_P.replace("'", "''")}'))
+           END::BIGINT AS n_bpe_tokens
+    FROM documents
+"""
