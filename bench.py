@@ -200,7 +200,15 @@ def run_scaling_child() -> dict:
                                        "broadcast"),
         num_blocks=int(blocks_env) if blocks_env is not None else None)
     t_stats = time.time()
-    stats = dedup_stats(res.assignments)
+    if "dedup_ratio" in res.metrics:
+        # counters fused into the pipeline's own driver state — the
+        # only remaining tail work is executing the (vectorized)
+        # cluster-id attach once, which any real consumer pays anyway
+        stats = {k: res.metrics[k]
+                 for k in ("total", "dup", "unique", "dedup_ratio")}
+        res.assignments.count()
+    else:
+        stats = dedup_stats(res.assignments)
     stats_sec = time.time() - t_stats
     dt = time.time() - t0
     return {"value": round(dt, 2), "n_docs": stats["total"],

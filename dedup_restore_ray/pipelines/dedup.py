@@ -232,6 +232,15 @@ def dedup_pipeline(docs: "ray.data.Dataset",
         canon_hashes = np.sort(hcol) if len(hcol) \
             else np.empty(0, np.uint64)
         canon_ref = ray.put(canon_hashes)
+        # the reference's final counter report falls out of driver
+        # state already in hand — no stats pass over the assignments
+        # is ever needed (fused-counter discipline, CLAUDE.md):
+        # unique == |canonical set|, dup == total - unique
+        metrics["total"] = n_docs_in
+        metrics["unique"] = int(len(canon_hashes))
+        metrics["dup"] = n_docs_in - metrics["unique"]
+        metrics["dedup_ratio"] = (n_docs_in / metrics["unique"]
+                                  if metrics["unique"] else float("nan"))
 
         def only_canonical(batch: pa.Table) -> pa.Table:
             ch = ray.get(canon_ref)

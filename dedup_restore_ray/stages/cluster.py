@@ -451,7 +451,16 @@ def attach_cluster_ids(assignments: "ray.data.Dataset", labels: dict,
         lmap = ray.get(ref)
         canon = batch["canonical_id"]
         batch = batch.copy()
-        batch["cluster_id"] = [lmap.get(c, c) for c in canon]
+        # vectorized dict lookup (a per-row Python loop here was a
+        # measured tail cost: this map runs over EVERY doc and
+        # re-executes for every consumer of the lazy result)
+        mapped = canon.map(lmap)
+        miss = mapped.isna()
+        if miss.any():
+            mapped = mapped.where(~miss, canon)
+        if canon.dtype.kind in "iu":
+            mapped = mapped.astype(canon.dtype)
+        batch["cluster_id"] = mapped
         return batch
 
     return assignments.map_batches(assign, batch_format="pandas")
