@@ -147,6 +147,32 @@ def dedup_pipeline(docs: "ray.data.Dataset",
     # (count BEFORE adding any map so a bare parquet read keeps its
     # metadata-only count fast path)
     n_docs_in = docs.count()
+    if n_docs_in == 0:
+        # EMPTY input early-exit: the broadcast canonical-pack collect
+        # and the pair chain both trip on schema-less empty Datasets
+        # (CLAUDE.md empty-Dataset traps); callers like prep_corpus
+        # legitimately reach here when upstream filters drop every doc
+        sch = docs.schema()
+        idt = pa.string()
+        if sch is not None and id_col in sch.names:
+            idt = sch.types[sch.names.index(id_col)]
+        e_assign = pa.table({"doc_id": pa.array([], idt),
+                             "canonical_id": pa.array([], idt),
+                             "is_dup": pa.array([], pa.bool_()),
+                             "cluster_id": pa.array([], idt)})
+        e_pairs = pa.table({"u": pa.array([], idt),
+                            "v": pa.array([], idt),
+                            "jaccard": pa.array([], pa.float64())})
+        metrics.update(scale_mode=False, candidate_pairs=0,
+                       verified_pairs=0, cluster_edges=0,
+                       cluster_strategy="union_find", total=0, dup=0,
+                       unique=0, dedup_ratio=float("nan"))
+        return DedupResult(
+            assignments=ray.data.from_arrow(e_assign),
+            signatures=ray.data.from_arrow(
+                pa.table({"doc_id": pa.array([], idt)})),
+            verified_pairs=ray.data.from_arrow(e_pairs),
+            metrics=metrics)
     # schemas carrying (pandas) metadata are unhashable in pyarrow 16,
     # which defeats Ray's schema-dedup fast path in every downstream
     # sort/union; strip at the boundary (zero-copy) so inputs from a

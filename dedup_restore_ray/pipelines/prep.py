@@ -78,6 +78,7 @@ def prep_corpus(docs: "ray.data.Dataset",
                 target_lang: str | None = "en",
                 test_docs: "ray.data.Dataset | None" = None,
                 decontam_k: int = 5,
+                quality: bool = True,
                 clean: str | None = None,
                 clean_k: int = 8,
                 clean_window: int = 20,
@@ -112,13 +113,15 @@ def prep_corpus(docs: "ray.data.Dataset",
     docs = docs.select_columns([id_col, text_col]).materialize()
     manifest: dict = {"input": int(docs.count())}
 
-    # 1. quality -------------------------------------------------------
-    def q_filter(b: pa.Table) -> pa.Table:
-        c = quality_filter_counts(b.column(text_col).to_pylist())
-        return b.filter(pa.array(gopher_keep_mask(c)))
+    # 1. quality (``quality=False`` skips — pre-curated or synthetic
+    # corpora whose text intentionally fails the Gopher rules) -------
+    if quality:
+        def q_filter(b: pa.Table) -> pa.Table:
+            c = quality_filter_counts(b.column(text_col).to_pylist())
+            return b.filter(pa.array(gopher_keep_mask(c)))
 
-    docs = docs.map_batches(q_filter,
-                            batch_format="pyarrow").materialize()
+        docs = docs.map_batches(q_filter,
+                                batch_format="pyarrow").materialize()
     manifest["after_quality"] = int(docs.count())
 
     # 2. language ------------------------------------------------------
@@ -133,16 +136,37 @@ def prep_corpus(docs: "ray.data.Dataset",
                                 batch_format="pyarrow").materialize()
     manifest["after_langid"] = int(docs.count())
 
+    if manifest["after_langid"] == 0:
+        # every doc filtered out: short-circuit with an all-zero
+        # manifest (empty materialized Datasets have no schema and
+        # would trip the joins/scatters downstream)
+        manifest.update(after_dedup=0, dedup_metrics={},
+                        after_decontaminate=0, output=0,
+                        total_tokens=0, n_shards=0)
+        if clean is not None:
+            manifest["after_clean"] = 0
+            manifest["clean_dup_tokens" if clean == "substring"
+                     else "clean_dup_passages"] = 0
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          text_col: pa.array([], pa.string()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "token_offset": pa.array([], pa.int64()),
+                          "shard_id": pa.array([], pa.int64())})
+        return PrepResult(docs=ray.data.from_arrow(empty),
+                          manifest=manifest)
+
     # 3. dedup (exact + near): keep canonical docs only ----------------
     res = dedup_pipeline(docs, cfg, id_col=id_col, text_col=text_col)
     # one survivor per duplicate CLUSTER: labels are min-member ids,
     # so the member whose cluster_id equals its own id is the unique
     # canonical (is_dup alone only covers exact dups — near-dup
     # membership lives in cluster_id)
+    # assignments are id-normalized to "doc_id" by dedup_pipeline
+    # regardless of the caller's id_col
     canon_ids = res.assignments.map_batches(
-        lambda b: b.filter(pc.equal(b.column("cluster_id"),
-                                    b.column(id_col)))
-        .select([id_col]),
+        lambda b: pa.table({id_col: b.filter(
+            pc.equal(b.column("cluster_id"),
+                     b.column("doc_id"))).column("doc_id")}),
         batch_format="pyarrow")
     docs = semi_join(docs, canon_ids, id_col).materialize()
     manifest["after_dedup"] = int(docs.count())

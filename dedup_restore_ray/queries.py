@@ -1682,13 +1682,33 @@ def q_media_features(sf_dir: str):
 
 
 def q_frame_sample(sf_dir: str):
-    """Video frame-sampling plumbing (rows-only): every-10th-frame refs
-    from fake durations."""
+    """Video frame-sampling, oracle-checked end-to-end: md5-content
+    Y4M payloads -> REAL decode_y4m -> every-10th frame re-encoded as
+    a P5 PPM payload row.  The DuckDB oracle reconstructs the exact
+    output BYTES (PPM header || unhex'd luma digest) for every
+    sampled frame, so the whole encode->decode->re-encode path is
+    byte-identity-checked; image/audio rows contribute zero rows
+    (duration-derived schedules round to zero frames)."""
     from dedup_restore_ray.stages.multimodal import FrameSample, synth_media_table
     docs = _docs(sf_dir, ["doc_id", "text"])
-    media = docs.map_batches(lambda b: synth_media_table(b),
-                             batch_format="pyarrow")
-    return media.map_batches(FrameSample(every_k=10), batch_format="pyarrow")
+    media = docs.map_batches(
+        lambda b: synth_media_table(b, content="md5"),
+        batch_format="pyarrow")
+    frames = media.map_batches(FrameSample(every_k=10),
+                               batch_format="pyarrow")
+
+    def hex_payload(b: pa.Table) -> pa.Table:
+        # hex projection: value-hash-comparable across drivers (raw
+        # binary columns str() differently as bytes vs bytearray)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "frame_index": b.column("frame_index"),
+            "frame_hex": pa.array(
+                [p.hex() if p is not None else None
+                 for p in b.column("frame_payload").to_pylist()],
+                pa.string())})
+
+    return frames.map_batches(hex_payload, batch_format="pyarrow")
 
 
 def q_cdc_chunks(sf_dir: str):
@@ -6562,10 +6582,10 @@ def q_bpe_train_docs(sf_dir: str, n_merges: int = 24):
     rounds of {distributed weighted pair count -> driver argmax ->
     vectorized CSR merge}.  Deterministic merge list (string
     tie-break); exact parity with a sequential reference trainer is
-    pytest-asserted (tests/test_bpe_train.py) — the loop itself is
-    not SQL-expressible, so this entry is rows-only; the single
-    counting step it iterates IS oracle-checked
-    (bpe_merge_pairs_docs)."""
+    pytest-asserted (tests/test_bpe_train.py), and the ENTIRE 24-round
+    loop is oracle-checked — the DuckDB oracle (_bpe_oracle_sql)
+    unrolls every round with run-parity window merges and the same
+    argmax tie-break, hash-matching the merge table exactly."""
     from dedup_restore_ray.stages.bpe import bpe_train
     return bpe_train(_docs(sf_dir, ["text"]), n_merges=n_merges)
 
@@ -7866,9 +7886,12 @@ def q_bpe_encode_docs(sf_dir: str, n_merges: int = 16):
     ENCODE every document with it in ONE shuffle-free map_batches
     pass — per batch, words dictionary-encode so each distinct word
     runs the CSR merge kernel once and per-doc token counts fold back
-    through the codes with a bincount.  Rows-only (the merge loop is
-    not SQL-expressible); tests/test_bpe_encode.py pins exact parity
-    with a sequential per-word encoder."""
+    through the codes with a bincount.  Oracle-checked: the DuckDB
+    oracle (_bpe_oracle_sql) unrolls the whole 16-round training loop
+    in SQL (run-parity window merges, exact tie-breaks) and re-counts
+    every doc through the final encoded word lengths;
+    tests/test_bpe_encode.py additionally pins parity with a
+    sequential per-word encoder."""
     from dedup_restore_ray.stages.bpe import (bpe_encode_counts,
                                               bpe_train)
     ds = _docs(sf_dir, ["doc_id", "text"]).materialize()
@@ -11917,4 +11940,111 @@ ORACLE_SQL["bpe_token_counts"] = f"""
                        '{_BPE_P.replace("'", "''")}'))
            END::BIGINT AS n_bpe_tokens
     FROM documents
+"""
+
+
+# BPE train/encode oracles: the ENTIRE unrolled merge loop in SQL —
+# weighted adjacent-pair counts over the distinct-word table, argmax
+# with the engine's (count desc, left-string, right-string, pk)
+# tie-break, and the greedy leftmost non-overlapping merge expressed
+# with the run-parity window trick (parity-tested against
+# bpe_train_reference / bpe_encode_reference).
+def _bpe_oracle_sql(n_merges: int, mode: str) -> str:
+    """Unrolled BPE training over the distinct-word table in SQL:
+    per round, weighted adjacent-pair counts -> argmax with
+    (count desc, left-string, right-string, pk) tie-break -> greedy
+    leftmost non-overlapping merge via the run-parity window trick.
+    mode='train' emits the merge table; mode='encode' re-counts every
+    doc through the final encoded word lengths."""
+    P = 2097152  # 1 << 21, the engine's pair-pack base
+    parts = [r"""
+    docw AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                       '\w+')) AS word
+      FROM documents),
+    wid AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY word) AS wid, word,
+             cnt
+      FROM (SELECT word, count(*)::BIGINT AS cnt FROM docw
+            GROUP BY word)),
+    e0 AS MATERIALIZED (
+      SELECT wid, cnt,
+             unnest(range(length(word))) AS pos,
+             unnest(list_transform(range(length(word)),
+                    i -> ascii(word[i + 1]))) AS sym
+      FROM wid),
+    v0 AS (SELECT i AS id, chr(i::INTEGER) AS s
+           FROM (SELECT unnest(range(1, 128)) AS i))"""]
+    for r in range(1, n_merges + 1):
+        p, nid = r - 1, 127 + r
+        parts.append(f"""
+    p{r} AS (SELECT pk, sum(cnt) AS c FROM (
+        SELECT cnt, sym * {P} + lead(sym) OVER
+          (PARTITION BY wid ORDER BY pos) AS pk
+        FROM e{p}) WHERE pk IS NOT NULL GROUP BY pk),
+    best{r} AS MATERIALIZED (
+      SELECT a, b, la, rb, c FROM (
+        SELECT q.c, q.pk, q.pk // {P} AS a, q.pk % {P} AS b,
+               va.s AS la, vb.s AS rb
+        FROM p{r} q JOIN v{p} va ON va.id = q.pk // {P}
+                    JOIN v{p} vb ON vb.id = q.pk % {P}
+        WHERE q.c >= 2)
+      QUALIFY row_number() OVER (ORDER BY c DESC, la, rb, pk) = 1),
+    v{r} AS (SELECT id, s FROM v{p}
+             UNION ALL SELECT {nid} AS id, la || rb AS s FROM best{r}),
+    c{r} AS (SELECT wid, cnt, pos, sym,
+               coalesce(sym = (SELECT a FROM best{r})
+                 AND lead(sym) OVER (PARTITION BY wid ORDER BY pos)
+                     = (SELECT b FROM best{r}), FALSE) AS cand
+             FROM e{p}),
+    h{r} AS (SELECT wid, cnt, pos, sym, cand,
+               max(CASE WHEN cand AND NOT lag_cand THEN pos END)
+                 OVER (PARTITION BY wid ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS hb
+             FROM (SELECT *, coalesce(lag(cand) OVER
+                     (PARTITION BY wid ORDER BY pos), FALSE)
+                     AS lag_cand FROM c{r})),
+    k{r} AS (SELECT wid, cnt, pos, sym,
+               (cand AND (pos - hb) % 2 = 0) AS keep FROM h{r}),
+    e{r} AS MATERIALIZED (
+      SELECT wid, cnt,
+             row_number() OVER (PARTITION BY wid ORDER BY pos) - 1
+               AS pos,
+             CASE WHEN keep THEN {nid} ELSE sym END AS sym
+      FROM (SELECT *, coalesce(lag(keep) OVER
+              (PARTITION BY wid ORDER BY pos), FALSE) AS dead
+            FROM k{r})
+      WHERE NOT dead)""")
+    if mode == "train":
+        sels = [f"""SELECT {r - 1} AS rank, la AS "left", rb AS "right",
+               la || rb AS merged, c AS cnt FROM best{r}"""
+                for r in range(1, n_merges + 1)]
+        parts.append("\n    " + "\n    UNION ALL ".join(sels))
+        return "WITH" + ",".join(parts[:-1]) + "\n" + parts[-1]
+    n = n_merges
+    parts.append(f"""
+    wlen AS (SELECT wid, count(*)::BIGINT AS tok FROM e{n}
+             GROUP BY wid)
+    SELECT d.doc_id,
+           coalesce(x.n_words, 0)::BIGINT AS n_words,
+           coalesce(x.n_tokens, 0)::BIGINT AS n_tokens
+    FROM documents d LEFT JOIN (
+      SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+             sum(wl.tok)::BIGINT AS n_tokens
+      FROM docw dw JOIN wid ON wid.word = dw.word
+      JOIN wlen wl ON wl.wid = wid.wid
+      GROUP BY dw.doc_id) x USING (doc_id)""")
+    return "WITH" + ",".join(parts)
+
+
+ORACLE_SQL["bpe_train_docs"] = _bpe_oracle_sql(24, "train")
+ORACLE_SQL["bpe_encode_docs"] = _bpe_oracle_sql(16, "encode")
+
+ORACLE_SQL["frame_sample"] = r"""
+    SELECT doc_id, 0::BIGINT AS frame_index,
+           lower(hex(encode('P5' || chr(10) || '4 4' || chr(10)
+                            || '255' || chr(10))))
+             || md5(coalesce(text, '') || '|vid0|0') AS frame_hex
+    FROM documents WHERE doc_id % 3 = 2
 """

@@ -85,3 +85,43 @@ class TestPrepCorpus:
         # no language filter: spanish doc survives quality
         assert m["after_langid"] == m["after_quality"]
         assert m["after_decontaminate"] == m["after_dedup"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmptyAndSkipQuality:
+    def test_dedup_pipeline_empty_input(self):
+        import pyarrow as pa
+        import ray.data as rd
+        from dedup_restore_ray.config import PipelineConfig
+        from dedup_restore_ray.pipelines.dedup import dedup_pipeline
+        empty = rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string())}))
+        res = dedup_pipeline(empty, PipelineConfig())
+        assert res.assignments.count() == 0
+        assert res.verified_pairs.count() == 0
+        assert res.metrics["total"] == 0
+
+    def test_prep_all_docs_filtered_out(self):
+        # gopher-failing corpus: quality filter drops EVERY doc and
+        # the chain must complete with an all-zero manifest
+        import pyarrow as pa
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.prep import prep_corpus
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array(["zzz"] * 20)}))
+        res = prep_corpus(docs)
+        assert res.manifest["after_quality"] == 0
+        assert res.manifest["output"] == 0
+
+    def test_quality_false_keeps_everything(self):
+        import pyarrow as pa
+        import ray.data as rd
+        from dedup_restore_ray.pipelines.prep import prep_corpus
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array([f"zzq wkj qpl {i}" for i in range(30)])}))
+        res = prep_corpus(docs, quality=False, target_lang=None)
+        assert res.manifest["after_quality"] == 30
+        assert res.manifest["output"] == 30

@@ -46,6 +46,8 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def _norm(v) -> str:
     import numpy as np
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v).hex()
     if isinstance(v, (bool, np.bool_)):
         return str(bool(v))
     if isinstance(v, (int, np.integer)):
