@@ -274,13 +274,23 @@ def run_scaling() -> dict:
     lo, hi = SCALING_LOW, SCALING_HIGH
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     runs = {lo: [], hi: []}
+    stage_best: dict[int, dict] = {lo: {}, hi: {}}
     for _ in range(repeats):               # interleaved A/B, best-of-N
-        runs[lo].append(run(lo)["value"])
-        runs[hi].append(run(hi)["value"])
+        for level in (lo, hi):
+            r = run(level)
+            runs[level].append(r["value"])
+            if r["value"] == min(runs[level]):
+                stage_best[level] = r.get("stage_sec", {})
         probes.append(fresh_probe())
     roofs.append(parallel_roof())
     t_lo, t_hi = min(runs[lo]), min(runs[hi])
     eff = (t_lo / t_hi) / (hi / lo)
+    # per-stage efficiency of the two best repeats: which stages
+    # scale and which are fixed-barrier-bound (tail evidence)
+    per_stage_eff = {
+        k: round((stage_best[lo][k] / stage_best[hi][k]) / (hi / lo), 3)
+        for k in stage_best[lo]
+        if stage_best[hi].get(k) and stage_best[lo][k] > 0}
     import statistics
     per_repeat = [round((a / b) / (hi / lo), 3)
                   for a, b in zip(runs[lo], runs[hi])]
@@ -298,6 +308,9 @@ def run_scaling() -> dict:
         # every repeat (interpretation denominator, see BASELINE.md)
         "per_repeat_efficiency": per_repeat,
         "median_efficiency": round(statistics.median(per_repeat), 3),
+        "stage_sec_low": stage_best[lo],
+        "stage_sec_high": stage_best[hi],
+        "per_stage_efficiency": per_stage_eff,
         "host_memband_probes_mb_s": probes,
         # hardware 1-vs-4-process numpy-streaming efficiency in the
         # same window (before / after): the ceiling any engine can

@@ -74,7 +74,13 @@ def main() -> int:
     manifest = write_assignments(res, args.output, cfg,
                                  num_partitions=args.num_partitions,
                                  placement=args.placement)
-    stats = dedup_stats(res.assignments)
+    if "dedup_ratio" in res.metrics:
+        # counters fused into pipeline driver state — the write above
+        # already consumed the assignments, no extra stats pass
+        stats = {k: res.metrics[k]
+                 for k in ("total", "dup", "unique", "dedup_ratio")}
+    else:
+        stats = dedup_stats(res.assignments)
     wall = time.time() - t0
     print(json.dumps({
         "stats": stats,
