@@ -73,8 +73,12 @@ def run_benchmarks() -> dict:
                              columns=["doc_id", "text"])
         res = dedup_pipeline(ds, PipelineConfig(), id_col="doc_id",
                              text_col="text")
-        stats = dedup_stats(res.assignments)
-        n_docs = stats["total"]
+        if "dedup_ratio" in res.metrics:
+            # fused counters; still consume the attached output once
+            n_docs = res.metrics["total"]
+            res.assignments.count()
+        else:
+            n_docs = dedup_stats(res.assignments)["total"]
         flagship_runs.append(time.time() - t0)
     timings["flagship_dedup"] = min(flagship_runs)
 
@@ -136,7 +140,8 @@ def run_benchmarks() -> dict:
                  "substring_search_append_docs", "bpe_encode_docs",
                  "winsorized_sum_events", "llm_prep_docs",
                  "order_reconciliation", "timed_conversion_events",
-                 "leakage_free_split_docs"]:
+                 "leakage_free_split_docs", "llm_prep_clean_docs",
+                 "cdc_chunks", "media_features", "frame_sample"]:
         fn = Q.QUERIES[name]
         t0 = time.time()
         out = fn(SF_DIR)

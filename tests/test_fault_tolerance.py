@@ -82,3 +82,45 @@ class TestWorkerCrashRecovery:
         assert os.path.exists(flag)
         # same stats as every undisturbed 300-page run
         assert st["total"] == 310 and st["dedup_ratio"] > 1.9
+
+    def test_prep_chain_survives_worker_death(self, ray_session,
+                                              tmp_path):
+        """The FULL curation chain (dedup -> clean -> token counts ->
+        shard packing) under a mid-run worker loss: the manifest and
+        per-doc output must match an undisturbed run exactly."""
+        from dedup_restore_ray.pipelines.prep import prep_corpus
+        from dedup_restore_ray.sources.pages import generate_pages
+        pages, _ = generate_pages(250, seed=7)
+        tbl = pa.table({"doc_id": pa.array(
+            np.arange(pages.num_rows, dtype=np.int64)),
+            "text": pages.column("text")})
+        flag = str(tmp_path / "crashed_once_prep")
+
+        class KillFirst:
+            def __call__(self, b: pa.Table) -> pa.Table:
+                if not os.path.exists(flag):
+                    try:
+                        with open(flag, "x"):
+                            pass
+                    except FileExistsError:
+                        pass
+                    else:
+                        os._exit(1)
+                return b
+
+        def run(with_crash: bool):
+            ds = rd.from_arrow(tbl).repartition(6)
+            if with_crash:
+                ds = ds.map_batches(KillFirst, batch_format="pyarrow",
+                                    concurrency=2)
+            res = prep_corpus(ds, quality=False, target_lang=None,
+                              clean="substring")
+            out = (res.docs.to_pandas().sort_values("doc_id")
+                   .reset_index(drop=True))
+            return res.manifest, out
+
+        m_crash, out_crash = run(True)
+        assert os.path.exists(flag), "crash branch never exercised"
+        m_ref, out_ref = run(False)
+        assert m_crash == m_ref
+        pd.testing.assert_frame_equal(out_crash, out_ref)
