@@ -47,6 +47,18 @@ def round_half_up(x, digits: int = 4):
 _STOP_SQL = ",".join(f"'{w}'" for w in sorted(_STOPWORDS_EN))
 
 
+def _floor_epoch_s(ts_col, unit_s: int) -> pa.Array:
+    """timestamp column -> int64 epoch seconds floored to ``unit_s``
+    via pure integer arithmetic (``pc.cast`` ts->ts[s] RAISES on
+    non-zero sub-second parts — CLAUDE.md), unit-aware."""
+    if isinstance(ts_col, pa.ChunkedArray):
+        ts_col = ts_col.combine_chunks()
+    mult = {"s": 1, "ms": 1_000, "us": 1_000_000,
+            "ns": 1_000_000_000}[ts_col.type.unit]
+    v = np.asarray(pc.cast(ts_col, pa.int64()))
+    return pa.array(v // (unit_s * mult) * unit_s)
+
+
 def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
     return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
@@ -349,18 +361,22 @@ def q_events_rollup(sf_dir: str):
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["event_type", "ts", "value"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["day_epoch"] = (b["ts"].dt.floor("D")
-                          .astype("datetime64[s]").astype("int64"))
-        b["cents"] = round_half_up(
-            b["value"].to_numpy(dtype=np.float64) * 100.0,
+    def partial(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("value"), dtype=np.float64) * 100.0,
             0).astype(np.int64)
-        return (b.groupby(["event_type", "day_epoch"], as_index=False)
-                .agg(pn=("cents", "size"), pv=("cents", "sum")))
+        t = pa.table({"event_type": b.column("event_type"),
+                      "day_epoch": _floor_epoch_s(b.column("ts"), 86400),
+                      "cents": pa.array(cents)})
+        g = t.group_by(["event_type", "day_epoch"]).aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day_epoch": g.column("day_epoch"),
+                         "pn": g.column("cents_count"),
+                         "pv": g.column("cents_sum")})
 
     finest = grouped_aggregate(
-        ev.map_batches(partial, batch_format="pandas"),
+        ev.map_batches(partial, batch_format="pyarrow"),
         ["event_type", "day_epoch"],
         {"n_events": ("pn", "sum"), "total_cents": ("pv", "sum")})
     lvl0 = finest.to_pandas()          # small: |types| x |days| rows
@@ -393,18 +409,22 @@ def q_click_purchase_matrix(sf_dir: str):
                                          "value"])
         ev = ev.filter(expr=f"event_type == '{event_type}'")
 
-        def partial(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b["day_epoch"] = (b["ts"].dt.floor("D")
-                              .astype("datetime64[s]").astype("int64"))
-            b["cents"] = round_half_up(
-                b["value"].to_numpy(dtype=np.float64) * 100.0,
+        def partial(b: pa.Table) -> pa.Table:
+            cents = round_half_up(
+                np.asarray(b.column("value"), dtype=np.float64) * 100.0,
                 0).astype(np.int64)
-            return (b.groupby(["user_id", "day_epoch"], as_index=False)
-                    .agg(pv=("cents", "sum")))
+            t = pa.table({"user_id": b.column("user_id"),
+                          "day_epoch": _floor_epoch_s(b.column("ts"),
+                                                      86400),
+                          "cents": pa.array(cents)})
+            g = t.group_by(["user_id", "day_epoch"]).aggregate(
+                [("cents", "sum")])
+            return pa.table({"user_id": g.column("user_id"),
+                             "day_epoch": g.column("day_epoch"),
+                             "pv": g.column("cents_sum")})
 
         agg = grouped_aggregate(
-            ev.map_batches(partial, batch_format="pandas"),
+            ev.map_batches(partial, batch_format="pyarrow"),
             ["user_id", "day_epoch"], {out_col: ("pv", "sum")})
 
         def pack(b: pa.Table) -> pa.Table:
@@ -625,14 +645,21 @@ def q_grouped_restore(sf_dir: str):
                            columns=["p_partkey", "p_name", "p_retailprice"])
     part_ref = ray.put(part.set_index("p_partkey"))
 
-    def gather(batch: pd.DataFrame) -> pd.DataFrame:
-        p = ray.get(part_ref)
-        out = batch.join(p, on="l_partkey")
-        out = out.rename(columns={"p_name": "chunk_name"})
-        out["restored_bytes"] = (out["p_retailprice"] * out["l_quantity"]).round(2)
-        return out[["l_orderkey", "l_linenumber", "chunk_name", "restored_bytes"]]
+    def gather(batch: pa.Table) -> pa.Table:
+        p = ray.get(part_ref)   # pandas index: p_partkey -> name, price
+        keys = np.asarray(batch.column("l_partkey"), dtype=np.int64)
+        names = p["p_name"].to_numpy(dtype=object)
+        prices = p["p_retailprice"].to_numpy(dtype=np.float64)
+        pos = p.index.get_indexer(keys)
+        qty = np.asarray(batch.column("l_quantity"), dtype=np.float64)
+        rb = round_half_up(prices[pos] * qty, 2)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_linenumber": batch.column("l_linenumber"),
+            "chunk_name": pa.array(list(names[pos]), pa.string()),
+            "restored_bytes": pa.array(rb)})
 
-    return li.map_batches(gather, batch_format="pandas")
+    return li.map_batches(gather, batch_format="pyarrow")
 
 
 def q_sort_topk_orders(sf_dir: str):
@@ -666,19 +693,23 @@ def q_events_hourly(sf_dir: str):
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         # combiner: per-batch pre-aggregation so the shuffle moves one
         # row per (type, hour) per batch, not one per event (SURVEY §4)
-        batch = batch.copy()
-        batch["hour_epoch"] = (batch["ts"].dt.floor("h")
-                               .astype("datetime64[s]").astype("int64"))
-        g = (batch.groupby(["event_type", "hour_epoch"], as_index=False)
-             .agg(pn=("value", "size"), pv=("value", "sum")))
-        return g
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "hour_epoch": _floor_epoch_s(batch.column("ts"), 3600),
+            "value": batch.column("value")})
+        g = t.group_by(["event_type", "hour_epoch"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "hour_epoch": g.column("hour_epoch"),
+                         "pn": g.column("value_count"),
+                         "pv": g.column("value_sum")})
 
     from dedup_restore_ray.stages.groups import grouped_aggregate
     out = grouped_aggregate(
-        ev.map_batches(partial, batch_format="pandas"),
+        ev.map_batches(partial, batch_format="pyarrow"),
         ["event_type", "hour_epoch"],
         {"n_events": ("pn", "sum"), "total_value": ("pv", "sum")},
     ).to_pandas()
@@ -3002,18 +3033,22 @@ def q_events_cube(sf_dir: str):
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["event_type", "ts", "value"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["day_epoch"] = (b["ts"].dt.floor("D")
-                          .astype("datetime64[s]").astype("int64"))
-        b["cents"] = round_half_up(
-            b["value"].to_numpy(dtype=np.float64) * 100.0,
+    def partial(b: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(b.column("value"), dtype=np.float64) * 100.0,
             0).astype(np.int64)
-        return (b.groupby(["event_type", "day_epoch"], as_index=False)
-                .agg(pn=("cents", "size"), pv=("cents", "sum")))
+        t = pa.table({"event_type": b.column("event_type"),
+                      "day_epoch": _floor_epoch_s(b.column("ts"), 86400),
+                      "cents": pa.array(cents)})
+        g = t.group_by(["event_type", "day_epoch"]).aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day_epoch": g.column("day_epoch"),
+                         "pn": g.column("cents_count"),
+                         "pv": g.column("cents_sum")})
 
     finest = grouped_aggregate(
-        ev.map_batches(partial, batch_format="pandas"),
+        ev.map_batches(partial, batch_format="pyarrow"),
         ["event_type", "day_epoch"],
         {"n_events": ("pn", "sum"), "total_cents": ("pv", "sum")})
     lvl0 = finest.to_pandas()          # small: |types| x |days| rows
@@ -3324,14 +3359,23 @@ def q_user_event_matrix(sf_dir: str):
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["user_id", "event_type"])
 
-    def combiner(b: pd.DataFrame) -> pd.DataFrame:
-        ct = pd.crosstab(b["user_id"], b["event_type"])
-        ct = ct.reindex(columns=etypes, fill_value=0)
-        ct.columns = [f"n_{t}" for t in etypes]
-        return ct.astype("int64").reset_index()
+    def combiner(b: pa.Table) -> pa.Table:
+        g = (b.group_by(["user_id", "event_type"])
+             .aggregate([("event_type", "count")]))
+        uid = np.asarray(g.column("user_id"))
+        et = g.column("event_type").to_pylist()
+        n = np.asarray(g.column("event_type_count"), dtype=np.int64)
+        users, inv = np.unique(uid, return_inverse=True)
+        mat = np.zeros((len(users), len(etypes)), np.int64)
+        col_of = {t: j for j, t in enumerate(etypes)}
+        mat[inv, [col_of[t] for t in et]] = n
+        cols = {"user_id": pa.array(users)}
+        for j, t in enumerate(etypes):
+            cols[f"n_{t}"] = pa.array(mat[:, j])
+        return pa.table(cols)
 
     agg = grouped_aggregate(
-        ev.map_batches(combiner, batch_format="pandas"), ["user_id"],
+        ev.map_batches(combiner, batch_format="pyarrow"), ["user_id"],
         {f"n_{t}": (f"n_{t}", "sum") for t in etypes})
     out = agg.to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
@@ -3596,14 +3640,14 @@ def q_retention_events(sf_dir: str):
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["ts", "user_id"])
 
-    def proj(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "day_epoch": (batch["ts"].dt.floor("D")
-                          .astype("datetime64[s]").astype("int64")),
-            "user_id": batch["user_id"],
-        }).drop_duplicates()            # combiner: shrink before sort
+    def proj(batch: pa.Table) -> pa.Table:
+        t = pa.table({"day_epoch": _floor_epoch_s(batch.column("ts"),
+                                                  86400),
+                      "user_id": batch.column("user_id")})
+        # combiner: shrink before sort
+        return t.group_by(["day_epoch", "user_id"]).aggregate([])
 
-    du = distinct_rows(ev.map_batches(proj, batch_format="pandas"),
+    du = distinct_rows(ev.map_batches(proj, batch_format="pyarrow"),
                        ["day_epoch", "user_id"])
     nav = lag_lead(du, key_col="user_id", order_cols=["day_epoch"],
                    value_col="day_epoch", lead_col="next_day",
@@ -3694,15 +3738,13 @@ def q_daily_active_users(sf_dir: str):
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["ts", "user_id"])
 
-    def proj(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "day_epoch": (batch["ts"].dt.floor("D")
-                          .astype("datetime64[s]").astype("int64")),
-            "user_id": batch["user_id"],
-        })
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day_epoch": _floor_epoch_s(batch.column("ts"), 86400),
+            "user_id": batch.column("user_id")})
 
     return grouped_count_distinct(
-        ev.map_batches(proj, batch_format="pandas"),
+        ev.map_batches(proj, batch_format="pyarrow"),
         ["day_epoch"], "user_id", out_col="n_users",
         count_alias="n_events")
 
@@ -6752,20 +6794,25 @@ def q_corr_moments_lineitem(sf_dir: str):
                             columns=["l_returnflag", "l_linestatus",
                                      "l_quantity", "l_discount"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        x = round_half_up(b["l_quantity"].to_numpy(np.float64),
+    def partial(b: pa.Table) -> pa.Table:
+        x = round_half_up(np.asarray(b.column("l_quantity"),
+                                     dtype=np.float64), 0).astype(np.int64)
+        y = round_half_up(np.asarray(b.column("l_discount"),
+                                     dtype=np.float64) * 100.0,
                           0).astype(np.int64)
-        y = round_half_up(b["l_discount"].to_numpy(np.float64) * 100.0,
-                          0).astype(np.int64)
-        t = pd.DataFrame({"l_returnflag": b["l_returnflag"],
-                          "l_linestatus": b["l_linestatus"],
-                          "n": np.int64(1), "sx": x, "sy": y,
-                          "sxy": x * y, "sx2": x * x, "sy2": y * y})
-        return (t.groupby(["l_returnflag", "l_linestatus"],
-                          as_index=False).sum())
+        t = pa.table({"l_returnflag": b.column("l_returnflag"),
+                      "l_linestatus": b.column("l_linestatus"),
+                      "n": pa.array(np.ones(len(x), np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxy": pa.array(x * y), "sx2": pa.array(x * x),
+                      "sy2": pa.array(y * y)})
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "n", "sx", "sy", "sxy", "sx2", "sy2"])
 
     agg = grouped_aggregate(
-        li.map_batches(partial, batch_format="pandas"),
+        li.map_batches(partial, batch_format="pyarrow"),
         ["l_returnflag", "l_linestatus"],
         {c: (c, "sum") for c in ["n", "sx", "sy", "sxy", "sx2", "sy2"]})
 
@@ -7000,30 +7047,36 @@ def q_incremental_agg_events(sf_dir: str):
                                      "value"])
 
     def partial(half: int):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            b = b[b["event_id"] % 2 == half].copy()
-            b["hour_epoch"] = (b["ts"].dt.floor("h")
-                               .astype("datetime64[s]").astype("int64"))
-            b["cents"] = round_half_up(
-                b["value"].to_numpy(np.float64) * 100.0,
-                0).astype(np.int64)
-            return (b.groupby(["event_type", "hour_epoch"],
-                              as_index=False)
-                    .agg(pn=("cents", "size"), pv=("cents", "sum")))
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("event_id"), dtype=np.int64)
+            b = b.filter(pa.array(ids % 2 == half))
+            cents = round_half_up(
+                np.asarray(b.column("value"), dtype=np.float64)
+                * 100.0, 0).astype(np.int64)
+            t = pa.table({"event_type": b.column("event_type"),
+                          "hour_epoch": _floor_epoch_s(b.column("ts"),
+                                                       3600),
+                          "cents": pa.array(cents)})
+            g = t.group_by(["event_type", "hour_epoch"]).aggregate(
+                [("cents", "count"), ("cents", "sum")])
+            return pa.table({"event_type": g.column("event_type"),
+                             "hour_epoch": g.column("hour_epoch"),
+                             "pn": g.column("cents_count"),
+                             "pv": g.column("cents_sum")})
         return f
 
     spec = {"n_events": ("pn", "sum"), "total_cents": ("pv", "sum")}
     keys = ["event_type", "hour_epoch"]
     # the persisted view (built once from the old stream)
     view = grouped_aggregate(
-        ev.map_batches(partial(0), batch_format="pandas"),
+        ev.map_batches(partial(0), batch_format="pyarrow"),
         keys, spec).materialize()
     # refresh: view rows + the new shard's partials, one grouped sum
-    delta = ev.map_batches(partial(1), batch_format="pandas")
+    delta = ev.map_batches(partial(1), batch_format="pyarrow")
     as_part = view.map_batches(
-        lambda b: b.rename(columns={"n_events": "pn",
-                                    "total_cents": "pv"}),
-        batch_format="pandas")
+        lambda b: b.rename_columns(
+            ["event_type", "hour_epoch", "pn", "pv"]),
+        batch_format="pyarrow")
     refreshed = grouped_aggregate(as_part.union(delta), keys, spec)
     out = refreshed.to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
@@ -7088,15 +7141,18 @@ def q_densify_hourly_events(sf_dir: str):
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["event_type", "ts"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["hour_epoch"] = (b["ts"].dt.floor("h")
-                           .astype("datetime64[s]").astype("int64"))
-        return (b.groupby(["event_type", "hour_epoch"], as_index=False)
-                .agg(pn=("hour_epoch", "size")))
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "hour_epoch": _floor_epoch_s(b.column("ts"), 3600)})
+        g = t.group_by(["event_type", "hour_epoch"]).aggregate(
+            [("hour_epoch", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "hour_epoch": g.column("hour_epoch"),
+                         "pn": g.column("hour_epoch_count")})
 
     agg = grouped_aggregate(
-        ev.map_batches(partial, batch_format="pandas"),
+        ev.map_batches(partial, batch_format="pyarrow"),
         ["event_type", "hour_epoch"],
         {"n": ("pn", "sum")}).materialize()
     lo = int(agg.min("hour_epoch"))
@@ -7361,14 +7417,14 @@ def q_new_vs_returning_users(sf_dir: str):
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["ts", "user_id"])
 
-    def proj(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "day_epoch": (batch["ts"].dt.floor("D")
-                          .astype("datetime64[s]").astype("int64")),
-            "user_id": batch["user_id"],
-        }).drop_duplicates()            # combiner: shrink before sort
+    def proj(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day_epoch": _floor_epoch_s(batch.column("ts"), 86400),
+            "user_id": batch.column("user_id")})
+        # combiner: shrink before sort
+        return t.group_by(["day_epoch", "user_id"]).aggregate([])
 
-    pairs = distinct_rows(ev.map_batches(proj, batch_format="pandas"),
+    pairs = distinct_rows(ev.map_batches(proj, batch_format="pyarrow"),
                           ["day_epoch", "user_id"]).materialize()
     first = grouped_aggregate(pairs, ["user_id"],
                               {"first_day": ("day_epoch", "min")})
@@ -7463,17 +7519,18 @@ def q_burst_hours_events(sf_dir: str):
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["ts", "event_type"])
 
-    def hourly(batch: pd.DataFrame) -> pd.DataFrame:
-        d = pd.DataFrame({
-            "event_type": batch["event_type"],
-            "hour_e": (batch["ts"].dt.floor("h")
-                       .astype("datetime64[s]").astype("int64")),
-        })
-        g = d.groupby(["event_type", "hour_e"], as_index=False).size()
-        return g.rename(columns={"size": "pc_"})
+    def hourly(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "hour_e": _floor_epoch_s(batch.column("ts"), 3600)})
+        g = t.group_by(["event_type", "hour_e"]).aggregate(
+            [("hour_e", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "hour_e": g.column("hour_e"),
+                         "pc_": g.column("hour_e_count")})
 
     hr = grouped_aggregate(
-        ev.map_batches(hourly, batch_format="pandas"),
+        ev.map_batches(hourly, batch_format="pyarrow"),
         ["event_type", "hour_e"], {"c": ("pc_", "sum")})
     s = sliding_window_sum(hr, "event_type", "hour_e", "c",
                            window_seconds=82_800, out_col="s",
@@ -7704,14 +7761,13 @@ def q_cohort_retention_events(sf_dir: str):
                             columns=["ts", "user_id"])
     WEEK = 7 * 86_400
 
-    def proj(batch: pd.DataFrame) -> pd.DataFrame:
-        sec = (batch["ts"].astype("datetime64[s]").astype("int64"))
-        return pd.DataFrame({
-            "week_e": (sec // WEEK) * WEEK,
-            "user_id": batch["user_id"],
-        }).drop_duplicates()
+    def proj(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "week_e": _floor_epoch_s(batch.column("ts"), WEEK),
+            "user_id": batch.column("user_id")})
+        return t.group_by(["week_e", "user_id"]).aggregate([])
 
-    pairs = distinct_rows(ev.map_batches(proj, batch_format="pandas"),
+    pairs = distinct_rows(ev.map_batches(proj, batch_format="pyarrow"),
                           ["week_e", "user_id"]).materialize()
     first = grouped_aggregate(pairs, ["user_id"],
                               {"cohort_week": ("week_e", "min")})
