@@ -6967,18 +6967,17 @@ def q_bfs_copurchase_parts(sf_dir: str, brand: str = "Brand#11",
     in >= min_orders orders, and each reached part reports its
     minimum hop count <= max_level.
 
-    Fully distributed frontier expansion: each round is one
-    sort-scatter semi-join (edges x frontier) + one distinct + one
-    anti-join against the visited set — no driver-side adjacency or
-    visited structure; rounds are bounded by max_level, and every
-    frontier is materialized once (two consumers: the next round's
-    probe and the visited union).  Seeds with no edges still report
-    level 0, matching the SQL."""
-    from dedup_restore_ray.stages.graph import group_value_pairs
+    Scale-gated frontier expansion (stages/graph.bfs_levels): below
+    the gate each round is ONE shuffle-free map over the materialized
+    edges with the sorted frontier/visited arrays broadcast (3-4 sort
+    barriers per level collapse to a scan); above it, the fully
+    distributed semi-join + distinct + anti-join rounds with no
+    driver node state.  Seeds with no edges still report level 0,
+    matching the SQL."""
+    from dedup_restore_ray.stages.graph import (bfs_levels,
+                                                group_value_pairs)
     from dedup_restore_ray.stages.groups import (distinct_rows,
-                                                 flatten_blocks,
                                                  grouped_aggregate)
-    from dedup_restore_ray.stages.joins import anti_join, semi_join
     li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_partkey"])
     pt = read_parquet_clean(f"{sf_dir}/part.parquet",
@@ -7002,31 +7001,8 @@ def q_bfs_copurchase_parts(sf_dir: str, brand: str = "Brand#11",
         t = b.filter(pc.equal(b.column("p_brand"), brand))
         return pa.table({"node": t.column("p_partkey")})
 
-    frontier = pt.map_batches(seed_rows,
-                              batch_format="pyarrow").materialize()
-    levels = [frontier.map_batches(
-        lambda b: b.append_column("level", pa.array(
-            np.zeros(b.num_rows, np.int64))), batch_format="pyarrow")]
-    visited = frontier
-    for lvl in range(1, max_level + 1):
-        hits = semi_join(edges.rename_columns({"src": "node",
-                                               "dst": "__d"}),
-                         frontier, "node")
-        nxt = distinct_rows(
-            hits.select_columns(["__d"]).rename_columns({"__d": "node"}),
-            ["node"])
-        frontier = flatten_blocks(
-            anti_join(nxt, visited, "node")).materialize()
-        if frontier.count() == 0:
-            break
-        lv = np.int64(lvl)
-        levels.append(frontier.map_batches(
-            lambda b, lv=lv: b.append_column("level", pa.array(
-                np.full(b.num_rows, lv))), batch_format="pyarrow"))
-        visited = flatten_blocks(visited.union(frontier)).materialize()
-    out = levels[0]
-    for extra in levels[1:]:
-        out = out.union(extra)
+    seeds = pt.map_batches(seed_rows, batch_format="pyarrow")
+    out = bfs_levels(edges, seeds, max_level)
     pdf = out.to_pandas().rename(columns={"node": "p_partkey"})
     return pdf.sort_values("p_partkey").reset_index(drop=True)
 

@@ -385,3 +385,42 @@ class TestGroupValuePairsSkewCap:
         with pytest.raises(Exception, match="exceeds\\s+max_group"):
             group_value_pairs(ds, "k", "v", max_group=10,
                               on_overflow="raise").materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBfsLevels:
+    """Broadcast-frontier tier must equal the distributed semi-join
+    tier exactly (same scale-gate discipline as clustering/k-core)."""
+
+    def test_tier_parity_random_graph(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.graph import bfs_levels
+        rng = np.random.default_rng(3)
+        u = rng.integers(0, 500, 3000)
+        v = rng.integers(0, 500, 3000)
+        keep = u != v
+        sym = pa.table({
+            "src": pa.array(np.concatenate([u[keep], v[keep]])
+                            .astype(np.int64)),
+            "dst": pa.array(np.concatenate([v[keep], u[keep]])
+                            .astype(np.int64))})
+        seeds = rd.from_arrow(pa.table(
+            {"node": pa.array(np.arange(20, dtype=np.int64))}))
+        a = (bfs_levels(rd.from_arrow(sym), seeds, 3)
+             .to_pandas().sort_values("node").reset_index(drop=True))
+        b = (bfs_levels(rd.from_arrow(sym), seeds, 3,
+                        broadcast_limit=0)
+             .to_pandas().sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+        # seeds always report level 0
+        assert (a[a.node < 20].level == 0).all()
+
+    def test_disconnected_seed_reports_zero(self):
+        import ray.data as rd
+        from dedup_restore_ray.stages.graph import bfs_levels
+        sym = pa.table({"src": pa.array([1, 2], pa.int64()),
+                        "dst": pa.array([2, 1], pa.int64())})
+        seeds = rd.from_arrow(pa.table(
+            {"node": pa.array([99], pa.int64())}))
+        out = bfs_levels(rd.from_arrow(sym), seeds, 3).to_pandas()
+        assert out.node.tolist() == [99] and out.level.tolist() == [0]
