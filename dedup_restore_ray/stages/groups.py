@@ -219,6 +219,11 @@ def _batch_bucket_pairs(b: pa.Table, key_col: str, id_col: str,
     ui = pa.array(np.concatenate(us))
     vi = pa.array(np.concatenate(vs))
     # members ascend within a group -> u < v by construction
+    # (A/B'd round 4: a within-block pair-level pre-distinct — lexsort
+    # per block before the distinct shuffle — cut the distinct's input
+    # 39M -> 6M rows on the planted corpus but cost the same wall time
+    # it saved on both 1- and 4-CPU legs; host variance exceeded the
+    # effect both ways, so the simple emission stands.)
     return pa.table({"u": docs.take(ui), "v": docs.take(vi)})
 
 
