@@ -600,7 +600,8 @@ def bfs_levels(edges: "ray.data.Dataset", seeds: "ray.data.Dataset",
 
     edges = edges.materialize()
     seeds = seeds.materialize()
-    if edges.count() <= broadcast_limit:
+    if (edges.count() <= broadcast_limit
+            and seeds.count() <= broadcast_limit):
         sp = seeds.to_pandas()
         seed_ids = (np.unique(np.asarray(sp[node_col], dtype=np.int64))
                     if node_col in sp.columns
