@@ -600,7 +600,11 @@ def bfs_levels(edges: "ray.data.Dataset", seeds: "ray.data.Dataset",
 
     edges = edges.materialize()
     seeds = seeds.materialize()
-    if (edges.count() <= broadcast_limit
+    sch = edges.schema()
+    int_ids = (sch is not None and src_col in sch.names
+               and pa.types.is_integer(
+                   sch.types[sch.names.index(src_col)]))
+    if (int_ids and edges.count() <= broadcast_limit
             and seeds.count() <= broadcast_limit):
         sp = seeds.to_pandas()
         seed_ids = (np.unique(np.asarray(sp[node_col], dtype=np.int64))
