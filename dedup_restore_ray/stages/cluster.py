@@ -444,23 +444,46 @@ def attach_cluster_ids(assignments: "ray.data.Dataset", labels: dict,
 
     A doc's cluster: follow its exact canonical, then that canonical's
     near-dup component label; docs untouched by any edge cluster alone
-    (cluster_id = own canonical id)."""
-    ref = ray.put(labels)
+    (cluster_id = own canonical id).
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        lmap = ray.get(ref)
-        canon = batch["canonical_id"]
-        batch = batch.copy()
-        # vectorized dict lookup (a per-row Python loop here was a
-        # measured tail cost: this map runs over EVERY doc and
-        # re-executes for every consumer of the lazy result)
-        mapped = canon.map(lmap)
-        miss = mapped.isna()
-        if miss.any():
-            mapped = mapped.where(~miss, canon)
-        if canon.dtype.kind in "iu":
-            mapped = mapped.astype(canon.dtype)
-        batch["cluster_id"] = mapped
-        return batch
+    The label side is broadcast as a packed (sorted uint64 key hash,
+    Arrow value array) pair, not a dict — a dict ref deserializes the
+    whole Python map in every task, while the pack is zero-copy from
+    the object store and looked up with one searchsorted per batch
+    (the same idiom as ``only_canonical`` in pipelines/dedup.py).
+    Integer ids hash via the bijective splitmix64, so the probe is
+    exact; string ids share the pair chain's negligible-collision
+    rolling hash (_id_hashes docstring)."""
+    import pyarrow.compute as pc
 
-    return assignments.map_batches(assign, batch_format="pandas")
+    from dedup_restore_ray.stages.verify import _id_hashes
+
+    if not labels:
+        def passthrough(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "cluster_id", b.column("canonical_id").combine_chunks())
+        return assignments.map_batches(passthrough,
+                                       batch_format="pyarrow")
+
+    keys = pa.array(list(labels.keys()))
+    kh = _id_hashes(keys)
+    order = np.argsort(kh, kind="stable")
+    vals = pa.array(list(labels.values())).take(
+        pa.array(order.astype(np.int64)))
+    ref = ray.put((kh[order], vals))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        kh_s, vals_s = ray.get(ref)
+        canon = batch.column("canonical_id").combine_chunks()
+        ih = _id_hashes(canon)
+        pos = np.searchsorted(kh_s, ih)
+        np.minimum(pos, len(kh_s) - 1, out=pos)
+        hit = kh_s[pos] == ih
+        mapped = vals_s.take(
+            pa.array(np.where(hit, pos, 0).astype(np.int64)))
+        if mapped.type != canon.type:
+            mapped = mapped.cast(canon.type)
+        cluster = pc.if_else(pa.array(hit), mapped, canon)
+        return batch.append_column("cluster_id", cluster)
+
+    return assignments.map_batches(assign, batch_format="pyarrow")

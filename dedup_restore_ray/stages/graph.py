@@ -83,7 +83,19 @@ def _oriented_edges(edges: "ray.data.Dataset",
     return withb.map_batches(orient, batch_format="pyarrow")
 
 
-_GVP_COUNTER_NAME = "dedup_restore_gvp_overflow"
+_GVP_COUNTER_PREFIX = "dedup_restore_gvp_overflow"
+
+
+def _gvp_counter_name(scope: str | None = None) -> str:
+    """Per-JOB counter name: two jobs sharing a long-lived cluster must
+    not share (or reset) each other's tally, and the readout path must
+    be able to kill exactly its own actor.  The Ray job id is identical
+    on the driver and in every worker task the driver spawned, so the
+    emitting kernels and ``pair_overflow_stats`` agree on the name
+    without any plumbing.  ``scope`` overrides for tests."""
+    if scope is None:
+        scope = ray.get_runtime_context().get_job_id()
+    return f"{_GVP_COUNTER_PREFIX}_{scope}"
 
 
 @ray.remote(num_cpus=0)
@@ -109,24 +121,31 @@ class _PairOverflowCounter:
         self.skipped_pairs = 0
 
 
-def _gvp_counter():
-    """Get-or-create the shared overflow counter actor (race-safe).
+def _gvp_counter(scope: str | None = None):
+    """Get-or-create the job-scoped overflow counter actor (race-safe).
     Detached: a refcounted named actor would be GC'd the moment the
     emitting worker task drops its handle, zeroing the tally before
-    the driver can read it."""
+    the driver can read it.  Detached actors outlive the job, so the
+    name is job-scoped (no cross-job tally sharing) and the
+    ``pair_overflow_stats(reset=True)`` readout KILLS the actor —
+    nothing leaks past the job's final stats read."""
     return _PairOverflowCounter.options(
-        name=_GVP_COUNTER_NAME, get_if_exists=True,
+        name=_gvp_counter_name(scope), get_if_exists=True,
         lifetime="detached").remote()
 
 
-def pair_overflow_stats(reset: bool = False) -> dict:
+def pair_overflow_stats(reset: bool = False,
+                        scope: str | None = None) -> dict:
     """Read (and optionally reset) the group_value_pairs overflow
-    counters.  Only meaningful after the pair Dataset was consumed."""
-    c = _gvp_counter()
+    counters.  Only meaningful after the pair Dataset was consumed.
+    ``reset=True`` tears the detached actor down entirely (the next
+    capped batch recreates it at zero) — the job's closing readout
+    must not leak a detached actor into a shared cluster."""
+    c = _gvp_counter(scope)
     import ray as _ray
     stats = _ray.get(c.get.remote())
     if reset:
-        _ray.get(c.reset.remote())
+        _ray.kill(c, no_restart=True)
     return stats
 
 
@@ -190,9 +209,21 @@ def group_value_pairs(ds: "ray.data.Dataset", key_col: str,
             # synchronous on purpose: guarantees the tally landed
             # before the emitting batch completes (so a consumer can
             # read pair_overflow_stats right after materialize);
-            # capped groups are rare, the actor call is tiny
+            # capped groups are rare, the actor call is tiny.  Retry
+            # across the (tiny) window where a concurrent
+            # reset-by-kill has freed the name but the dying handle
+            # is still resolvable via get_if_exists.
+            import time
+
             import ray as _ray
-            _ray.get(_gvp_counter().add.remote(capped, skipped))
+            for attempt in range(5):
+                try:
+                    _ray.get(_gvp_counter().add.remote(capped, skipped))
+                    break
+                except _ray.exceptions.RayActorError:
+                    if attempt == 4:
+                        raise
+                    time.sleep(0.2)
         if not us:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
