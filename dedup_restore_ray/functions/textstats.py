@@ -142,6 +142,157 @@ def gopher_keep_mask(c: dict[str, np.ndarray]) -> np.ndarray:
             & (10 * c["n_upper"] <= 3 * c["n_chars"]))
 
 
+# ----------------------------------------------------------------------
+# Arrow-vectorized quality / language-id kernels (VERDICT r4 #1).
+#
+# The per-doc Python loops above stay as the bit-exact parity
+# references; the functions below run the tokenizer and regex work as
+# Arrow C++ (RE2) kernels for the batch's ASCII rows — the same
+# stitched fast/slow split as shingle.arrow_token_stats, so results
+# are IDENTICAL regardless of which rows ride which path — and route
+# the rare non-ASCII rows through the Python reference kernel.
+# ----------------------------------------------------------------------
+
+# Python's `[^\w\s]` restricted to ASCII, written as an explicit class
+# so RE2 agrees byte-for-byte (RE2's own \s lacks \v, Python's has it).
+_ASCII_PUNCT_PATTERN = "[^0-9A-Za-z_ \t\n\r\x0b\x0c]"
+
+_STOP_ARR = None          # lazy pa.array of _STOPWORDS_EN
+_PROFILE_ARRS: dict | None = None
+
+
+def _arrow_ascii_tokens(acol):
+    """lower + ``\\w+`` tokenization of an all-ASCII Arrow string
+    column (split on the complement class — exactly Python ``\\w`` on
+    lowercased ASCII).  Returns ``(ff, n_tokens, doc_off)``: the flat
+    non-empty token array, per-doc token counts, and int64 [n+1]
+    occurrence offsets into ``ff``."""
+    import pyarrow.compute as pc
+
+    low = pc.ascii_lower(acol)
+    sp = pc.split_pattern_regex(low, "[^a-z0-9_]+")
+    flat = pc.list_flatten(sp)
+    off = np.asarray(sp.offsets, dtype=np.int64)
+    mask_pa = pc.greater(pc.binary_length(flat), 0)
+    cum = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum(np.asarray(mask_pa), out=cum[1:])
+    doc_off = cum[off]
+    return flat.filter(mask_pa), doc_off[1:] - doc_off[:-1], doc_off
+
+
+def _segment_sums(per_occ: np.ndarray, doc_off: np.ndarray) -> np.ndarray:
+    """Per-doc sums of a per-occurrence int vector via one prefix sum."""
+    p = np.zeros(len(per_occ) + 1, dtype=np.int64)
+    np.cumsum(per_occ, out=p[1:])
+    return p[doc_off[1:]] - p[doc_off[:-1]]
+
+
+def _ascii_partition(tcol):
+    """Shared preamble: combined, null-filled column + ascii row split.
+    Returns (tcol, a_rows, slow_rows, acol) with acol the filtered
+    (or whole) ASCII sub-column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(tcol, pa.ChunkedArray):
+        tcol = tcol.combine_chunks()
+    if tcol.null_count:
+        tcol = tcol.fill_null("")
+    ascii_mask = np.asarray(pc.string_is_ascii(tcol))
+    a_rows = np.flatnonzero(ascii_mask)
+    slow_rows = np.flatnonzero(~ascii_mask)
+    acol = (tcol if len(a_rows) == len(tcol)
+            else tcol.filter(pa.array(ascii_mask, pa.bool_())))
+    return tcol, a_rows, slow_rows, acol
+
+
+def quality_filter_counts_arrow(tcol) -> dict[str, np.ndarray]:
+    """``quality_filter_counts`` with the hot work in Arrow C++:
+    identical outputs (parity-tested), one regex/tokenize dispatch per
+    batch instead of one per doc."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    global _STOP_ARR
+    if isinstance(tcol, pa.ChunkedArray):
+        tcol = tcol.combine_chunks()
+    n = len(tcol)
+    out = {k: np.zeros(n, dtype=np.int64) for k in
+           ("n_chars", "n_tokens", "sum_token_len", "stop_hits",
+            "n_punct", "n_upper")}
+    if n == 0:
+        return out
+    tcol, a_rows, slow_rows, acol = _ascii_partition(tcol)
+    if len(a_rows):
+        ff, ntok, doc_off = _arrow_ascii_tokens(acol)
+        if _STOP_ARR is None:
+            _STOP_ARR = pa.array(sorted(_STOPWORDS_EN))
+        # per-token properties via the DISTINCT-token dictionary (the
+        # batch has ~60 distinct words per 2.6M occurrences in webtext;
+        # membership/length on the dictionary + one np.take beats any
+        # occurrence-level kernel)
+        d = pc.dictionary_encode(ff)
+        idx = np.asarray(d.indices, dtype=np.int64)
+        dlen = np.asarray(pc.binary_length(d.dictionary),
+                          dtype=np.int64)
+        dstop = np.asarray(pc.is_in(d.dictionary, value_set=_STOP_ARR)
+                           ).astype(np.int64)
+        out["n_chars"][a_rows] = np.asarray(pc.binary_length(acol))
+        out["n_tokens"][a_rows] = ntok
+        out["sum_token_len"][a_rows] = _segment_sums(dlen[idx], doc_off)
+        out["stop_hits"][a_rows] = _segment_sums(dstop[idx], doc_off)
+        out["n_punct"][a_rows] = np.asarray(
+            pc.count_substring_regex(acol, _ASCII_PUNCT_PATTERN))
+        out["n_upper"][a_rows] = np.asarray(
+            pc.count_substring_regex(acol, "[A-Z]"))
+    if len(slow_rows):
+        c = quality_filter_counts(
+            [tcol[int(r)].as_py() for r in slow_rows])
+        for k in out:
+            out[k][slow_rows] = c[k]
+    return out
+
+
+def detect_language_arrow(tcol) -> np.ndarray:
+    """Vectorized ``detect_language`` over an Arrow string column.
+    ASCII rows (no CJK possible) resolve via per-profile ``is_in``
+    membership + per-doc segment sums with Python's first-max-wins tie
+    rule (np.argmax); non-ASCII rows take the reference scalar path.
+    Returns an object ndarray of language codes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    global _PROFILE_ARRS
+    if isinstance(tcol, pa.ChunkedArray):
+        tcol = tcol.combine_chunks()
+    n = len(tcol)
+    result = np.full(n, "und", dtype=object)
+    if n == 0:
+        return result
+    tcol, a_rows, slow_rows, acol = _ascii_partition(tcol)
+    if len(a_rows):
+        if _PROFILE_ARRS is None:
+            _PROFILE_ARRS = {lang: pa.array(sorted(prof))
+                             for lang, prof in _PROFILES.items()}
+        ff, _, doc_off = _arrow_ascii_tokens(acol)
+        d = pc.dictionary_encode(ff)
+        idx = np.asarray(d.indices, dtype=np.int64)
+        order = list(_PROFILES)      # dict order == Python loop order
+        hits = np.empty((len(order), len(a_rows)), dtype=np.int64)
+        for j, lang in enumerate(order):
+            member = np.asarray(
+                pc.is_in(d.dictionary,
+                         value_set=_PROFILE_ARRS[lang])).astype(np.int64)
+            hits[j] = _segment_sums(member[idx], doc_off)
+        best = np.argmax(hits, axis=0)
+        langs = np.array(order, dtype=object)[best]
+        langs[hits[best, np.arange(len(a_rows))] == 0] = "und"
+        result[a_rows] = langs
+    for r in slow_rows:
+        result[int(r)] = detect_language(tcol[int(r)].as_py())
+    return result
+
+
 def bpe_token_count(text: str | None) -> int:
     """Count of GPT-2-style pre-tokenizer chunks — a fast proxy for BPE
     token counts without a vocab."""

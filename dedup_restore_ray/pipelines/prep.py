@@ -38,35 +38,36 @@ class PrepResult:
 
 
 def _gram_rows(text_col: str, id_col: str, k: int, distinct_grams: bool):
-    """Batch -> (gram, [id]) rows of token k-gram hashes."""
-    from dedup_restore_ray.functions.hashing import WordHasher
-    from dedup_restore_ray.functions.shingle import (
-        shingle_hashes_for_tokens, tokenize)
-    hasher = WordHasher()
+    """Batch -> (gram, [id]) rows of token k-gram hashes.
+
+    Vectorized: tokenization rides the Arrow C++ path
+    (shingle.arrow_token_hashes — word hashes over DISTINCT tokens
+    only) and the k-gram rolling combine is the batched CSR kernel the
+    signature stage uses (encode_word_hashes), whose per-doc output is
+    already sorted-unique — identical to the per-doc
+    shingle_hashes_for_tokens reference (parity-tested).  Docs with
+    fewer than ``k`` tokens emit nothing."""
+    from dedup_restore_ray.functions.shingle import (ShingleEncoder,
+                                                     arrow_token_hashes)
+    enc = ShingleEncoder(k=k)
 
     def rows(b: pa.Table) -> pa.Table:
-        gs_all: list[np.ndarray] = []
-        ds_all: list[np.ndarray] = []
-        ids = (np.asarray(b.column(id_col)) if id_col else None)
-        for i, t in enumerate(b.column(text_col).to_pylist()):
-            toks = tokenize(t)
-            if len(toks) < k:
-                continue
-            g = shingle_hashes_for_tokens(hasher.hash_words(toks), k)
-            if distinct_grams:
-                g = np.unique(g)
-            gs_all.append(g.astype(np.uint64))
-            if ids is not None:
-                ds_all.append(np.full(len(g), ids[i],
-                                      dtype=ids.dtype))
-        if not gs_all:
-            cols = {"gram": pa.array([], pa.uint64())}
-            if ids is not None:
+        wh, counts = arrow_token_hashes(b.column(text_col), enc.hasher)
+        flat, offs = enc.encode_word_hashes(wh, counts)
+        n_sh = np.diff(offs)
+        # encode_word_hashes gives 0 < n < k docs one whole-doc
+        # shingle; this operator's contract drops them instead
+        occ_keep = np.repeat(counts >= k, n_sh)
+        grams = flat[occ_keep]
+        cols = {"gram": pa.array(grams, pa.uint64())}
+        if id_col:
+            if b.num_rows:
+                row_idx = np.repeat(
+                    np.arange(b.num_rows, dtype=np.int64), n_sh)[occ_keep]
+                cols[id_col] = (b.column(id_col).combine_chunks()
+                                .take(pa.array(row_idx)))
+            else:
                 cols[id_col] = pa.array([], pa.int64())
-            return pa.table(cols)
-        cols = {"gram": pa.array(np.concatenate(gs_all), pa.uint64())}
-        if ids is not None:
-            cols[id_col] = pa.array(np.concatenate(ds_all))
         return pa.table(cols)
 
     return rows
@@ -100,7 +101,8 @@ def prep_corpus(docs: "ray.data.Dataset",
     from dedup_restore_ray.functions.hashing import WordHasher
     from dedup_restore_ray.functions.shingle import arrow_token_hashes
     from dedup_restore_ray.functions.textstats import (
-        detect_language, gopher_keep_mask, quality_filter_counts)
+        detect_language_arrow, gopher_keep_mask,
+        quality_filter_counts_arrow)
     from dedup_restore_ray.pipelines.dedup import dedup_pipeline
     from dedup_restore_ray.stages.groups import distinct_rows
     from dedup_restore_ray.stages.joins import anti_join, semi_join
@@ -117,7 +119,7 @@ def prep_corpus(docs: "ray.data.Dataset",
     # corpora whose text intentionally fails the Gopher rules) -------
     if quality:
         def q_filter(b: pa.Table) -> pa.Table:
-            c = quality_filter_counts(b.column(text_col).to_pylist())
+            c = quality_filter_counts_arrow(b.column(text_col))
             return b.filter(pa.array(gopher_keep_mask(c)))
 
         docs = docs.map_batches(q_filter,
@@ -127,10 +129,8 @@ def prep_corpus(docs: "ray.data.Dataset",
     # 2. language ------------------------------------------------------
     if target_lang is not None:
         def l_filter(b: pa.Table) -> pa.Table:
-            pred = [detect_language(t)
-                    for t in b.column(text_col).to_pylist()]
-            return b.filter(pa.array([p == target_lang
-                                      for p in pred]))
+            pred = detect_language_arrow(b.column(text_col))
+            return b.filter(pa.array(pred == target_lang))
 
         docs = docs.map_batches(l_filter,
                                 batch_format="pyarrow").materialize()

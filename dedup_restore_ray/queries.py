@@ -29,7 +29,6 @@ from dedup_restore_ray.functions.similarity import (cosine_topk_block,
                                                     l2_normalize,
                                                     list_to_matrix, merge_topk)
 from dedup_restore_ray.functions.textstats import (_STOPWORDS_EN,
-                                                   detect_language,
                                                    quality_features)
 from dedup_restore_ray.stages.exact import exact_dedup
 from dedup_restore_ray.stages.signatures import SignatureStage
@@ -274,14 +273,17 @@ def q_quality_docs(sf_dir: str):
 
 
 def q_langid_docs(sf_dir: str):
-    """Heuristic language id (rows-only check; no SQL equivalent)."""
+    """Heuristic language id (Arrow is_in membership + segment sums on
+    ASCII rows; oracle: the same profile-hit argmax in DuckDB SQL)."""
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
 
     def f(batch: pa.Table) -> pa.Table:
-        pred = [detect_language(t) for t in batch.column("text").to_pylist()]
+        from dedup_restore_ray.functions.textstats import \
+            detect_language_arrow
+        pred = detect_language_arrow(batch.column("text"))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "lang": batch.column("lang"),
-                         "pred_lang": pa.array(pred, pa.string())})
+                         "pred_lang": pa.array(pred.tolist(), pa.string())})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -292,12 +294,12 @@ def q_quality_filter_docs(sf_dir: str):
     an exact integer comparison, so the kept flag is bit-identical to
     the SQL oracle with no float-rounding exposure.  One
     embarrassingly-parallel pass; no shuffle."""
-    from dedup_restore_ray.functions.textstats import (gopher_keep_mask,
-                                                       quality_filter_counts)
+    from dedup_restore_ray.functions.textstats import (
+        gopher_keep_mask, quality_filter_counts_arrow)
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
-        c = quality_filter_counts(batch.column("text").to_pylist())
+        c = quality_filter_counts_arrow(batch.column("text"))
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(c["n_tokens"], pa.int64()),
@@ -4267,13 +4269,12 @@ def q_clean_corpus_docs(sf_dir: str):
     pipeline output, not just counts."""
     import hashlib
     from dedup_restore_ray.functions.textstats import (
-        gopher_keep_mask, quality_filter_counts)
+        gopher_keep_mask, quality_filter_counts_arrow)
     from dedup_restore_ray.stages.exact import exact_dedup_mark
     ds = _docs(sf_dir, ["doc_id", "text", "source"])
 
     def filt(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        c = quality_filter_counts(texts)
+        c = quality_filter_counts_arrow(b.column("text"))
         t = b.filter(pa.array(gopher_keep_mask(c), pa.bool_()))
         kept_texts = t.column("text").to_pylist()
         return pa.table({
@@ -5234,7 +5235,8 @@ def q_filter_funnel_docs(sf_dir: str):
     the final-stage survivors' sha1 hashes; a 7-group sum and one
     20 B/row distinct shuffle finish the job — the corpus text never
     shuffles and the driver sees 8 integers."""
-    from dedup_restore_ray.functions.textstats import quality_filter_counts
+    from dedup_restore_ray.functions.textstats import \
+        quality_filter_counts_arrow
     from dedup_restore_ray.stages.groups import (distinct_rows,
                                                  grouped_aggregate)
 
@@ -5243,7 +5245,7 @@ def q_filter_funnel_docs(sf_dir: str):
              "stopwords", "punct", "upper", "exact_dedup"]
 
     def partial(b: pa.Table) -> pa.Table:
-        c = quality_filter_counts(b.column("text").to_pylist())
+        c = quality_filter_counts_arrow(b.column("text"))
         nt, sl = c["n_tokens"], c["sum_token_len"]
         conds = [nt >= 5, nt <= 50000,
                  (sl >= 2 * nt) & (sl <= 12 * nt),

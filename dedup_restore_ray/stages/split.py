@@ -84,39 +84,41 @@ def cross_split_contamination(ds: "ray.data.Dataset",
     side rides the same shuffle as the train side, so the operator
     holds even when the "benchmark" split is itself huge.
     """
-    from dedup_restore_ray.functions.hashing import U64, WordHasher
-    from dedup_restore_ray.functions.shingle import (
-        shingle_hashes_for_tokens, tokenize)
+    from dedup_restore_ray.functions.shingle import (ShingleEncoder,
+                                                     arrow_token_hashes)
     from dedup_restore_ray.stages.groups import (flatten_blocks,
                                                  group_bounds,
                                                  grouped_aggregate,
                                                  sorted_split)
 
+    enc = ShingleEncoder(k=k, seed=seed)
+
     def gram_rows(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
+        # Arrow-path tokenization + batched CSR k-gram combine (the
+        # signature-stage kernels; per-doc sorted-unique output
+        # identical to the shingle_hashes_for_tokens reference)
         keys = batch.column(key_col).to_pylist()
-        ids = np.asarray(batch.column(key_col))
         b = _buckets(keys, salt)
-        hasher = WordHasher(seed=seed)
-        gs, ds_, tags = [], [], []
-        for i, t in enumerate(texts):
-            if train_cut <= b[i] < test_cut:
-                continue
-            toks = tokenize(t)
-            if len(toks) < k:
-                continue  # SQL emits no k-gram for short docs
-            g = shingle_hashes_for_tokens(hasher.hash_words(toks), k)
-            gs.append(g)
-            ds_.append(np.full(len(g), ids[i], dtype=ids.dtype))
-            tags.append(np.full(len(g), 1 if b[i] >= test_cut else 0,
-                                dtype=np.int8))
-        if not gs:
+        sel = np.flatnonzero((b < train_cut) | (b >= test_cut))
+        if len(sel) == 0:
             return pa.table({"g": pa.array([], pa.uint64()),
                              key_col: pa.array([], pa.int64()),
                              "is_test": pa.array([], pa.int8())})
-        return pa.table({"g": pa.array(np.concatenate(gs).astype(U64)),
-                         key_col: pa.array(np.concatenate(ds_)),
-                         "is_test": pa.array(np.concatenate(tags))})
+        sub = batch.take(pa.array(sel))
+        wh, counts = arrow_token_hashes(sub.column(text_col),
+                                        enc.hasher)
+        flat, offs = enc.encode_word_hashes(wh, counts)
+        n_sh = np.diff(offs)
+        # < k tokens -> no k-gram (SQL emits nothing for short docs)
+        occ_keep = np.repeat(counts >= k, n_sh)
+        row_idx = np.repeat(np.arange(len(sel), dtype=np.int64),
+                            n_sh)[occ_keep]
+        tags = (b[sel] >= test_cut).astype(np.int8)[row_idx]
+        return pa.table({
+            "g": pa.array(flat[occ_keep], pa.uint64()),
+            key_col: sub.column(key_col).combine_chunks()
+                        .take(pa.array(row_idx)),
+            "is_test": pa.array(tags)})
 
     rows = ds.map_batches(gram_rows, batch_format="pyarrow")
     interior, edge = sorted_split(rows, ["g"])
