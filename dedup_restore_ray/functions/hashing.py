@@ -194,6 +194,36 @@ class WordHasher:
         return out
 
 
+class Md5WordHasher:
+    """word -> uint64 via DuckDB's ``md5_number_lower`` convention
+    (little-endian uint64 of md5 digest bytes 8..16, the same contract
+    functions.sketch.kmv_hash proves bit-exact).  Drop-in for
+    WordHasher on operators whose SQL oracle must RE-DERIVE the word
+    hashes — blake2b is not SQL-expressible, md5 is."""
+
+    __slots__ = ("cache", "_max_cache")
+
+    def __init__(self, max_cache: int = 1 << 20):
+        self.cache: dict[str, int] = {}
+        self._max_cache = max_cache
+
+    def hash_words(self, words: list[str],
+                   out: np.ndarray | None = None) -> np.ndarray:
+        cache = self.cache
+        md5 = hashlib.md5
+        if out is None:
+            out = np.empty(len(words), dtype=U64)
+        for i, w in enumerate(words):
+            v = cache.get(w)
+            if v is None:
+                d = md5(w.encode("utf-8", "surrogatepass")).digest()
+                v = int.from_bytes(d[8:16], "little")
+                if len(cache) < self._max_cache:
+                    cache[w] = v
+            out[i] = v
+        return out
+
+
 def sha1_digest(data: bytes) -> bytes:
     """20-byte SHA-1 content fingerprint (reference: src/dedup.c:84 uses
     the first 17 bytes of SHA-1 as the chunk fingerprint)."""

@@ -349,11 +349,25 @@ class PHashImage:
 def phash_pairs(media: "ray.data.Dataset", hamming_max: int = 2,
                 id_col: str = "doc_id", cfg=None) -> "ray.data.Dataset":
     """Image near-dup pairs over a media table (payload +
-    media_type): PHashImage actor pool -> SimHash band candidates
-    (the TEXT rail's sort/pair/distinct chain, reused wholesale) ->
-    sort-scatter signature attaches -> exact-Hamming verify.
-    Returns (u, v, hamming) with u < v; empty candidate sets
-    short-circuit to an empty typed Dataset."""
+    media_type): PHashImage actor pool -> the generic
+    (doc_id, simhash) -> (u, v, hamming) rail below."""
+    sigs = media.map_batches(PHashImage(id_col=id_col),
+                             batch_format="pyarrow",
+                             batch_size=64).materialize()
+    return simhash_pairs_from_sigs(sigs, hamming_max=hamming_max,
+                                   id_col=id_col, cfg=cfg)
+
+
+def simhash_pairs_from_sigs(sigs: "ray.data.Dataset",
+                            hamming_max: int = 2,
+                            id_col: str = "doc_id",
+                            cfg=None) -> "ray.data.Dataset":
+    """(id, simhash) signature table -> near-dup pairs: SimHash band
+    candidates (the TEXT rail's sort/pair/distinct chain, reused
+    wholesale) -> sort-scatter signature attaches -> exact-Hamming
+    verify.  Returns (u, v, hamming) with u < v; empty inputs and
+    empty candidate sets short-circuit to an empty typed Dataset.
+    ``sigs`` should be materialized (it is consumed three times)."""
     import ray.data as rd
 
     from dedup_restore_ray.config import PipelineConfig
@@ -365,9 +379,6 @@ def phash_pairs(media: "ray.data.Dataset", hamming_max: int = 2,
     empty_tbl = pa.table({"u": pa.array([], pa.int64()),
                           "v": pa.array([], pa.int64()),
                           "hamming": pa.array([], pa.int64())})
-    sigs = media.map_batches(PHashImage(id_col=id_col),
-                             batch_format="pyarrow",
-                             batch_size=64).materialize()
     if sigs.count() == 0:
         return rd.from_arrow(empty_tbl)
     cands = candidate_pairs(sigs, cfg, use_minhash=False,
