@@ -318,6 +318,17 @@ def dedup_pipeline(docs: "ray.data.Dataset",
         # pair table — two barriers replaced by one.
         from dedup_restore_ray.stages.pairs import resolve_pair_ids
         from dedup_restore_ray.stages.verify import _VerifyPacked
+        # let the pack shards FINISH before the candidate execution
+        # starts: eager verify tasks used to grab worker slots and
+        # dead-wait in ray.get on unfinished shards — measured 6.0
+        # CPU-s of verify remote-wall at 4 CPUs vs 1.7 at 1 CPU for
+        # the same rows (1M docs).  The shard build is distributed
+        # (~1s at 1M/4 CPUs) and total work is conserved on a single
+        # slot, so the explicit barrier costs the 1-CPU leg nothing
+        # and removes the high-leg stall.
+        if hasattr(pack, "shard_refs"):
+            ray.wait(pack.shard_refs,
+                     num_returns=len(pack.shard_refs))
         checked = cands.map_batches(
             _VerifyPacked(pack, cfg.jaccard_threshold,
                           emit_all=True, hashed_ids=True),

@@ -244,23 +244,51 @@ def _residual_bucket_pairs(group: pa.Table, id_col: str, max_all: int,
                      "v": pa.array(list(members[iv]), id_type)})
 
 
+def residual_singleblock(edge: "ray.data.Dataset",
+                         sort_keys: list[str],
+                         block_kernel) -> "ray.data.Dataset":
+    """Run a sorted-block kernel over ALL residual (boundary) rows of
+    a ``sorted_split`` as ONE locally-sorted block.
+
+    The edge dataset holds only each block's first/last group — a tiny
+    fraction of the rows — yet ``edge.groupby(k).map_groups(...)``
+    pays a FULL Ray sort plan (sample, partition, shuffle barriers):
+    measured 2-4 s of fixed wall per residual pass at 1M docs,
+    identical on the 1- and 4-CPU scaling legs — a pure Amdahl term of
+    the pair chain.  Coalescing to one block and sorting locally makes
+    every group whole, so the INTERIOR kernel is the correct emitter
+    (the shared-emitter discipline: results stay independent of block
+    layout) at ~0.5 s fixed.  Edge mass stays bounded — it shrinks
+    with block size and pair emission per group is already capped —
+    and 16-byte rows keep even a multi-million-row residual block in
+    the tens of MB.
+
+    The coalesce rides map_batches' own cross-block bundling (a huge
+    batch_size makes the bundler accumulate every edge block into ONE
+    batch/task) — measured ~2x cheaper than a repartition(1) operator,
+    which pays its own split/reduce barrier."""
+    sb = [(k, "ascending") for k in sort_keys]
+    return edge.map_batches(
+        lambda g: block_kernel(g.sort_by(sb)),
+        batch_format="pyarrow", batch_size=1 << 31)
+
+
 def bucket_pairs(rows: "ray.data.Dataset", max_all: int, num_salts: int,
                  key_col: str = "bucket_key", id_col: str = "doc_id"
                  ) -> "ray.data.Dataset":
     """(bucket_key, doc_id) rows -> candidate (u, v) pairs, u < v,
-    distinct.  One sort shuffle + vectorized block kernels."""
+    distinct.  One sort shuffle + vectorized block kernels; the
+    boundary groups ride ONE coalesced locally-sorted block through
+    the same kernel (residual_singleblock) instead of a second Ray
+    sort."""
     interior, edge = sorted_split(rows, [key_col, id_col], [key_col])
 
     def interior_pairs(b: pa.Table) -> pa.Table:
         return _batch_bucket_pairs(b, key_col, id_col, max_all, num_salts)
 
-    def residual_pairs(g: pa.Table) -> pa.Table:
-        return _residual_bucket_pairs(g, id_col, max_all, num_salts)
-
     pairs = interior.map_batches(interior_pairs, batch_format="pyarrow",
                                  batch_size=None)
-    res = edge.groupby(key_col).map_groups(residual_pairs,
-                                           batch_format="pyarrow")
+    res = residual_singleblock(edge, [key_col, id_col], interior_pairs)
     return distinct_pairs(pairs.union(res))
 
 
@@ -330,13 +358,9 @@ def distinct_pairs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         return b.filter(pa.array(np.concatenate(([True], ~dup)))
                         ).select(["u", "v"])
 
-    def res_dedup(g: pa.Table) -> pa.Table:
-        return dedup(g.sort_by([("ph", "ascending"), ("ph2", "ascending")]))
-
     return (interior.map_batches(dedup, batch_format="pyarrow",
                                  batch_size=None)
-            .union(edge.groupby("ph").map_groups(res_dedup,
-                                                 batch_format="pyarrow")))
+            .union(residual_singleblock(edge, ["ph", "ph2"], dedup)))
 
 
 def distinct_rows(ds: "ray.data.Dataset", keys: list[str]

@@ -892,37 +892,37 @@ class TestDecontamination:
 
 class TestSimhashPairs:
     def test_precision_exact_and_connectivity_recall(self):
+        """q_simhash_pairs_docs vs a brute-force popcount over the
+        SAME md5-basis signature chain the query (and its SQL oracle)
+        derives — precision exact, recall at connectivity level (hot
+        buckets emit star+chain)."""
         import numpy as np
-        import ray.data as rd
+        import pyarrow.parquet as pq
         from dedup_restore_ray.config import PipelineConfig
-        from dedup_restore_ray.functions.simhash import popcount64
+        from dedup_restore_ray.functions.hashing import Md5WordHasher
+        from dedup_restore_ray.functions.shingle import (
+            ShingleEncoder, arrow_token_hashes)
+        from dedup_restore_ray.functions.simhash import (
+            popcount64, simhash_signatures)
         from dedup_restore_ray.functions.unionfind import UnionFind
         from dedup_restore_ray.queries import q_simhash_pairs_docs
-        from dedup_restore_ray.stages.signatures import SignatureStage
 
         sf = "/root/testdata/sf0.001"
         got = q_simhash_pairs_docs(sf).to_pandas()
         cfg = PipelineConfig()
-        sigs = (rd.read_parquet(f"{sf}/documents.parquet",
-                                columns=["doc_id", "text"])
-                .map_batches(SignatureStage(cfg), batch_format="pyarrow")
-                .to_pandas())
-        ids = sigs.doc_id.to_numpy()
-        sh = sigs.simhash.to_numpy().astype(np.uint64)
-        # brute-force pairs among docs (empty docs are band-uniquified
-        # by BandExpand, so exclude pairs where either side has the
-        # empty signature: simhash of no shingles)
-        from dedup_restore_ray.functions.minhash import EMPTY_SIG
-        mh0 = np.array([m[0] for m in sigs.minhash], dtype=np.uint64)
+        tbl = pq.read_table(f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"])
+        enc = ShingleEncoder(k=cfg.shingle_k)
+        wh, counts = arrow_token_hashes(
+            tbl.column("text").combine_chunks(), Md5WordHasher())
+        flat, offs = enc.encode_word_hashes(wh, counts)
+        sh = simhash_signatures(flat, offs)
+        ids = np.asarray(tbl.column("doc_id"))
         t = cfg.simhash_hamming_threshold
         brute = {}
         for i in range(len(ids)):
-            if mh0[i] == EMPTY_SIG:
-                continue
             d = popcount64(np.bitwise_xor(sh[i], sh[i + 1:]))
             for j in np.flatnonzero(d <= t):
-                if mh0[i + 1 + j] == EMPTY_SIG:
-                    continue
                 a, b = sorted((int(ids[i]), int(ids[i + 1 + j])))
                 brute[(a, b)] = int(d[j])
         got_pairs = {(int(r.u), int(r.v)): int(r.hamming)
