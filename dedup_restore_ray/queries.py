@@ -28,8 +28,7 @@ from dedup_restore_ray.functions.similarity import (cosine_topk_block,
                                                     fixed_binary_to_matrix,
                                                     l2_normalize,
                                                     list_to_matrix, merge_topk)
-from dedup_restore_ray.functions.textstats import (_STOPWORDS_EN,
-                                                   quality_features)
+from dedup_restore_ray.functions.textstats import _STOPWORDS_EN
 from dedup_restore_ray.stages.exact import exact_dedup
 from dedup_restore_ray.stages.signatures import SignatureStage
 
@@ -257,16 +256,26 @@ def q_lang_stats_docs(sf_dir: str):
 
 
 def q_quality_docs(sf_dir: str):
+    """Per-doc quality signals off the Arrow text kernel's integer
+    counts; the float ratios divide the SAME integers the per-doc
+    reference (quality_features) divides, so values are bit-identical
+    (quality_features remains the parity-tested scalar form)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
-        feats = quality_features(batch.column("text").to_pylist())
+        from dedup_restore_ray.functions.textstats import \
+            quality_filter_counts_arrow
+        c = quality_filter_counts_arrow(batch.column("text"))
+        nt = c["n_tokens"]
+        safe = np.maximum(nt, 1)
+        mean_tok = np.where(nt > 0, c["sum_token_len"] / safe, 0.0)
+        stop = np.where(nt > 0, c["stop_hits"] / safe, 0.0)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_chars": pa.array(feats["n_chars"], pa.int64()),
-            "n_tokens": pa.array(feats["n_tokens"], pa.int64()),
-            "mean_token_len": pa.array(round_half_up(feats["mean_token_len"])),
-            "stopword_ratio": pa.array(round_half_up(feats["stopword_ratio"])),
+            "n_chars": pa.array(c["n_chars"], pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "mean_token_len": pa.array(round_half_up(mean_tok)),
+            "stopword_ratio": pa.array(round_half_up(stop)),
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -1520,27 +1529,50 @@ def q_adaptive_restore_docs(sf_dir: str, window_size: int = 64,
     src/adaptive_faa.c:158-263): a fixed memory budget of assembly
     slots is re-split between in-flight FAA windows and cache as the
     recipe streams, driven by per-window container reads and the
-    probationary-cache signal.  The controller trajectory is an exact
-    deterministic simulation (pytest-verified, tests/test_adaptive.py);
-    no SQL oracle — but byte identity and counter bounds vs the fixed
-    windowed restore are asserted in tests."""
+    probationary-cache signal.
+
+    HASH-CHECKED via the limit contracts (graduated, VERDICT r4 #6
+    pattern): the controller trajectory is order-dependent, but its
+    INVARIANTS are closed-form — restored rows/bytes are
+    grouping-independent, the grouped reads sit between the fixed
+    per-window reads (faa=1, the windowed_restore_docs oracle idiom)
+    and the one-shot limit (distinct canonicals), the per-window
+    digest merkle equals the fixed windowed restore's, and the
+    controller makes exactly one decision per window.  The query RUNS
+    the adaptive AND fixed simulations and emits the SQL-exact
+    integers plus those predicates (SQL: literal true); a controller
+    regression that corrupts bytes, reads, grouping or cadence breaks
+    the hash.  The faa/law budget-split state machine itself stays
+    pytest-pinned (tests/test_adaptive.py)."""
     from dedup_restore_ray.pipelines.restore import (
-        adaptive_windowed_restore, canonical_store)
+        adaptive_windowed_restore, canonical_store,
+        windowed_restore_distributed)
+    from dedup_restore_ray.stages.groups import distinct_rows
     docs = _docs(sf_dir, ["doc_id", "text"])
     marked = q_exact_dedup_docs(sf_dir).materialize()
     store = canonical_store(docs, marked)
+    refs = marked.select_columns(["doc_id", "canonical_id"])
     m = adaptive_windowed_restore(
-        marked.select_columns(["doc_id", "canonical_id"]), store,
-        window_size=window_size, mem_windows=mem_windows,
-        p_threshold=8)
+        refs, store, window_size=window_size,
+        mem_windows=mem_windows, p_threshold=8)
+    base = windowed_restore_distributed(refs, store,
+                                        window_size=window_size)
+    oneshot = int(distinct_rows(
+        refs.select_columns(["canonical_id"]),
+        ["canonical_id"]).count())
+    n_windows = -(-m["restored_rows"] // window_size)
     return pd.DataFrame({
-        "total_container_read": [m["total_container_read"]],
         "restored_rows": [m["restored_rows"]],
         "restored_bytes": [m["restored_bytes"]],
-        "final_faa": [m["faa_trajectory"][-1] if m["faa_trajectory"]
-                      else 0],
-        "final_law": [m["law_trajectory"][-1] if m["law_trajectory"]
-                      else 0],
+        "window_reads": [base["total_container_read"]],
+        "oneshot_reads": [oneshot],
+        "adaptive_reads_in_bounds": [
+            oneshot <= m["total_container_read"]
+            <= base["total_container_read"]],
+        "merkle_matches_fixed": [
+            m["restored_merkle"] == base["restored_merkle"]],
+        "one_decision_per_window": [
+            len(m["faa_trajectory"]) == n_windows],
     })
 
 
@@ -12059,6 +12091,34 @@ def _simhash_oracle_sql(k=5, t=3, src="documents") -> str:
 
 
 ORACLE_SQL["simhash_pairs_docs"] = _simhash_oracle_sql()
+
+# adaptive FAA restore: grouping-independent totals (rows, bytes), the
+# fixed per-window read count (same idiom as windowed_restore_docs),
+# the one-shot limit (distinct canonicals), and the invariant
+# predicates the adaptive run must satisfy (emitted as booleans by the
+# simulation, literal true here)
+ORACLE_SQL["adaptive_restore_docs"] = """
+    WITH r AS (
+      SELECT doc_id, text,
+             min(doc_id) OVER (PARTITION BY text) AS canonical_id
+      FROM documents),
+    w AS (
+      SELECT canonical_id,
+             CAST(FLOOR((row_number() OVER (ORDER BY doc_id) - 1)
+                        / 64) AS BIGINT) AS window_id
+      FROM r)
+    SELECT (SELECT count(*) FROM w)::BIGINT AS restored_rows,
+           (SELECT sum(length(text))::BIGINT FROM documents)
+             AS restored_bytes,
+           (SELECT count(*) FROM
+              (SELECT DISTINCT window_id, canonical_id FROM w))::BIGINT
+             AS window_reads,
+           (SELECT count(DISTINCT canonical_id) FROM r)::BIGINT
+             AS oneshot_reads,
+           true AS adaptive_reads_in_bounds,
+           true AS merkle_matches_fixed,
+           true AS one_decision_per_window
+"""
 
 # chunk-cache restore: the closed-form limit counters (cache=0 -> one
 # read per reference; cache=inf -> one read per distinct canonical,
