@@ -388,7 +388,14 @@ def dedup_pipeline(docs: "ray.data.Dataset",
                             if n_edges <= cfg.broadcast_limit
                             else "distributed")
     if cluster_strategy == "union_find":
-        labels = cluster_union_find(edges_to_driver(near_edges))
+        # vectorized driver tier: dictionary-encoded endpoints +
+        # min-label propagation with pointer doubling — the dict
+        # union-find's Python edge walk was a fixed 7-8s serial term
+        # on both scaling legs at 8M docs (cluster_union_find remains
+        # the parity reference)
+        from dedup_restore_ray.stages.cluster import \
+            cluster_union_find_arrays
+        labels = cluster_union_find_arrays(near_edges)
         final = attach_cluster_ids(assignments, labels)
     elif cluster_strategy == "label_prop":
         labels = cluster_label_propagation(near_edges, cfg)

@@ -7660,12 +7660,18 @@ def q_kcore_copurchase_parts(sf_dir: str, k: int = 3,
                              min_orders: int = 2):
     """k-core of the co-purchase graph (community-density pruning —
     'parts that co-sell with >= k other well-connected parts'):
-    iterative degree peeling to the fixpoint, the REMOVAL-loop shape
-    recursive SQL cannot express.  Each round is one grouped degree
-    count + two anti-joins over the shrinking symmetric edge table;
-    no driver-side degree map (stages/graph.kcore_subgraph, peeling
-    parity-tested against a sequential reference).  Rows-only: output
-    is every surviving part with its in-core degree."""
+    iterative degree peeling to the fixpoint.  Each round is one
+    grouped degree count + two anti-joins over the shrinking
+    symmetric edge table; no driver-side degree map
+    (stages/graph.kcore_subgraph, peeling parity-tested against a
+    sequential reference).
+
+    HASH-CHECKED (graduated, round 5): the oracle unrolls the peel as
+    MATERIALIZED SQL rounds (rounds past the fixpoint are no-ops) and
+    the ``converged_within_rounds`` column — Ray: n_rounds <= the
+    oracle's unroll depth, SQL: literal true — makes an
+    under-unrolled oracle a visible hash mismatch, never a silent
+    pass."""
     from dedup_restore_ray.stages.graph import kcore_subgraph
     from dedup_restore_ray.stages.groups import (distinct_rows,
                                                  grouped_aggregate)
@@ -7689,10 +7695,16 @@ def q_kcore_copurchase_parts(sf_dir: str, k: int = 3,
     _, degrees, _rounds = kcore_subgraph(edges, k)
     out = degrees.to_pandas()
     if "node" not in out.columns:   # empty-Dataset trap (CLAUDE.md)
-        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
-                             "core_degree": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "p_partkey": pd.Series([], dtype="int64"),
+            "core_degree": pd.Series([], dtype="int64"),
+            "converged_within_rounds": pd.Series([], dtype="bool")})
     out = out.rename(columns={"node": "p_partkey",
                               "deg": "core_degree"})
+    # the oracle unrolls 16 peel rounds; Ray reports the TRUE round
+    # count — more than 16 would flip this to False and break the
+    # hash instead of silently comparing a non-fixpoint
+    out["converged_within_rounds"] = _rounds <= 16
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
@@ -12091,6 +12103,41 @@ def _simhash_oracle_sql(k=5, t=3, src="documents") -> str:
 
 
 ORACLE_SQL["simhash_pairs_docs"] = _simhash_oracle_sql()
+
+# k-core oracle: the peeling loop UNROLLED as MATERIALIZED rounds
+# (the kmeans-oracle idiom) — each round keeps edges whose BOTH
+# endpoints still have degree >= k; rounds past the fixpoint are
+# no-ops, and the query's `converged_within_rounds` boolean (Ray:
+# n_rounds <= N, SQL: literal true) turns an under-unrolled oracle
+# into a visible hash mismatch instead of a silent wrong answer.
+def _kcore_oracle_sql(k=3, min_orders=2, rounds=16) -> str:
+    parts = [f"""
+    e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    w AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {min_orders}),
+    s0 AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM w
+      UNION ALL
+      SELECT b AS src, a AS dst FROM w)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""
+    d{p} AS (SELECT src AS node FROM s{p}
+             GROUP BY src HAVING count(*) >= {k}),
+    s{i} AS MATERIALIZED (
+      SELECT s.src, s.dst FROM s{p} s
+      JOIN d{p} x ON x.node = s.src
+      JOIN d{p} y ON y.node = s.dst)""")
+    final = f"""
+    SELECT src AS p_partkey, count(*)::BIGINT AS core_degree,
+           true AS converged_within_rounds
+    FROM s{rounds} GROUP BY src"""
+    return "WITH" + ",".join(parts) + final
+
+
+ORACLE_SQL["kcore_copurchase_parts"] = _kcore_oracle_sql()
 
 # adaptive FAA restore: grouping-independent totals (rows, bytes), the
 # fixed per-window read count (same idiom as windowed_restore_docs),
